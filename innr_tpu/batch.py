@@ -1,0 +1,558 @@
+"""Batch vector ops and the kNN family — the MXU path.
+
+TPU-native redesign of reference ``src/batch.rs``. The reference stores the
+corpus dimension-major ("PDX"/vertical layout) so a scalar CPU loop over one
+dimension touches contiguous memory and auto-vectorizes
+(``src/batch.rs:256-265``). On TPU the unit of work is a tile, not a lane:
+the MXU consumes row-major (N, D) tiles directly and XLA performs the
+layout/tiling, so a columnar layout would only add a transpose. We therefore
+keep the :class:`VerticalBatch` *API* (constructors, accessors, the
+dimension-major ``data()`` serialization format) but store rows natively.
+
+Scan semantics carried over exactly (see each function's docstring):
+
+- ``batch_knn`` / ``batch_knn_reordered``: exact L2^2, ascending.
+- ``batch_knn_dot`` / ``batch_knn_cosine``: similarity, descending.
+- ``batch_knn_filtered``: predicate pushdown; indices refer to the original
+  batch.
+- ``batch_knn_adaptive``: *approximate* warmup-extrapolation pruning
+  (reference ``src/batch.rs:439-558``), redesigned as two MXU passes.
+- All orderings use IEEE total order (``f32::total_cmp`` parity) via
+  :mod:`innr_tpu.utils.order`, so NaN scores can never poison selection.
+
+The ``*_into`` buffer-reuse variants exist in the reference to avoid
+re-allocating result vectors per scan (``src/batch.rs:250``). Under jit XLA
+owns buffer reuse (donation + fusion), so here they are thin aliases kept
+for migration parity.
+
+Large corpora dispatch to the fused Pallas streaming-score+top-k kernel
+(:mod:`innr_tpu.kernels.knn`) when available; the jnp path is both the
+fallback and the differential oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from innr_tpu import config
+from innr_tpu.config import NORM_EPSILON
+from innr_tpu.utils.asserts import ContractError, check_same_length
+from innr_tpu.utils.order import top_k_total, total_order_key_f32
+
+__all__ = [
+    "VerticalBatch",
+    "BatchKnnResult",
+    "batch_l2_squared",
+    "batch_l2_squared_into",
+    "batch_dot",
+    "batch_dot_into",
+    "batch_norms",
+    "batch_norms_into",
+    "batch_cosine",
+    "batch_cosine_into",
+    "batch_l2_squared_pruning",
+    "batch_dimension_variance",
+    "batch_knn",
+    "batch_knn_dot",
+    "batch_knn_cosine",
+    "batch_knn_filtered",
+    "batch_knn_reordered",
+    "batch_knn_adaptive",
+]
+
+
+class VerticalBatch:
+    """Corpus container for batch scans (reference ``src/batch.rs:88``).
+
+    Stores rows natively as a ``(num_vectors, dimension)`` f32 array (the
+    MXU layout); the reference's dimension-major accessors are preserved on
+    top of it. The backing array is exposed (``rows``, ``data()``) so
+    callers own serialization, matching the reference's raw-data accessors
+    (``src/batch.rs:212-214``).
+    """
+
+    __slots__ = ("rows",)
+
+    def __init__(self, rows: jax.Array):
+        rows = jnp.asarray(rows, dtype=jnp.float32)
+        if rows.ndim != 2:
+            raise ContractError(
+                f"VerticalBatch: rows must be 2-D (N, D), got {rows.shape}"
+            )
+        self.rows = rows
+
+    # -- constructors (reference src/batch.rs:103/138/167) ------------------
+
+    @classmethod
+    def from_rows(cls, vectors) -> "VerticalBatch":
+        """Build from a sequence of equal-length vectors (row-major)."""
+        if isinstance(vectors, (jnp.ndarray, np.ndarray)) and getattr(
+            vectors, "ndim", 1
+        ) == 2:
+            return cls(jnp.asarray(vectors, dtype=jnp.float32))
+        vectors = list(vectors)
+        if not vectors:
+            return cls(jnp.zeros((0, 0), dtype=jnp.float32))
+        dim = len(vectors[0])
+        for v in vectors:
+            if len(v) != dim:
+                raise ContractError("VerticalBatch: inconsistent vector dimension")
+        return cls(jnp.asarray(np.asarray(vectors, dtype=np.float32)))
+
+    @classmethod
+    def from_slices(cls, vectors) -> "VerticalBatch":
+        """Alias of :meth:`from_rows` (reference ``src/batch.rs:138``)."""
+        return cls.from_rows(vectors)
+
+    @classmethod
+    def from_flat(cls, data, num_vectors: int, dimension: int) -> "VerticalBatch":
+        """Build from flat row-major data (reference ``src/batch.rs:167``)."""
+        flat = np.asarray(data, dtype=np.float32).reshape(-1)
+        if flat.size != num_vectors * dimension:
+            raise ContractError(
+                f"VerticalBatch.from_flat: {flat.size} values != "
+                f"{num_vectors} x {dimension}"
+            )
+        return cls(jnp.asarray(flat.reshape(num_vectors, dimension)))
+
+    # -- accessors -----------------------------------------------------------
+
+    @property
+    def num_vectors(self) -> int:
+        return int(self.rows.shape[0])
+
+    @property
+    def dimension(self) -> int:
+        return int(self.rows.shape[1])
+
+    def get(self, dim: int, vec_idx: int) -> float:
+        """Value at (dimension, vector_index) — reference argument order."""
+        return float(self.rows[vec_idx, dim])
+
+    def dimension_slice(self, dim: int) -> jax.Array:
+        """One dimension across all vectors (reference ``src/batch.rs:193``)."""
+        return self.rows[:, dim]
+
+    def data(self) -> np.ndarray:
+        """Flat data in the reference's dimension-major serialization format
+        (``data[d * num_vectors + i]``, reference ``src/batch.rs:212``)."""
+        return np.asarray(self.rows).T.reshape(-1)
+
+    def extract_vector(self, vec_idx: int) -> jax.Array:
+        return self.rows[vec_idx]
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"VerticalBatch(num_vectors={self.num_vectors}, dimension={self.dimension})"
+
+
+@dataclass
+class BatchKnnResult:
+    """kNN result (reference ``src/batch.rs:369``). Score meaning matches the
+    producing function: L2^2 for ``batch_knn``/``adaptive``/``reordered``/
+    ``filtered`` (lower = closer), similarity for ``dot``/``cosine``
+    (higher = more similar)."""
+
+    indices: np.ndarray
+    scores: np.ndarray
+
+
+# ---------------------------------------------------------------------------
+# jit'd score kernels
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _l2sq_scores(q: jax.Array, rows: jax.Array) -> jax.Array:
+    d = rows - q[None, :]
+    return jnp.sum(d * d, axis=1)
+
+
+@jax.jit
+def _dot_scores(q: jax.Array, rows: jax.Array) -> jax.Array:
+    return jnp.matmul(
+        rows, q,
+        preferred_element_type=jnp.float32,
+        precision=config.matmul_precision(),
+    )
+
+
+@jax.jit
+def _norms(rows: jax.Array) -> jax.Array:
+    return jnp.sqrt(jnp.sum(rows * rows, axis=1))
+
+
+@jax.jit
+def _cosine_scores(q: jax.Array, rows: jax.Array, norms: jax.Array) -> jax.Array:
+    dots = jnp.matmul(
+        rows, q,
+        preferred_element_type=jnp.float32,
+        precision=config.matmul_precision(),
+    )
+    qn = jnp.sqrt(jnp.sum(q * q))
+    denom = qn * norms
+    ok = (qn > NORM_EPSILON) & (norms > NORM_EPSILON)
+    return jnp.where(ok, dots / jnp.where(ok, denom, 1.0), 0.0)
+
+
+@partial(jax.jit, static_argnames=("k", "largest"))
+def _select_topk(scores: jax.Array, k: int, largest: bool):
+    return top_k_total(scores, k, largest=largest)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _knn_l2(q: jax.Array, rows: jax.Array, k: int):
+    return top_k_total(_l2sq_scores(q, rows), k, largest=False)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _knn_dot(q: jax.Array, rows: jax.Array, k: int):
+    return top_k_total(_dot_scores(q, rows), k, largest=True)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _knn_dot_multi(qs: jax.Array, rows: jax.Array, k: int):
+    scores = jnp.matmul(
+        qs, rows.T,
+        preferred_element_type=jnp.float32,
+        precision=config.matmul_precision(),
+    )
+    return top_k_total(scores, k, largest=True)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _knn_l2_multi(qs: jax.Array, rows: jax.Array, k: int):
+    d = rows[None, :, :] - qs[:, None, :]
+    return top_k_total(jnp.sum(d * d, axis=2), k, largest=False)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _knn_cosine(q: jax.Array, rows: jax.Array, k: int):
+    scores = _cosine_scores(q, rows, _norms(rows))
+    return top_k_total(scores, k, largest=True)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _knn_l2_masked(q: jax.Array, rows: jax.Array, mask: jax.Array, k: int):
+    """Top-k smallest L2^2 among rows where ``mask``; non-passing rows get
+    the maximal int32 key so they sort strictly last."""
+    dists = _l2sq_scores(q, rows)
+    keys = total_order_key_f32(dists)
+    keys = jnp.where(mask, keys, jnp.iinfo(jnp.int32).max)
+    _, idx = jax.lax.top_k(~keys, k)
+    return dists[idx], idx
+
+
+@partial(jax.jit, static_argnames=("k", "warmup_dims"))
+def _knn_adaptive(q: jax.Array, rows: jax.Array, k: int, warmup_dims: int):
+    """Two-phase adaptive kNN (see :func:`batch_knn_adaptive`)."""
+    dim = rows.shape[1]
+    scale = jnp.float32(dim) / jnp.float32(warmup_dims)
+
+    # Phase 1: warmup over the first warmup_dims dimensions (one MXU pass).
+    dw = rows[:, :warmup_dims] - q[None, :warmup_dims]
+    partial_d = jnp.sum(dw * dw, axis=1)
+    kth_vals, _ = top_k_total(partial_d, k, largest=False)
+    threshold = kth_vals[-1] * scale
+    alive = partial_d * scale <= threshold * 1.5
+
+    # Phase 2: exact distances; the static-threshold prune
+    # (full <= threshold) is exactly the reference's per-dimension
+    # monotone-accumulation prune before re-tightening.
+    full = _l2sq_scores(q, rows)
+    alive = alive & ~(full > threshold)
+
+    keys = total_order_key_f32(full)
+    keys = jnp.where(alive, keys, jnp.iinfo(jnp.int32).max)
+    _, idx = jax.lax.top_k(~keys, k)
+    return full[idx], idx, alive
+
+
+# ---------------------------------------------------------------------------
+# public batch scans
+# ---------------------------------------------------------------------------
+
+def _check_query(query, batch: VerticalBatch, op: str, allow_multi: bool = False) -> jax.Array:
+    q = jnp.asarray(query, dtype=jnp.float32)
+    ok_rank = q.ndim == 1 or (allow_multi and q.ndim == 2)
+    if not ok_rank or q.shape[-1] != batch.dimension:
+        raise ContractError(
+            f"innr_tpu::{op}: query shape {q.shape} incompatible with batch "
+            f"dimension {batch.dimension}"
+        )
+    return q
+
+
+def batch_l2_squared(query, batch: VerticalBatch) -> jax.Array:
+    """Squared L2 from query to every vector (reference ``src/batch.rs:236``)."""
+    q = _check_query(query, batch, "batch_l2_squared")
+    return _l2sq_scores(q, batch.rows)
+
+
+def batch_l2_squared_into(query, batch: VerticalBatch) -> jax.Array:
+    """Alias of :func:`batch_l2_squared`; buffer reuse is XLA's job here."""
+    return batch_l2_squared(query, batch)
+
+
+def batch_dot(query, batch: VerticalBatch) -> jax.Array:
+    """Dot products (one MXU matvec; reference ``src/batch.rs:270``)."""
+    q = _check_query(query, batch, "batch_dot")
+    return _dot_scores(q, batch.rows)
+
+
+def batch_dot_into(query, batch: VerticalBatch) -> jax.Array:
+    """Alias of :func:`batch_dot` (reference ``src/batch.rs:284``)."""
+    return batch_dot(query, batch)
+
+
+def batch_norms(batch: VerticalBatch) -> jax.Array:
+    """Per-vector L2 norms (reference ``src/batch.rs:652``)."""
+    return _norms(batch.rows)
+
+
+def batch_norms_into(batch: VerticalBatch) -> jax.Array:
+    """Alias of :func:`batch_norms`."""
+    return batch_norms(batch)
+
+
+def batch_cosine(query, batch: VerticalBatch, norms=None) -> jax.Array:
+    """Cosine similarities with precomputed norms
+    (reference ``src/batch.rs:679``). Zero query norm -> all zeros; zero
+    vector norm -> 0.0 for that vector."""
+    q = _check_query(query, batch, "batch_cosine")
+    if norms is None:
+        norms = _norms(batch.rows)
+    norms = jnp.asarray(norms, dtype=jnp.float32)
+    if norms.shape[0] != batch.num_vectors:
+        raise ContractError(
+            f"innr_tpu::batch_cosine: norms length {norms.shape[0]} != "
+            f"num_vectors {batch.num_vectors}"
+        )
+    return _cosine_scores(q, batch.rows, norms)
+
+
+def batch_cosine_into(query, batch: VerticalBatch, norms=None) -> jax.Array:
+    """Alias of :func:`batch_cosine`."""
+    return batch_cosine(query, batch, norms)
+
+
+def batch_l2_squared_pruning(
+    query, batch: VerticalBatch, threshold: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Indices and distances of vectors with L2^2 <= threshold
+    (reference ``src/batch.rs:320``).
+
+    The reference prunes per-dimension as soon as the monotone partial sum
+    exceeds ``threshold``; its survivor set is therefore exactly
+    ``{i : full_dist[i] <= threshold}``. On TPU the full scan is one fused
+    pass, so we compute it and filter — identical results without the
+    SIMT-hostile per-row early exit. Returns ``(indices, distances)``.
+    """
+    q = _check_query(query, batch, "batch_l2_squared_pruning")
+    dists = np.asarray(_l2sq_scores(q, batch.rows))
+    keep = ~(dists > np.float32(threshold))  # NaN distances are kept out
+    keep &= ~np.isnan(dists)
+    idx = np.nonzero(keep)[0]
+    return idx, dists[idx]
+
+
+def batch_dimension_variance(batch: VerticalBatch) -> jax.Array:
+    """Per-dimension population variance (reference ``src/batch.rs:561``)."""
+    if batch.num_vectors <= 1 or batch.dimension == 0:
+        return jnp.zeros((batch.dimension,), dtype=jnp.float32)
+    mean = jnp.mean(batch.rows, axis=0)
+    return jnp.mean((batch.rows - mean[None, :]) ** 2, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# kNN family
+# ---------------------------------------------------------------------------
+
+def _empty_result() -> BatchKnnResult:
+    return BatchKnnResult(
+        indices=np.zeros((0,), dtype=np.int64),
+        scores=np.zeros((0,), dtype=np.float32),
+    )
+
+
+def _result(vals, idx) -> BatchKnnResult:
+    return BatchKnnResult(
+        indices=np.asarray(idx, dtype=np.int64),
+        scores=np.asarray(vals, dtype=np.float32),
+    )
+
+
+def batch_knn(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
+    """Exact k nearest neighbors by squared L2 (reference ``src/batch.rs:385``).
+
+    Scores ascending. Selection is total-order top-k, equivalent to feeding
+    every candidate through :class:`innr_tpu.ops.topk.TopK`.
+
+    TPU-native extension: ``query`` may be a (Q, D) batch — all Q queries
+    share one corpus scan (one kernel launch on the fused path) and the
+    result arrays are (Q, k).
+    """
+    q = _check_query(query, batch, "batch_knn", allow_multi=True)
+    if batch.num_vectors == 0 or k == 0:
+        return _empty_result()
+    k = min(int(k), batch.num_vectors)
+    if _use_fused(batch.num_vectors):
+        from innr_tpu.kernels import knn as _kernels
+
+        if q.ndim == 2:
+            vals, idx = _kernels.fused_knn_l2_batch(q, batch.rows, k)
+        else:
+            vals, idx = _kernels.fused_knn_l2(q, batch.rows, k)
+    elif q.ndim == 2:
+        vals, idx = _knn_l2_multi(q, batch.rows, k)
+    else:
+        vals, idx = _knn_l2(q, batch.rows, k)
+    return _result(vals, idx)
+
+
+def batch_knn_dot(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
+    """Top-k by dot product — MIPS (reference ``src/batch.rs:731``).
+
+    Scores descending. NaN scores sort first, matching the reference's
+    descending ``total_cmp`` sort.
+
+    TPU-native extension: ``query`` may be a (Q, D) batch — all Q queries
+    share one corpus scan (one MXU matmul / one fused kernel launch) and
+    the result arrays are (Q, k).
+    """
+    q = _check_query(query, batch, "batch_knn_dot", allow_multi=True)
+    if batch.num_vectors == 0 or k == 0:
+        return _empty_result()
+    k = min(int(k), batch.num_vectors)
+    if _use_fused(batch.num_vectors):
+        from innr_tpu.kernels import knn as _kernels
+
+        if q.ndim == 2:
+            vals, idx = _kernels.fused_knn_dot_batch(q, batch.rows, k)
+        else:
+            vals, idx = _kernels.fused_knn_dot(q, batch.rows, k)
+    elif q.ndim == 2:
+        vals, idx = _knn_dot_multi(q, batch.rows, k)
+    else:
+        vals, idx = _knn_dot(q, batch.rows, k)
+    return _result(vals, idx)
+
+
+def batch_knn_cosine(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
+    """Top-k by cosine similarity (reference ``src/batch.rs:766``).
+
+    Precomputes corpus norms once, then one MXU matvec. Scores descending.
+    """
+    q = _check_query(query, batch, "batch_knn_cosine")
+    if batch.num_vectors == 0 or k == 0:
+        return _empty_result()
+    k = min(int(k), batch.num_vectors)
+    vals, idx = _knn_cosine(q, batch.rows, k)
+    return _result(vals, idx)
+
+
+def batch_knn_filtered(query, batch: VerticalBatch, k: int, predicate) -> BatchKnnResult:
+    """kNN with predicate pushdown (reference ``src/batch.rs:809``).
+
+    ``predicate`` is either a callable ``index -> bool`` (evaluated on host,
+    as the reference does) or a precomputed boolean mask array of length
+    ``num_vectors`` — the TPU-native form, since a mask is what the fused
+    kernel consumes. Indices refer to the original batch. Returns at most
+    ``min(k, num_passing)`` results.
+    """
+    q = _check_query(query, batch, "batch_knn_filtered")
+    if batch.num_vectors == 0 or k == 0:
+        return _empty_result()
+
+    if callable(predicate):
+        mask = np.fromiter(
+            (bool(predicate(i)) for i in range(batch.num_vectors)),
+            dtype=bool,
+            count=batch.num_vectors,
+        )
+    else:
+        mask = np.asarray(predicate, dtype=bool)
+        if mask.shape != (batch.num_vectors,):
+            raise ContractError(
+                f"innr_tpu::batch_knn_filtered: mask shape {mask.shape} != "
+                f"({batch.num_vectors},)"
+            )
+    num_passing = int(mask.sum())
+    if num_passing == 0:
+        return _empty_result()
+    k = min(int(k), num_passing)
+    vals, idx = _knn_l2_masked(q, batch.rows, jnp.asarray(mask), k)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    passing = mask[idx]
+    return _result(vals[passing], idx[passing])
+
+
+def batch_knn_reordered(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
+    """Exact kNN, processing dimensions in decreasing variance order
+    (reference ``src/batch.rs:610``).
+
+    Produces the same neighbors as :func:`batch_knn`. On CPU the reordering
+    tightens pruning bounds; under XLA the reduction order is the compiler's
+    choice, so the permutation is applied for semantic parity (identical
+    results up to float association) and the scan itself is one fused pass.
+    """
+    q = _check_query(query, batch, "batch_knn_reordered")
+    if batch.num_vectors == 0 or k == 0:
+        return _empty_result()
+    k = min(int(k), batch.num_vectors)
+    variances = batch_dimension_variance(batch)
+    order = jnp.argsort(~total_order_key_f32(variances), stable=True)
+    vals, idx = _knn_l2(q[order], batch.rows[:, order], k)
+    return _result(vals, idx)
+
+
+def batch_knn_adaptive(
+    query, batch: VerticalBatch, k: int, warmup_dims: int
+) -> BatchKnnResult:
+    """Adaptive kNN with warmup-extrapolated pruning — **approximate**
+    (reference ``src/batch.rs:439``).
+
+    Phase 1 scores the first ``warmup_dims`` dimensions (one narrow MXU
+    pass), linearly extrapolates a pruning threshold from the k-th best
+    partial distance (x ``dim/warmup``, x1.5 margin), and drops candidates
+    whose extrapolated distance exceeds it. Phase 2 computes exact distances
+    for survivors and applies the monotone-accumulation prune
+    (``full > threshold``), which on TPU collapses to one masked comparison
+    because a candidate's partial L2^2 is monotone in the dimension count.
+
+    The data-dependent per-dimension early exit of the CPU version does not
+    map to XLA; this keeps the documented *approximation contract* (true
+    neighbors pruned in warmup stay pruned) while every survivor's score is
+    exact. May return fewer than ``k`` results when pruning is aggressive,
+    like the reference. The reference's periodic threshold re-tightening
+    only removes additional candidates; we skip it, so this version is
+    never less accurate.
+    """
+    q = _check_query(query, batch, "batch_knn_adaptive")
+    if warmup_dims <= 0:
+        raise ContractError("innr_tpu::batch_knn_adaptive: warmup_dims must be > 0")
+    if batch.num_vectors == 0 or k == 0:
+        return _empty_result()
+    k = min(int(k), batch.num_vectors)
+    warmup_dims = min(int(warmup_dims), batch.dimension)
+    vals, idx, alive = _knn_adaptive(q, batch.rows, k, warmup_dims)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    keep = np.asarray(alive)[idx]
+    return _result(vals[keep], idx[keep])
+
+
+def _use_fused(num_rows: int) -> bool:
+    """Dispatch gate for the Pallas fused kernel (analog of the reference's
+    per-module SIMD length thresholds)."""
+    if config.reference_forced():
+        return False
+    if num_rows < config.MIN_ROWS_PALLAS:
+        return False
+    try:
+        from innr_tpu.kernels import knn as _kernels  # noqa: F401
+    except Exception:  # pragma: no cover - kernels always importable
+        return False
+    return True

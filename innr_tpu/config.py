@@ -1,0 +1,69 @@
+"""Global configuration for innr_tpu kernel selection.
+
+The reference crate has three config mechanisms (cargo features, runtime CPU
+detection, build-time target-cpu flags; see reference ``src/lib.rs:20-33``).
+The TPU analog is a single process-wide knob that forces the pure-``jnp``
+reference path (our "portable" layer) instead of MXU / Pallas kernels, plus
+shape thresholds that decide when a Pallas kernel is worth launching.
+
+Env var ``INNR_TPU_FORCE_REFERENCE=1`` forces the reference path at import
+time; ``force_reference(True/False)`` toggles it at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+# When True every dispatching op routes to the jnp reference implementation.
+_FORCE_REFERENCE: bool = os.environ.get("INNR_TPU_FORCE_REFERENCE", "0") == "1"
+
+# Minimum corpus rows for a Pallas fused kernel to be worth launching over a
+# plain XLA matmul + top_k. Below this, kernel launch overhead dominates.
+# (Analog of the reference's MIN_DIM_SIMD length thresholds,
+# reference src/lib.rs:163-167.)
+MIN_ROWS_PALLAS: int = 2048
+
+# Threshold for treating an L2 norm as "effectively zero"
+# (reference src/lib.rs:175).
+NORM_EPSILON: float = 1e-9
+# Squared-space version used by fused cosine kernels
+# (reference src/lib.rs:181).
+NORM_EPSILON_SQ: float = NORM_EPSILON * NORM_EPSILON
+
+
+# Precision for f32 score matmuls. TPU MXUs multiply f32 as bf16 passes by
+# default (~1e-4 relative error); "highest" uses enough passes for full f32
+# accuracy. The headline scans are HBM-bound matvecs where extra MXU passes
+# are free, so full precision is the default — relax to "default" for large
+# multi-query batches where the MXU becomes the bottleneck.
+_MATMUL_PRECISION: str = os.environ.get("INNR_TPU_MATMUL_PRECISION", "highest")
+
+
+def set_matmul_precision(precision: str) -> None:
+    """Set score-matmul precision: "highest" (default) or "default"."""
+    global _MATMUL_PRECISION
+    if precision not in ("highest", "default"):
+        raise ValueError(f"unknown matmul precision {precision!r}")
+    _MATMUL_PRECISION = precision
+
+
+def matmul_precision():
+    """The jax.lax.Precision for score matmuls."""
+    import jax
+
+    return (
+        jax.lax.Precision.HIGHEST
+        if _MATMUL_PRECISION == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def force_reference(enabled: bool = True) -> None:
+    """Force (or unforce) the pure-jnp reference path for every op."""
+    global _FORCE_REFERENCE
+    _FORCE_REFERENCE = bool(enabled)
+
+
+def reference_forced() -> bool:
+    """True when the jnp reference path is forced."""
+    return _FORCE_REFERENCE

@@ -1,0 +1,225 @@
+"""Binary (1-bit) quantization: encode, Hamming, dot, Jaccard.
+
+TPU redesign of reference ``src/binary.rs``. Semantics are identical; the
+packed *layout* is uint32 words (bit ``i % 32`` of word ``i // 32``) instead
+of the reference's u64 words, because 32-bit integers are TPU-native.
+Compression is the same 32x vs f32; ``data_u64()`` round-trips the
+reference's serialization format.
+
+Ops are XOR/AND/OR + native popcount (``lax.population_count``), the analog
+of the reference's ``count_ones`` loops (``src/binary.rs:154-210``) and the
+SIMD byte path in ``quant::hamming_distance``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from innr_tpu.utils.asserts import ContractError
+
+__all__ = [
+    "PackedBinary",
+    "encode_binary",
+    "encode_binary_batch",
+    "binary_hamming",
+    "binary_dot",
+    "binary_jaccard",
+    "batch_binary_hamming",
+]
+
+_WORD_BITS = 32
+
+
+def _num_words(dimension: int) -> int:
+    return -(-dimension // _WORD_BITS)
+
+
+def _mask_padding(words: jax.Array, dimension: int) -> jax.Array:
+    """Zero padding bits past ``dimension``: distance ops popcount whole
+    words (reference ``src/binary.rs:59-66``)."""
+    rem = dimension % _WORD_BITS
+    if rem != 0 and words.shape[-1] > 0:
+        mask = np.uint32((1 << rem) - 1)
+        words = words.at[..., -1].set(words[..., -1] & mask)
+    return words
+
+
+class PackedBinary:
+    """Packed binary vector: uint32 words, 32 values per word
+    (reference ``src/binary.rs:37``)."""
+
+    __slots__ = ("words", "_dimension")
+
+    def __init__(self, words, dimension: int):
+        words = jnp.asarray(words, dtype=jnp.uint32)
+        if words.shape != (_num_words(dimension),):
+            raise ContractError(
+                f"PackedBinary: data length {words.shape} doesn't match "
+                f"dimension {dimension} (expected {_num_words(dimension)} words)"
+            )
+        self.words = _mask_padding(words, dimension)
+        self._dimension = int(dimension)
+
+    # Reference constructor name.
+    new = __init__
+
+    @property
+    def dimension(self) -> int:
+        return self._dimension
+
+    @classmethod
+    def zeros(cls, dimension: int) -> "PackedBinary":
+        return cls(jnp.zeros((_num_words(dimension),), dtype=jnp.uint32), dimension)
+
+    def data(self) -> jax.Array:
+        """Raw packed uint32 words (TPU-native layout)."""
+        return self.words
+
+    def data_u64(self) -> np.ndarray:
+        """Words re-packed as u64 little-endian — the reference's
+        serialization layout (``src/binary.rs:71``)."""
+        w = np.asarray(self.words, dtype=np.uint32)
+        padded = np.zeros((round(-(-w.size // 2)) * 2,), dtype=np.uint32)
+        padded[: w.size] = w
+        return padded.view(np.uint64)
+
+    @classmethod
+    def from_u64(cls, data, dimension: int) -> "PackedBinary":
+        """Build from the reference's u64-word layout."""
+        w = np.asarray(data, dtype=np.uint64).view(np.uint32)
+        return cls(w[: _num_words(dimension)], dimension)
+
+    def set(self, idx: int, val: bool) -> "PackedBinary":
+        """Functional set: returns a new PackedBinary (JAX arrays are
+        immutable). Out-of-range indices are ignored, as in the reference."""
+        if idx >= self._dimension or idx < 0:
+            return self
+        word, bit = idx // _WORD_BITS, idx % _WORD_BITS
+        w = self.words
+        if val:
+            w = w.at[word].set(w[word] | jnp.uint32(1 << bit))
+        else:
+            w = w.at[word].set(w[word] & jnp.uint32(~(1 << bit) & 0xFFFFFFFF))
+        return PackedBinary(w, self._dimension)
+
+    def get(self, idx: int) -> bool:
+        if idx >= self._dimension or idx < 0:
+            return False
+        word, bit = idx // _WORD_BITS, idx % _WORD_BITS
+        return bool((int(self.words[word]) >> bit) & 1)
+
+    def count_ones(self) -> int:
+        return int(jnp.sum(jax.lax.population_count(self.words).astype(jnp.int32)))
+
+    def memory_bytes(self) -> int:
+        """Backing storage size (4 bytes per uint32 word)."""
+        return int(self.words.shape[0]) * 4
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, PackedBinary)
+            and self._dimension == other._dimension
+            and bool(jnp.all(self.words == other.words))
+        )
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"PackedBinary(dimension={self._dimension})"
+
+
+def _pack_bits(bits: jax.Array) -> jax.Array:
+    """Pack a (..., D) boolean array into (..., ceil(D/32)) uint32 words."""
+    d = bits.shape[-1]
+    w = _num_words(d)
+    pad = w * _WORD_BITS - d
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros(bits.shape[:-1] + (pad,), dtype=bits.dtype)], axis=-1
+        )
+    grouped = bits.reshape(bits.shape[:-1] + (w, _WORD_BITS)).astype(jnp.uint32)
+    shifts = jnp.arange(_WORD_BITS, dtype=jnp.uint32)
+    return jnp.sum(grouped << shifts, axis=-1, dtype=jnp.uint32)
+
+
+def encode_binary(values, threshold: float = 0.0) -> PackedBinary:
+    """Encode f32 values: strictly ``> threshold`` -> 1
+    (reference ``src/binary.rs:133``)."""
+    values = jnp.asarray(values, dtype=jnp.float32)
+    bits = values > jnp.float32(threshold)
+    return PackedBinary(_pack_bits(bits), int(values.shape[-1]))
+
+
+def encode_binary_batch(rows, threshold: float = 0.0) -> jax.Array:
+    """Encode an (N, D) corpus into (N, ceil(D/32)) uint32 words — the
+    TPU-native batch encoder (one fused pass, jit-able)."""
+    rows = jnp.asarray(rows, dtype=jnp.float32)
+    return _pack_bits(rows > jnp.float32(threshold))
+
+
+def _check_dims(a: PackedBinary, b: PackedBinary, op: str) -> None:
+    if a.dimension != b.dimension:
+        raise ContractError(
+            f"innr_tpu::{op}: dimension mismatch ({a.dimension} vs {b.dimension})"
+        )
+
+
+def binary_hamming(a: PackedBinary, b: PackedBinary) -> jax.Array:
+    """Differing-bit count: XOR + popcount (reference ``src/binary.rs:154``)."""
+    _check_dims(a, b, "binary_hamming")
+    return jnp.sum(
+        jax.lax.population_count(a.words ^ b.words).astype(jnp.int32),
+        dtype=jnp.int32,
+    ).astype(jnp.uint32)
+
+
+def binary_dot(a: PackedBinary, b: PackedBinary) -> jax.Array:
+    """Intersection count: AND + popcount (reference ``src/binary.rs:178``)."""
+    _check_dims(a, b, "binary_dot")
+    return jnp.sum(
+        jax.lax.population_count(a.words & b.words).astype(jnp.int32),
+        dtype=jnp.int32,
+    ).astype(jnp.uint32)
+
+
+def binary_jaccard(a: PackedBinary, b: PackedBinary) -> jax.Array:
+    """|A n B| / |A u B|; empty union -> 1.0
+    (reference ``src/binary.rs:199``)."""
+    _check_dims(a, b, "binary_jaccard")
+    inter = jnp.sum(
+        jax.lax.population_count(a.words & b.words).astype(jnp.int32),
+        dtype=jnp.int32,
+    )
+    union = jnp.sum(
+        jax.lax.population_count(a.words | b.words).astype(jnp.int32),
+        dtype=jnp.int32,
+    )
+    return jnp.where(
+        union == 0, 1.0, inter.astype(jnp.float32) / union.astype(jnp.float32)
+    )
+
+
+def batch_binary_hamming(query, corpus) -> jax.Array:
+    """Hamming of one packed query against a packed corpus.
+
+    ``query``: (W,) uint32 words or :class:`PackedBinary`; ``corpus``:
+    (N, W) uint32. Returns (N,) uint32. For large corpora this dispatches to
+    the Pallas XOR+popcount kernel (:mod:`innr_tpu.kernels.hamming`).
+    """
+    if isinstance(query, PackedBinary):
+        query = query.words
+    query = jnp.asarray(query, dtype=jnp.uint32)
+    corpus = jnp.asarray(corpus, dtype=jnp.uint32)
+    if corpus.shape[-1] != query.shape[-1]:
+        raise ContractError(
+            f"innr_tpu::batch_binary_hamming: word-count mismatch "
+            f"({corpus.shape[-1]} vs {query.shape[-1]})"
+        )
+    from innr_tpu import config
+
+    if corpus.shape[0] >= config.MIN_ROWS_PALLAS and not config.reference_forced():
+        from innr_tpu.kernels import hamming as _kern
+
+        return _kern.batch_hamming_words(query, corpus)
+    pc = jax.lax.population_count(corpus ^ query[None, :]).astype(jnp.int32)
+    return jnp.sum(pc, axis=1).astype(jnp.uint32)

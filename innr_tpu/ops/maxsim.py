@@ -1,0 +1,123 @@
+"""ColBERT MaxSim late interaction.
+
+TPU redesign of reference ``src/maxsim.rs``. The reference runs an
+O(|Q| x |D|) doubly nested dot loop with per-ISA kernels
+(``src/arch/x86_64.rs:119-143``); the survey's own optimization note
+("block into matrix-vector form") *is* the TPU design: the whole stack
+collapses to one MXU matmul ``Q @ D^T`` followed by a row-max and a sum —
+two VPU reductions fused onto the matmul output.
+
+Contracts (reference ``src/maxsim.rs:96-110``): empty query or doc -> 0.0;
+all tokens must share one dimension (raises); NOT commutative — the first
+argument is always the query.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from innr_tpu.config import NORM_EPSILON
+from innr_tpu.utils.asserts import ContractError
+
+__all__ = ["maxsim", "maxsim_cosine", "batch_maxsim"]
+
+
+def _tokens_2d(tokens, name: str) -> jax.Array:
+    """Coerce a token list / 2-D array into (T, D) f32, checking ragged
+    inputs (the reference's shared-dimension assert)."""
+    if isinstance(tokens, (jnp.ndarray, np.ndarray)) and getattr(tokens, "ndim", 0) == 2:
+        return jnp.asarray(tokens, dtype=jnp.float32)
+    toks = list(tokens)
+    if not toks:
+        return jnp.zeros((0, 0), dtype=jnp.float32)
+    dim = len(toks[0])
+    for t in toks:
+        if len(t) != dim:
+            raise ContractError(f"dimension mismatch ({name})")
+    return jnp.asarray(np.asarray(toks, dtype=np.float32))
+
+
+@jax.jit
+def _maxsim_dot(q: jax.Array, d: jax.Array) -> jax.Array:
+    from innr_tpu import config
+    scores = jnp.matmul(
+        q, d.T,
+        preferred_element_type=jnp.float32,
+        precision=config.matmul_precision(),
+    )
+    return jnp.sum(jnp.max(scores, axis=1))
+
+
+@jax.jit
+def _maxsim_cosine(q: jax.Array, d: jax.Array) -> jax.Array:
+    def unit(rows):
+        n = jnp.sqrt(jnp.sum(rows * rows, axis=1, keepdims=True))
+        ok = n > NORM_EPSILON
+        # Zero/NaN-norm rows become zero rows -> every pair cosine is 0.0,
+        # matching the reference's per-pair zero-norm guard.
+        return jnp.where(ok, rows / jnp.where(ok, n, 1.0), 0.0)
+
+    from innr_tpu import config
+    scores = jnp.matmul(
+        unit(q), unit(d).T,
+        preferred_element_type=jnp.float32,
+        precision=config.matmul_precision(),
+    )
+    return jnp.sum(jnp.max(scores, axis=1))
+
+
+def maxsim(query_tokens, doc_tokens) -> jax.Array:
+    """``MaxSim(Q, D) = sum_i max_j (q_i . d_j)``
+    (reference ``src/maxsim.rs:96``).
+
+    Inputs: (Tq, D) and (Td, D) arrays, or lists of equal-length vectors.
+    One MXU matmul + row-max + sum. Returns 0.0 if either side is empty.
+    """
+    q = _tokens_2d(query_tokens, "query")
+    d = _tokens_2d(doc_tokens, "doc")
+    if q.shape[0] == 0 or d.shape[0] == 0:
+        return jnp.float32(0.0)
+    if q.shape[1] != d.shape[1]:
+        raise ContractError(
+            f"innr_tpu::maxsim: dimension mismatch ({q.shape[1]} vs {d.shape[1]})"
+        )
+    return _maxsim_dot(q, d)
+
+
+def maxsim_cosine(query_tokens, doc_tokens) -> jax.Array:
+    """MaxSim with cosine similarity per token pair
+    (reference ``src/maxsim.rs:168``): rows are unit-normalized (zero-norm
+    rows pinned to zero), then the same matmul + row-max + sum."""
+    q = _tokens_2d(query_tokens, "query")
+    d = _tokens_2d(doc_tokens, "doc")
+    if q.shape[0] == 0 or d.shape[0] == 0:
+        return jnp.float32(0.0)
+    if q.shape[1] != d.shape[1]:
+        raise ContractError(
+            f"innr_tpu::maxsim_cosine: dimension mismatch "
+            f"({q.shape[1]} vs {d.shape[1]})"
+        )
+    return _maxsim_cosine(q, d)
+
+
+@jax.jit
+def batch_maxsim(queries: jax.Array, docs: jax.Array) -> jax.Array:
+    """MaxSim of a batch of queries against a batch of docs — the serving
+    shape the reference cannot express.
+
+    ``queries``: (Q, Tq, D); ``docs``: (N, Td, D). Returns (Q, N) scores in
+    one einsum: ``scores[q, n] = sum_i max_j queries[q, i] . docs[n, j]``.
+    Zero-padded tokens are safe for non-negative-similarity models; for
+    signed scores mask padded tokens to -inf before the max.
+    """
+    queries = jnp.asarray(queries, dtype=jnp.float32)
+    docs = jnp.asarray(docs, dtype=jnp.float32)
+    from innr_tpu import config
+    pair = jnp.einsum(
+        "qtd,nsd->qnts", queries, docs,
+        preferred_element_type=jnp.float32,
+        precision=config.matmul_precision(),
+    )
+    return jnp.sum(jnp.max(pair, axis=3), axis=2)

@@ -1,0 +1,179 @@
+"""Integer-slot Hamming distance and MinHash Jaccard estimation.
+
+TPU redesign of reference ``src/slot.rs``. Slot comparisons are lane-wise
+integer compare + count — exactly what the VPU's 8x128 lanes do natively, so
+the "kernel" is a fused compare-reduce. The u64 width needs care: TPU jnp
+runs without 64-bit types by default, so u64 slots are compared as (hi, lo)
+uint32 pairs — two slots are equal iff both halves are equal. Results are
+exact integers (differential tests use equality, not tolerance, matching
+``fuzz/fuzz_targets/slot_diff.rs``).
+
+Contracts: the width-specific functions raise on length mismatch; the
+generic :func:`slot_hamming` and :func:`slot_compare_counts` compare over
+the minimum length (reference ``src/slot.rs:266``, ``:299``).
+``minhash_jaccard`` of two empty sketches is 1.0; ``jaccard_distance`` is
+0.0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from innr_tpu.utils.asserts import ContractError
+
+__all__ = [
+    "SlotCounts",
+    "slot_hamming",
+    "slot_hamming_u16",
+    "slot_hamming_u32",
+    "slot_hamming_u64",
+    "slot_compare_counts",
+    "minhash_jaccard",
+    "jaccard_distance",
+    "batch_slot_hamming_u32",
+]
+
+
+@dataclass(frozen=True)
+class SlotCounts:
+    """(eq, lt, gt) triple from :func:`slot_compare_counts`
+    (reference ``src/slot.rs:314``). ``eq + lt + gt`` equals the number of
+    compared positions. Consumed by SetSketch / UltraLogLog estimators."""
+
+    eq: int = 0
+    lt: int = 0
+    gt: int = 0
+
+
+def _check_len(a, b, op: str) -> None:
+    if a.shape[-1] != b.shape[-1]:
+        raise ContractError(
+            f"innr_tpu::{op}: slice length mismatch "
+            f"({a.shape[-1]} vs {b.shape[-1]})"
+        )
+
+
+def _u64_to_u32_pairs(x) -> np.ndarray:
+    """View uint64 slots as little-endian (n, 2) uint32 halves."""
+    arr = np.ascontiguousarray(np.asarray(x, dtype=np.uint64))
+    return arr.view(np.uint32).reshape(arr.size, 2)
+
+
+def slot_hamming_u32(a, b) -> jax.Array:
+    """Differing-slot count over u32 slots (reference ``src/slot.rs:95``)."""
+    a = jnp.asarray(a, dtype=jnp.uint32)
+    b = jnp.asarray(b, dtype=jnp.uint32)
+    _check_len(a, b, "slot_hamming_u32")
+    return jnp.sum((a != b).astype(jnp.int32), dtype=jnp.int32).astype(jnp.uint32)
+
+
+def slot_hamming_u16(a, b) -> jax.Array:
+    """Differing-slot count over u16 slots — the b=16 b-bit MinHash width
+    (reference ``src/slot.rs:158``)."""
+    a = jnp.asarray(a, dtype=jnp.uint16)
+    b = jnp.asarray(b, dtype=jnp.uint16)
+    _check_len(a, b, "slot_hamming_u16")
+    return jnp.sum((a != b).astype(jnp.int32), dtype=jnp.int32).astype(jnp.uint32)
+
+
+def slot_hamming_u64(a, b) -> jax.Array:
+    """Differing-slot count over u64 slots (reference ``src/slot.rs:209``).
+
+    Accepts numpy uint64 input; compared on-device as uint32 (hi, lo)
+    halves, since TPU-native integers are 32-bit.
+    """
+    a32 = _u64_to_u32_pairs(a)
+    b32 = _u64_to_u32_pairs(b)
+    if a32.shape[0] != b32.shape[0]:
+        raise ContractError(
+            f"innr_tpu::slot_hamming_u64: slice length mismatch "
+            f"({a32.shape[0]} vs {b32.shape[0]})"
+        )
+    a32 = jnp.asarray(a32)
+    b32 = jnp.asarray(b32)
+    diff = jnp.any(a32 != b32, axis=1)
+    return jnp.sum(diff.astype(jnp.int32), dtype=jnp.int32).astype(jnp.uint32)
+
+
+def slot_hamming(a, b) -> int:
+    """Generic differing-slot count over the *minimum* length, any integer
+    width (reference ``src/slot.rs:266``). No length panic."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    n = min(a.size, b.size)
+    if n == 0:
+        return 0
+    if a.dtype == np.uint64 or b.dtype == np.uint64:
+        a32 = _u64_to_u32_pairs(a[:n])
+        b32 = _u64_to_u32_pairs(b[:n])
+        return int(np.sum(np.any(a32 != b32, axis=1)))
+    return int(
+        jnp.sum((jnp.asarray(a[:n]) != jnp.asarray(b[:n])).astype(jnp.int32))
+    )
+
+
+def slot_compare_counts(a, b) -> SlotCounts:
+    """Per-position (eq, lt, gt) counts over the minimum length
+    (reference ``src/slot.rs:299``)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    n = min(a.size, b.size)
+    if n == 0:
+        return SlotCounts()
+    if a.dtype == np.uint64 or b.dtype == np.uint64:
+        ah = jnp.asarray(_u64_to_u32_pairs(a[:n]))
+        bh = jnp.asarray(_u64_to_u32_pairs(b[:n]))
+        hi_eq = ah[:, 1] == bh[:, 1]
+        eq = hi_eq & (ah[:, 0] == bh[:, 0])
+        lt = (ah[:, 1] < bh[:, 1]) | (hi_eq & (ah[:, 0] < bh[:, 0]))
+    else:
+        aj = jnp.asarray(a[:n])
+        bj = jnp.asarray(b[:n])
+        eq = aj == bj
+        lt = aj < bj
+    eq_count = int(jnp.sum(eq.astype(jnp.int32)))
+    lt_count = int(jnp.sum(lt.astype(jnp.int32)))
+    return SlotCounts(eq=eq_count, lt=lt_count, gt=n - eq_count - lt_count)
+
+
+def minhash_jaccard(a, b) -> jax.Array:
+    """MinHash Jaccard similarity: fraction of matching u32 slots
+    (reference ``src/slot.rs:348``). Two empty sketches -> 1.0."""
+    a = jnp.asarray(a, dtype=jnp.uint32)
+    b = jnp.asarray(b, dtype=jnp.uint32)
+    _check_len(a, b, "minhash_jaccard")
+    n = a.shape[-1]
+    if n == 0:
+        return jnp.float32(1.0)
+    matches = jnp.sum((a == b).astype(jnp.int32), dtype=jnp.int32)
+    return matches.astype(jnp.float32) / jnp.float32(n)
+
+
+def jaccard_distance(a, b) -> jax.Array:
+    """MinHash Jaccard distance: fraction of differing u32 slots
+    (reference ``src/slot.rs:392``). Two empty sketches -> 0.0."""
+    a = jnp.asarray(a, dtype=jnp.uint32)
+    b = jnp.asarray(b, dtype=jnp.uint32)
+    _check_len(a, b, "jaccard_distance")
+    n = a.shape[-1]
+    if n == 0:
+        return jnp.float32(0.0)
+    diff = jnp.sum((a != b).astype(jnp.int32), dtype=jnp.int32)
+    return diff.astype(jnp.float32) / jnp.float32(n)
+
+
+def batch_slot_hamming_u32(query, corpus) -> jax.Array:
+    """Differing-slot counts of one u32 sketch against a sketch corpus.
+
+    ``query``: (S,) uint32, ``corpus``: (N, S) uint32 -> (N,) uint32. The
+    TPU-native batch form: one fused compare-reduce over the corpus read.
+    """
+    query = jnp.asarray(query, dtype=jnp.uint32)
+    corpus = jnp.asarray(corpus, dtype=jnp.uint32)
+    _check_len(query, corpus, "batch_slot_hamming_u32")
+    diff = (corpus != query[None, :]).astype(jnp.int32)
+    return jnp.sum(diff, axis=1).astype(jnp.uint32)

@@ -1,0 +1,121 @@
+"""Sparse vector ops (positional API): sorted-index dot and sparse MaxSim.
+
+TPU redesign of reference ``src/sparse.rs``. The reference's merge-join is a
+two-pointer scalar loop — unvectorizable on TPU. The TPU-native form is a
+*binary-search join*: for each index of ``a``, ``searchsorted`` into ``b``
+(O(|a| log |b|) fully parallel VPU work), gather, and mask-accumulate.
+Semantically identical for sorted inputs (duplicate indices match the first
+occurrence; the reference pairs duplicates one-to-one — documented below).
+
+Zero-padding is the TPU batching story: padded entries carry the sentinel
+index ``0xFFFFFFFF`` and value 0.0, contributing nothing, so token batches
+of ragged sparse vectors become rectangular arrays.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from innr_tpu.utils.asserts import ContractError
+
+__all__ = ["sparse_dot", "sparse_maxsim", "SENTINEL_INDEX", "pad_sparse"]
+
+# Index value used for padded (inactive) entries.
+SENTINEL_INDEX = np.uint32(0xFFFFFFFF)
+
+
+def _check_pair(indices, values, name: str):
+    indices = jnp.asarray(indices, dtype=jnp.uint32)
+    values = jnp.asarray(values, dtype=jnp.float32)
+    if indices.shape[-1] != values.shape[-1]:
+        raise ContractError(
+            f"sparse_dot: {name} indices/values length mismatch "
+            f"({indices.shape[-1]} vs {values.shape[-1]})"
+        )
+    return indices, values
+
+
+def _sparse_dot_arrays(a_idx, a_val, b_idx, b_val) -> jax.Array:
+    """Binary-search join; assumes both index arrays sorted ascending.
+    Padded sentinel entries have value 0 and never contribute."""
+    if a_idx.shape[-1] == 0 or b_idx.shape[-1] == 0:
+        return jnp.float32(0.0)
+    pos = jnp.searchsorted(b_idx, a_idx)
+    pos_c = jnp.clip(pos, 0, b_idx.shape[-1] - 1)
+    matched = b_idx[pos_c] == a_idx
+    return jnp.sum(jnp.where(matched, a_val * b_val[pos_c], 0.0))
+
+
+def sparse_dot(a_indices, a_values, b_indices, b_values) -> jax.Array:
+    """Sparse dot over sorted (indices, values) pairs
+    (reference ``src/sparse.rs:50``).
+
+    Indices must be sorted ascending. With duplicate indices the join
+    matches the first occurrence in ``b`` (the reference's two-pointer walk
+    pairs duplicates positionally; well-formed sparse vectors have unique
+    indices, where both agree exactly).
+    """
+    a_idx, a_val = _check_pair(a_indices, a_values, "a")
+    b_idx, b_val = _check_pair(b_indices, b_values, "b")
+    return _sparse_dot_arrays(a_idx, a_val, b_idx, b_val)
+
+
+def pad_sparse(tokens, width: int | None = None) -> tuple[jax.Array, jax.Array]:
+    """Pad a list of (indices, values) sparse vectors to a rectangular
+    ``(T, width)`` pair of arrays using the sentinel index and 0.0 values —
+    the TPU batching layout for :func:`sparse_maxsim`."""
+    tokens = [
+        (np.asarray(i, dtype=np.uint32), np.asarray(v, dtype=np.float32))
+        for i, v in tokens
+    ]
+    if width is None:
+        width = max((i.size for i, _ in tokens), default=0)
+    width = max(int(width), 1)
+    n = len(tokens)
+    idx = np.full((n, width), SENTINEL_INDEX, dtype=np.uint32)
+    val = np.zeros((n, width), dtype=np.float32)
+    for t, (ti, tv) in enumerate(tokens):
+        if ti.size > width:
+            raise ContractError(
+                f"pad_sparse: token {t} has {ti.size} entries > width {width}"
+            )
+        idx[t, : ti.size] = ti
+        val[t, : ti.size] = tv
+    return jnp.asarray(idx), jnp.asarray(val)
+
+
+def sparse_maxsim(query_tokens, doc_tokens) -> jax.Array:
+    """SPLADE-style late interaction over sparse token vectors
+    (reference ``src/sparse.rs:119``).
+
+    ``sum_i max_j sparse_dot(q_i, d_j)``. Inputs are lists of
+    ``(indices, values)`` pairs (reference-shaped) or pre-padded
+    ``(T, W)`` array pairs from :func:`pad_sparse`. Empty query or doc
+    -> 0.0. The max starts from -inf, so all-negative overlaps keep the
+    least-negative value, as in the reference.
+    """
+    if isinstance(query_tokens, tuple) and len(query_tokens) == 2:
+        q_idx, q_val = query_tokens
+    else:
+        if len(query_tokens) == 0:
+            return jnp.float32(0.0)
+        q_idx, q_val = pad_sparse(query_tokens)
+    if isinstance(doc_tokens, tuple) and len(doc_tokens) == 2:
+        d_idx, d_val = doc_tokens
+    else:
+        if len(doc_tokens) == 0:
+            return jnp.float32(0.0)
+        d_idx, d_val = pad_sparse(doc_tokens)
+    q_idx, q_val = jnp.asarray(q_idx), jnp.asarray(q_val)
+    d_idx, d_val = jnp.asarray(d_idx), jnp.asarray(d_val)
+    if q_idx.shape[0] == 0 or d_idx.shape[0] == 0:
+        return jnp.float32(0.0)
+
+    pair = jax.vmap(
+        jax.vmap(_sparse_dot_arrays, in_axes=(None, None, 0, 0)),
+        in_axes=(0, 0, None, None),
+    )
+    scores = pair(q_idx, q_val, d_idx, d_val)  # (Tq, Td)
+    return jnp.sum(jnp.max(scores, axis=1))

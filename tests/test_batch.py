@@ -1,0 +1,260 @@
+"""Batch ops + kNN family vs brute-force oracles
+(reference tests/batch_tests.rs)."""
+
+import numpy as np
+import pytest
+
+import innr_tpu as it
+from innr_tpu.ops import reference as ref
+
+
+def _corpus(rng, n=200, d=32):
+    return (rng.standard_normal((n, d))).astype(np.float32)
+
+
+class TestVerticalBatch:
+    def test_from_rows_get(self):
+        vb = it.VerticalBatch.from_rows([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+        assert vb.num_vectors == 2 and vb.dimension == 3
+        assert vb.get(0, 0) == 1.0
+        assert vb.get(0, 1) == 4.0  # (dimension, vector) argument order
+        assert vb.get(2, 1) == 6.0
+
+    def test_inconsistent_dims_raise(self):
+        with pytest.raises(it.ContractError):
+            it.VerticalBatch.from_rows([[1.0, 2.0], [1.0]])
+
+    def test_from_flat_roundtrip(self, rng):
+        rows = _corpus(rng, 5, 3)
+        vb = it.VerticalBatch.from_flat(rows.reshape(-1), 5, 3)
+        np.testing.assert_array_equal(np.asarray(vb.rows), rows)
+
+    def test_data_is_dimension_major(self, rng):
+        rows = _corpus(rng, 4, 3)
+        vb = it.VerticalBatch.from_rows(rows)
+        flat = vb.data()
+        # data[d * N + i] == rows[i, d] (reference src/batch.rs:88)
+        for d in range(3):
+            for i in range(4):
+                assert flat[d * 4 + i] == rows[i, d]
+
+    def test_dimension_slice(self, rng):
+        rows = _corpus(rng, 6, 4)
+        vb = it.VerticalBatch.from_rows(rows)
+        np.testing.assert_array_equal(np.asarray(vb.dimension_slice(2)), rows[:, 2])
+
+    def test_extract_vector(self, rng):
+        rows = _corpus(rng, 6, 4)
+        vb = it.VerticalBatch.from_rows(rows)
+        np.testing.assert_array_equal(np.asarray(vb.extract_vector(3)), rows[3])
+
+    def test_empty(self):
+        vb = it.VerticalBatch.from_rows([])
+        assert vb.num_vectors == 0 and vb.dimension == 0
+
+
+class TestBatchScans:
+    def test_batch_dot_vs_oracle(self, rng):
+        rows = _corpus(rng)
+        q = rng.standard_normal(32).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        got = np.asarray(it.batch_dot(q, vb))
+        want = ref.batch_dot_portable(q, rows)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    def test_batch_l2_squared_vs_oracle(self, rng):
+        rows = _corpus(rng)
+        q = rng.standard_normal(32).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        got = np.asarray(it.batch_l2_squared(q, vb))
+        want = ref.batch_l2_squared_portable(q, rows)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_batch_cosine_vs_oracle(self, rng):
+        rows = _corpus(rng)
+        q = rng.standard_normal(32).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        got = np.asarray(it.batch_cosine(q, vb, it.batch_norms(vb)))
+        want = ref.batch_cosine_portable(q, rows)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_batch_cosine_zero_query(self, rng):
+        rows = _corpus(rng)
+        vb = it.VerticalBatch.from_rows(rows)
+        got = np.asarray(it.batch_cosine(np.zeros(32, np.float32), vb))
+        np.testing.assert_array_equal(got, np.zeros(200, np.float32))
+
+    def test_batch_norms(self, rng):
+        rows = _corpus(rng)
+        vb = it.VerticalBatch.from_rows(rows)
+        got = np.asarray(it.batch_norms(vb))
+        want = np.linalg.norm(rows.astype(np.float64), axis=1)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_into_aliases(self, rng):
+        rows = _corpus(rng, 20, 8)
+        q = rng.standard_normal(8).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        np.testing.assert_array_equal(
+            np.asarray(it.batch_dot(q, vb)), np.asarray(it.batch_dot_into(q, vb))
+        )
+
+    def test_query_length_mismatch(self, rng):
+        vb = it.VerticalBatch.from_rows(_corpus(rng, 10, 8))
+        with pytest.raises(it.ContractError):
+            it.batch_dot(np.zeros(9, np.float32), vb)
+
+    def test_dimension_variance(self, rng):
+        rows = _corpus(rng, 50, 16)
+        vb = it.VerticalBatch.from_rows(rows)
+        got = np.asarray(it.batch_dimension_variance(vb))
+        want = rows.astype(np.float64).var(axis=0)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_variance_degenerate(self):
+        vb = it.VerticalBatch.from_rows([[1.0, 2.0]])
+        np.testing.assert_array_equal(
+            np.asarray(it.batch_dimension_variance(vb)), [0.0, 0.0]
+        )
+
+
+class TestKnn:
+    def test_knn_matches_bruteforce(self, rng):
+        rows = _corpus(rng)
+        q = rng.standard_normal(32).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn(q, vb, 5)
+        l2 = np.sum((rows.astype(np.float64) - q) ** 2, axis=1)
+        np.testing.assert_array_equal(res.indices, np.argsort(l2, kind="stable")[:5])
+        assert np.all(np.diff(res.scores) >= 0)  # ascending
+
+    def test_knn_dot_matches_bruteforce(self, rng):
+        rows = _corpus(rng)
+        q = rng.standard_normal(32).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn_dot(q, vb, 5)
+        dots = rows.astype(np.float64) @ q
+        np.testing.assert_array_equal(res.indices, np.argsort(-dots, kind="stable")[:5])
+        assert np.all(np.diff(res.scores) <= 0)  # descending
+
+    def test_knn_cosine_matches_bruteforce(self, rng):
+        rows = _corpus(rng)
+        q = rng.standard_normal(32).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn_cosine(q, vb, 5)
+        want = ref.batch_cosine_portable(q, rows)
+        np.testing.assert_array_equal(res.indices, np.argsort(-want, kind="stable")[:5])
+
+    def test_knn_self_is_nearest(self, rng):
+        rows = _corpus(rng)
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn(rows[17], vb, 1)
+        assert res.indices[0] == 17
+        assert res.scores[0] == pytest.approx(0.0, abs=1e-4)
+
+    def test_k_clamped_to_n(self, rng):
+        rows = _corpus(rng, 4, 8)
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn(rows[0], vb, 100)
+        assert len(res.indices) == 4
+
+    def test_empty_and_k0(self, rng):
+        rows = _corpus(rng, 4, 8)
+        vb = it.VerticalBatch.from_rows(rows)
+        assert len(it.batch_knn(rows[0], vb, 0).indices) == 0
+        empty = it.VerticalBatch.from_rows(np.zeros((0, 8), np.float32))
+        assert len(it.batch_knn(np.zeros(8, np.float32), empty, 3).indices) == 0
+
+    def test_unique_sorted_invariants(self, rng):
+        rows = _corpus(rng)
+        q = rng.standard_normal(32).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn(q, vb, 10)
+        assert len(set(res.indices.tolist())) == 10
+
+    def test_nan_scores_sort_last_ascending(self, rng):
+        rows = _corpus(rng, 10, 4)
+        rows[3] = np.nan
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn(rows[0], vb, 9)
+        assert 3 not in res.indices.tolist()
+
+    def test_nan_scores_sort_first_descending(self, rng):
+        # batch_knn_dot sorts descending by total_cmp: NaN is greatest
+        # (reference src/batch.rs:745-747 semantics).
+        rows = _corpus(rng, 10, 4)
+        rows[3] = np.nan
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn_dot(rows[0], vb, 2)
+        assert res.indices[0] == 3 and np.isnan(res.scores[0])
+
+
+class TestKnnVariants:
+    def test_reordered_equals_exact(self, rng):
+        rows = _corpus(rng)
+        q = rng.standard_normal(32).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        exact = it.batch_knn(q, vb, 5)
+        reord = it.batch_knn_reordered(q, vb, 5)
+        np.testing.assert_array_equal(exact.indices, reord.indices)
+        np.testing.assert_allclose(exact.scores, reord.scores, rtol=1e-4)
+
+    def test_filtered_predicate_pushdown(self, rng):
+        rows = _corpus(rng)
+        q = rng.standard_normal(32).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn_filtered(q, vb, 5, lambda i: i % 2 == 0)
+        assert all(i % 2 == 0 for i in res.indices)
+        l2 = np.sum((rows.astype(np.float64) - q) ** 2, axis=1)
+        l2[1::2] = np.inf
+        np.testing.assert_array_equal(res.indices, np.argsort(l2, kind="stable")[:5])
+
+    def test_filtered_mask_array(self, rng):
+        rows = _corpus(rng, 50, 8)
+        q = rng.standard_normal(8).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        mask = np.zeros(50, bool)
+        mask[[3, 7, 11]] = True
+        res = it.batch_knn_filtered(q, vb, 10, mask)
+        assert sorted(res.indices.tolist()) == [3, 7, 11]
+
+    def test_filtered_none_pass(self, rng):
+        rows = _corpus(rng, 10, 8)
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn_filtered(rows[0], vb, 3, lambda i: False)
+        assert len(res.indices) == 0
+
+    def test_adaptive_full_warmup_equals_exact(self, rng):
+        rows = _corpus(rng)
+        q = rng.standard_normal(32).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        exact = it.batch_knn(q, vb, 5)
+        adaptive = it.batch_knn_adaptive(q, vb, 5, 32)
+        np.testing.assert_array_equal(exact.indices, adaptive.indices)
+
+    def test_adaptive_finds_nearest(self, rng):
+        # With a clear nearest neighbor, warmup pruning must keep it.
+        rows = _corpus(rng, 500, 64)
+        q = (rows[42] + 0.01 * rng.standard_normal(64)).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn_adaptive(q, vb, 3, 16)
+        assert res.indices[0] == 42
+
+    def test_adaptive_warmup_zero_raises(self, rng):
+        vb = it.VerticalBatch.from_rows(_corpus(rng, 10, 8))
+        with pytest.raises(it.ContractError):
+            it.batch_knn_adaptive(np.zeros(8, np.float32), vb, 2, 0)
+
+    def test_pruning_threshold_semantics(self, rng):
+        rows = _corpus(rng, 100, 16)
+        q = rng.standard_normal(16).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        l2 = np.sum((rows.astype(np.float64) - q) ** 2, axis=1)
+        thr = float(np.median(l2))
+        idx, dists = it.batch_l2_squared_pruning(q, vb, thr)
+        want = np.nonzero(l2 <= thr + 1e-3)[0]
+        # fp tolerance at the threshold boundary: sets may differ by
+        # elements within tolerance of thr
+        assert set(idx.tolist()) <= set(np.nonzero(l2 <= thr + 1e-3)[0].tolist())
+        assert set(np.nonzero(l2 <= thr - 1e-3)[0].tolist()) <= set(idx.tolist())
+        assert np.all(dists <= thr + 1e-6)

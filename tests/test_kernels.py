@@ -1,0 +1,136 @@
+"""Pallas kernels vs jnp oracles (interpret mode on CPU — the SDE analog)."""
+
+import numpy as np
+import pytest
+
+import innr_tpu as it
+from innr_tpu.kernels import hamming as khamming
+from innr_tpu.kernels import knn as kknn
+
+import jax.numpy as jnp
+
+
+class TestFusedKnn:
+    @pytest.mark.parametrize("n,d,k", [(600, 32, 5), (1024, 128, 10), (777, 48, 3)])
+    def test_dot_matches_oracle(self, rng, n, d, k):
+        rows = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal(d).astype(np.float32)
+        vals, idx = kknn.fused_knn_dot(jnp.asarray(q), jnp.asarray(rows), k)
+        dots = rows.astype(np.float64) @ q.astype(np.float64)
+        want = np.argsort(-dots, kind="stable")[:k]
+        np.testing.assert_array_equal(np.asarray(idx), want)
+        np.testing.assert_allclose(np.asarray(vals), dots[want], rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("n,d,k", [(600, 32, 5), (1030, 64, 7)])
+    def test_l2_matches_oracle(self, rng, n, d, k):
+        rows = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal(d).astype(np.float32)
+        vals, idx = kknn.fused_knn_l2(jnp.asarray(q), jnp.asarray(rows), k)
+        l2 = np.sum((rows.astype(np.float64) - q) ** 2, axis=1)
+        want = np.argsort(l2, kind="stable")[:k]
+        np.testing.assert_array_equal(np.asarray(idx), want)
+        np.testing.assert_allclose(np.asarray(vals), l2[want], rtol=1e-3, atol=1e-3)
+
+    def test_matches_batch_knn_dispatch(self, rng):
+        # Above MIN_ROWS_PALLAS batch_knn_dot dispatches to the fused kernel;
+        # the result must match the jnp path.
+        from innr_tpu import config
+
+        rows = rng.standard_normal((config.MIN_ROWS_PALLAS + 100, 32)).astype(
+            np.float32
+        )
+        q = rng.standard_normal(32).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn_dot(q, vb, 4)
+        config.force_reference(True)
+        try:
+            ref_res = it.batch_knn_dot(q, vb, 4)
+        finally:
+            config.force_reference(False)
+        np.testing.assert_array_equal(res.indices, ref_res.indices)
+        np.testing.assert_allclose(res.scores, ref_res.scores, rtol=1e-5, atol=1e-5)
+
+    def test_k_larger_than_tile_merges(self, rng):
+        rows = rng.standard_normal((900, 16)).astype(np.float32)
+        q = rng.standard_normal(16).astype(np.float32)
+        vals, idx = kknn.fused_knn_dot(jnp.asarray(q), jnp.asarray(rows), 64)
+        dots = rows.astype(np.float64) @ q.astype(np.float64)
+        np.testing.assert_array_equal(
+            np.asarray(idx), np.argsort(-dots, kind="stable")[:64]
+        )
+
+    def test_k_cap(self, rng):
+        rows = rng.standard_normal((256, 16)).astype(np.float32)
+        q = rng.standard_normal(16).astype(np.float32)
+        with pytest.raises(ValueError):
+            kknn.fused_knn_dot(jnp.asarray(q), jnp.asarray(rows), 200)
+
+    def test_duplicate_scores_stable(self, rng):
+        rows = np.repeat(rng.standard_normal((5, 8)).astype(np.float32), 40, axis=0)
+        q = rng.standard_normal(8).astype(np.float32)
+        vals, idx = kknn.fused_knn_dot(jnp.asarray(q), jnp.asarray(rows), 3)
+        dots = rows.astype(np.float64) @ q.astype(np.float64)
+        want = np.argsort(-dots, kind="stable")[:3]
+        np.testing.assert_array_equal(np.asarray(idx), want)
+
+
+class TestHammingKernels:
+    def test_batch_hamming_words(self, rng):
+        corpus = rng.integers(0, 2**32, (300, 8), dtype=np.uint32)
+        q = corpus[11]
+        got = np.asarray(khamming.batch_hamming_words(jnp.asarray(q), jnp.asarray(corpus)))
+        want = np.zeros(300, np.uint32)
+        for i, row in enumerate(corpus):
+            want[i] = sum(bin(int(a) ^ int(b)).count("1") for a, b in zip(row, q))
+        np.testing.assert_array_equal(got, want)
+
+    def test_batch_ternary_dot_words(self, rng):
+        rows = rng.standard_normal((200, 96)).astype(np.float32)
+        pos, neg = it.encode_ternary_batch(rows, 0.5)
+        tq = it.encode_ternary(rows[7], 0.5)
+        got = np.asarray(
+            khamming.batch_ternary_dot_words(tq.pos, tq.neg, jnp.asarray(pos), jnp.asarray(neg))
+        )
+        tern = np.where(rows > 0.5, 1, np.where(rows < -0.5, -1, 0))
+        want = tern @ tern[7]
+        np.testing.assert_array_equal(got, want)
+
+
+class TestFusedBatch:
+    def test_multi_query_matches_single(self, rng):
+        rows = rng.standard_normal((700, 32)).astype(np.float32)
+        qs = rng.standard_normal((5, 32)).astype(np.float32)
+        vals, idx = kknn.fused_knn_dot_batch(jnp.asarray(qs), jnp.asarray(rows), 4)
+        for j in range(5):
+            v1, i1 = kknn.fused_knn_dot(jnp.asarray(qs[j]), jnp.asarray(rows), 4)
+            np.testing.assert_array_equal(np.asarray(idx)[j], np.asarray(i1))
+            np.testing.assert_allclose(np.asarray(vals)[j], np.asarray(v1), rtol=1e-6)
+
+    def test_multi_query_l2(self, rng):
+        rows = rng.standard_normal((600, 16)).astype(np.float32)
+        qs = rng.standard_normal((3, 16)).astype(np.float32)
+        vals, idx = kknn.fused_knn_l2_batch(jnp.asarray(qs), jnp.asarray(rows), 3)
+        for j in range(3):
+            l2 = np.sum((rows.astype(np.float64) - qs[j]) ** 2, axis=1)
+            want = np.argsort(l2, kind="stable")[:3]
+            np.testing.assert_array_equal(np.asarray(idx)[j], want)
+
+    def test_public_api_multi_query(self, rng):
+        rows = rng.standard_normal((300, 24)).astype(np.float32)
+        qs = rng.standard_normal((4, 24)).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn_dot(qs, vb, 3)
+        assert res.indices.shape == (4, 3)
+        for j in range(4):
+            single = it.batch_knn_dot(qs[j], vb, 3)
+            np.testing.assert_array_equal(res.indices[j], single.indices)
+
+    def test_public_api_multi_query_l2(self, rng):
+        rows = rng.standard_normal((300, 24)).astype(np.float32)
+        qs = rng.standard_normal((4, 24)).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn(qs, vb, 3)
+        assert res.indices.shape == (4, 3)
+        for j in range(4):
+            single = it.batch_knn(qs[j], vb, 3)
+            np.testing.assert_array_equal(res.indices[j], single.indices)

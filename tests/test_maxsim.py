@@ -1,0 +1,86 @@
+"""MaxSim late interaction (reference tests/maxsim_tests.rs)."""
+
+import numpy as np
+import pytest
+
+import innr_tpu as it
+from innr_tpu.ops.reference import maxsim_cosine_portable, maxsim_portable
+
+
+class TestMaxsim:
+    def test_docstring_case(self):
+        q = [[1.0, 0.0], [0.0, 1.0]]
+        d = [[0.9, 0.1], [0.1, 0.9], [0.5, 0.5]]
+        assert float(it.maxsim(q, d)) == pytest.approx(1.8, abs=0.01)
+
+    def test_empty_is_zero(self):
+        assert float(it.maxsim([], [[1.0, 2.0]])) == 0.0
+        assert float(it.maxsim([[1.0, 2.0]], [])) == 0.0
+
+    def test_ragged_raises(self):
+        with pytest.raises(it.ContractError):
+            it.maxsim([[1.0, 2.0], [1.0]], [[1.0, 2.0]])
+
+    def test_dim_mismatch_raises(self):
+        with pytest.raises(it.ContractError):
+            it.maxsim([[1.0, 2.0]], [[1.0, 2.0, 3.0]])
+
+    def test_not_commutative(self, rng):
+        q = rng.standard_normal((2, 16)).astype(np.float32)
+        d = rng.standard_normal((5, 16)).astype(np.float32)
+        assert float(it.maxsim(q, d)) != pytest.approx(float(it.maxsim(d, q)), abs=1e-6)
+
+    def test_additivity_over_query_tokens(self, rng):
+        # maxsim([q1; q2], D) == maxsim([q1], D) + maxsim([q2], D)
+        # (reference tests/maxsim_tests.rs:56-136).
+        q = rng.standard_normal((2, 16)).astype(np.float32)
+        d = rng.standard_normal((5, 16)).astype(np.float32)
+        whole = float(it.maxsim(q, d))
+        parts = float(it.maxsim(q[:1], d)) + float(it.maxsim(q[1:], d))
+        assert whole == pytest.approx(parts, abs=1e-4)
+
+    def test_single_query_is_max_dot(self, rng):
+        q = rng.standard_normal((1, 32)).astype(np.float32)
+        d = rng.standard_normal((7, 32)).astype(np.float32)
+        want = max(float(it.dot(q[0], d[j])) for j in range(7))
+        assert float(it.maxsim(q, d)) == pytest.approx(want, abs=1e-4)
+
+    @pytest.mark.parametrize("shape", [(1, 1, 4), (3, 5, 16), (8, 2, 128), (2, 9, 65)])
+    def test_differential(self, rng, shape):
+        tq, td, dim = shape
+        q = rng.standard_normal((tq, dim)).astype(np.float32)
+        d = rng.standard_normal((td, dim)).astype(np.float32)
+        got = float(it.maxsim(q, d))
+        want = maxsim_portable(q, d)
+        assert got == pytest.approx(want, rel=1e-4, abs=1e-4)
+
+
+class TestMaxsimCosine:
+    def test_differential(self, rng):
+        q = rng.standard_normal((3, 24)).astype(np.float32)
+        d = rng.standard_normal((5, 24)).astype(np.float32)
+        got = float(it.maxsim_cosine(q, d))
+        want = maxsim_cosine_portable(q, d)
+        assert got == pytest.approx(want, abs=1e-4)
+
+    def test_zero_norm_token_scores_zero(self, rng):
+        q = np.zeros((1, 8), np.float32)
+        d = rng.standard_normal((3, 8)).astype(np.float32)
+        assert float(it.maxsim_cosine(q, d)) == 0.0
+
+    def test_bounded_by_query_count(self, rng):
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        d = rng.standard_normal((9, 16)).astype(np.float32)
+        assert float(it.maxsim_cosine(q, d)) <= 4.0 + 1e-5
+
+
+class TestBatchMaxsim:
+    def test_matches_pairwise(self, rng):
+        queries = rng.standard_normal((3, 4, 16)).astype(np.float32)
+        docs = rng.standard_normal((5, 6, 16)).astype(np.float32)
+        got = np.asarray(it.batch_maxsim(queries, docs))
+        assert got.shape == (3, 5)
+        for qi in range(3):
+            for ni in range(5):
+                want = float(it.maxsim(queries[qi], docs[ni]))
+                assert got[qi, ni] == pytest.approx(want, abs=1e-4)

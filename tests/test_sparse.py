@@ -1,0 +1,132 @@
+"""Sparse ops (reference src/sparse.rs + src/sparse_ext.rs)."""
+
+import numpy as np
+import pytest
+
+import innr_tpu as it
+from innr_tpu.ops import sparse_ext as se
+from innr_tpu.ops.reference import sparse_dot_portable
+
+
+class TestSparseDot:
+    def test_docstring_case(self):
+        got = it.sparse_dot([0, 2], [1.0, 2.0], [0, 3], [3.0, 4.0])
+        assert float(got) == pytest.approx(3.0)
+
+    def test_no_overlap(self):
+        assert float(it.sparse_dot([0, 1], [1.0, 1.0], [2, 3], [1.0, 1.0])) == 0.0
+
+    def test_empty(self):
+        e = np.zeros(0, np.uint32)
+        ev = np.zeros(0, np.float32)
+        assert float(it.sparse_dot(e, ev, e, ev)) == 0.0
+
+    def test_length_mismatch_raises(self):
+        with pytest.raises(it.ContractError):
+            it.sparse_dot([0, 1], [1.0], [0], [1.0])
+
+    @pytest.mark.parametrize("trial", range(5))
+    def test_differential_random(self, rng, trial):
+        def make(nnz, dim=500):
+            idx = np.sort(rng.choice(dim, nnz, replace=False)).astype(np.uint32)
+            val = rng.standard_normal(nnz).astype(np.float32)
+            return idx, val
+
+        ai, av = make(rng.integers(1, 60))
+        bi, bv = make(rng.integers(1, 60))
+        got = float(it.sparse_dot(ai, av, bi, bv))
+        want = sparse_dot_portable(ai, av, bi, bv)
+        assert got == pytest.approx(want, abs=1e-4)
+
+    def test_equals_densified(self, rng):
+        # Sparse dot == dense dot of densified vectors
+        # (reference tests/sparse_maxsim_props.rs:84).
+        dim = 64
+        ai = np.sort(rng.choice(dim, 10, replace=False)).astype(np.uint32)
+        av = rng.standard_normal(10).astype(np.float32)
+        bi = np.sort(rng.choice(dim, 12, replace=False)).astype(np.uint32)
+        bv = rng.standard_normal(12).astype(np.float32)
+        da = np.zeros(dim, np.float32)
+        da[ai] = av
+        db = np.zeros(dim, np.float32)
+        db[bi] = bv
+        assert float(it.sparse_dot(ai, av, bi, bv)) == pytest.approx(
+            float(it.dot(da, db)), abs=1e-4
+        )
+
+
+class TestSparseMaxsim:
+    def test_empty_is_zero(self):
+        assert float(it.sparse_maxsim([], [([0], [1.0])])) == 0.0
+        assert float(it.sparse_maxsim([([0], [1.0])], [])) == 0.0
+
+    def test_single_pair(self):
+        q = [(np.array([0, 2], np.uint32), np.array([1.0, 2.0], np.float32))]
+        d = [(np.array([0], np.uint32), np.array([3.0], np.float32))]
+        assert float(it.sparse_maxsim(q, d)) == pytest.approx(3.0)
+
+    def test_max_over_docs(self):
+        q = [([0], [1.0])]
+        d = [([0], [2.0]), ([0], [5.0]), ([1], [100.0])]
+        assert float(it.sparse_maxsim(q, d)) == pytest.approx(5.0)
+
+    def test_matches_bruteforce(self, rng):
+        def tok():
+            nnz = int(rng.integers(1, 8))
+            idx = np.sort(rng.choice(40, nnz, replace=False)).astype(np.uint32)
+            return idx, rng.standard_normal(nnz).astype(np.float32)
+
+        q = [tok() for _ in range(4)]
+        d = [tok() for _ in range(6)]
+        want = sum(
+            max(sparse_dot_portable(qi, qv, di, dv) for di, dv in d)
+            for qi, qv in q
+        )
+        assert float(it.sparse_maxsim(q, d)) == pytest.approx(want, abs=1e-4)
+
+
+class TestSparseExt:
+    def test_tuple_list_api(self):
+        a = [(0, 1.0), (2, 2.0)]
+        b = [(0, 3.0), (3, 4.0)]
+        assert float(se.sparse_dot(a, b)) == pytest.approx(3.0)
+
+    def test_sparse_dense_out_of_bounds_skipped(self):
+        # Regression (reference src/sparse_ext.rs:190-202): unsorted input
+        # with an out-of-bounds dim must be skipped, not crash.
+        sparse = (np.array([10, 0], np.uint32), np.array([1.0, 2.0], np.float32))
+        dense = np.array([3.0], np.float32)
+        assert float(se.sparse_dense_dot(sparse, dense)) == 6.0
+
+    def test_sparse_dense_unsorted_in_bounds(self):
+        sparse = (np.array([3, 0], np.uint32), np.array([1.0, 2.0], np.float32))
+        dense = np.array([1.0, 0.0, 0.0, 4.0], np.float32)
+        assert float(se.sparse_dense_dot(sparse, dense)) == 6.0
+
+    def test_norm_and_normalize(self):
+        v = (np.array([0, 5], np.uint32), np.array([3.0, 4.0], np.float32))
+        assert float(se.sparse_l2_norm(v)) == pytest.approx(5.0)
+        _, nv = se.sparse_normalize(v)
+        assert float(np.linalg.norm(np.asarray(nv))) == pytest.approx(1.0, rel=1e-6)
+
+    def test_normalize_zero_unchanged(self):
+        v = (np.array([0], np.uint32), np.array([0.0], np.float32))
+        _, nv = se.sparse_normalize(v)
+        assert float(nv[0]) == 0.0
+
+    def test_top_k(self):
+        v = (np.array([1, 5, 9], np.uint32), np.array([0.1, -5.0, 2.0], np.float32))
+        idx, val = se.sparse_top_k(v, 2)
+        assert idx.tolist() == [5, 9]  # by |w|, re-sorted by dim
+        assert val.tolist() == [-5.0, 2.0]
+
+    def test_top_k_small_passthrough(self):
+        v = (np.array([1], np.uint32), np.array([1.0], np.float32))
+        idx, val = se.sparse_top_k(v, 5)
+        assert idx.tolist() == [1]
+
+    def test_max_weight_folds_from_zero(self):
+        # Reference folds from 0.0: all-negative vector reports 0.0
+        # (src/sparse_ext.rs:183).
+        v = (np.array([0, 1], np.uint32), np.array([-2.0, -1.0], np.float32))
+        assert float(se.sparse_max_weight(v)) == 0.0
