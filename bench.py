@@ -68,56 +68,97 @@ def bench_knn_dot(n=1_000_000, d=128, k=10, queries=32, repeats=5):
     return n / best, best
 
 
+def _best_of(fn, reps=3):
+    """Min wall-time over reps; fn must force a host fetch itself."""
+    fn()  # warmup / compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def bench_full():
-    """All BASELINE.json configs; prints one human line each."""
+    """All BASELINE.json north-star configs; prints one line each to
+    stderr. Every timing forces a host fetch (relay-safe methodology,
+    see PERF.md)."""
     import jax.numpy as jnp
 
     import innr_tpu as it
+    from innr_tpu.kernels import knn as kknn, packed_knn as kpacked
 
     rng = np.random.default_rng(0)
     out = {}
 
-    # batch_demo: 10K x 128d, 100 queries, top-2 (examples/batch_demo.rs)
-    rows = rng.standard_normal((10_000, 128)).astype(np.float32)
-    vb = it.VerticalBatch.from_rows(rows)
-    queries = rng.standard_normal((100, 128)).astype(np.float32)
-    it.batch_knn_dot(queries[0], vb, 2)  # warmup
-    t0 = time.perf_counter()
-    for q in queries:
-        r = it.batch_knn_dot(q, vb, 2)
-    dt = time.perf_counter() - t0
-    out["batch_demo_qps"] = 100 / dt
+    # 1. batch_demo: 10K x 128d, 100 queries, top-2 (examples/batch_demo.rs)
+    rows = jnp.asarray(rng.standard_normal((10_000, 128)).astype(np.float32))
+    queries = jnp.asarray(rng.standard_normal((100, 128)).astype(np.float32))
+    dt = _best_of(lambda: np.asarray(kknn.fused_knn_dot_batch(queries, rows, 2)[0]))
+    out["batch_demo_10k_qps"] = 100 / dt
 
-    # MaxSim ColBERT 32x128 tokens at d=128
-    q_toks = jnp.asarray(rng.standard_normal((32, 128)).astype(np.float32))
-    d_toks = jnp.asarray(rng.standard_normal((128, 128)).astype(np.float32))
-    _sync(it.maxsim(q_toks, d_toks))
-    iters = 200
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        s = it.maxsim(q_toks, d_toks)
-    _sync(s)
-    out["maxsim_qps"] = iters / (time.perf_counter() - t0)
+    # 2. MaxSim ColBERT: 32-token queries x 128-token docs at d=128,
+    #    batched over 256 docs per launch.
+    q_toks = jnp.asarray(rng.standard_normal((1, 32, 128)).astype(np.float32))
+    docs = jnp.asarray(rng.standard_normal((256, 128, 128)).astype(np.float32))
+    dt = _best_of(lambda: np.asarray(it.batch_maxsim(q_toks, docs)))
+    out["maxsim_scored_docs_per_s"] = 256 / dt
 
-    # u8 asymmetric over 1M x 768d with precomputed query context
+    # 3. u8 asymmetric: 1M x 768d with precomputed query context.
     n_u8 = 1_000_000
-    codes = rng.integers(0, 256, (n_u8, 768), dtype=np.uint8)
+    codes = jnp.asarray(rng.integers(0, 256, (n_u8, 768), dtype=np.uint8))
     params = it.QuantizationParams.from_range(-1.0, 1.0)
-    batch = it.QuantizedU8Batch(codes)
-    qv = rng.standard_normal(768).astype(np.float32)
-    it.batch_knn_u8(qv, batch, params, 10)  # warmup
-    t0 = time.perf_counter()
-    it.batch_knn_u8(qv, batch, params, 10)
-    out["u8_1M_768d_evals_per_s"] = n_u8 / (time.perf_counter() - t0)
+    qv = jnp.asarray(rng.standard_normal((1, 768)).astype(np.float32))
+    dt = _best_of(lambda: np.asarray(kknn.fused_knn_u8_batch(qv, codes, 10)[0]))
+    out["u8_1M_768d_evals_per_s"] = n_u8 / dt
+    del codes  # free HBM before the next corpus
 
-    # binary hamming scan 1M x 768 bits
-    words = rng.integers(0, 2**32, (n_u8, 24), dtype=np.uint32)
-    qw = jnp.asarray(words[0])
-    wj = jnp.asarray(words)
-    _sync(it.batch_binary_hamming(qw, wj))
-    t0 = time.perf_counter()
-    _sync(it.batch_binary_hamming(qw, wj))
-    out["binary_1M_768d_evals_per_s"] = n_u8 / (time.perf_counter() - t0)
+    # 4. binary + ternary coarse-then-rerank over 1M x 768d.
+    n_b = 1_000_000
+    corpus_f = rng.standard_normal((100, 768)).astype(np.float32)  # encode sample
+    words_t = jnp.asarray(rng.integers(0, 2**32, (24, n_b), dtype=np.uint32))
+    q_words = jnp.asarray(rng.integers(0, 2**32, 24, dtype=np.uint32))
+    dt = _best_of(lambda: np.asarray(kpacked.fused_binary_knn(q_words, words_t, 40)[0]))
+    out["binary_1M_768d_evals_per_s"] = n_b / dt
+
+    pos_t = jnp.asarray(rng.integers(0, 2**32, (24, n_b), dtype=np.uint32))
+    neg_t = jnp.asarray(np.zeros((24, n_b), dtype=np.uint32))
+    qt = it.encode_ternary(corpus_f[0], 0.5)
+    dt = _best_of(
+        lambda: np.asarray(kpacked.fused_ternary_knn(qt.pos, qt.neg, pos_t, neg_t, 40)[0])
+    )
+    out["ternary_1M_768d_evals_per_s"] = n_b / dt
+    del words_t, pos_t, neg_t
+
+    # 5. slot-Hamming / MinHash over 10M 128-slot sketches (batched compare-
+    #    reduce; 5 GB read as uint32).
+    n_s = 10_000_000
+    sketches = jnp.asarray(rng.integers(0, 2**31, (n_s, 128), dtype=np.uint32))
+    q_sketch = jnp.asarray(rng.integers(0, 2**31, 128, dtype=np.uint32))
+    import jax
+
+    @jax.jit
+    def slot_scan(q, s):
+        return jnp.sum((s != q[None, :]).astype(jnp.int32), axis=1)
+
+    dt = _best_of(lambda: np.asarray(slot_scan(q_sketch, sketches)[:8]))
+    out["slot_hamming_10M_128slot_evals_per_s"] = n_s / dt
+    del sketches
+
+    # 6. matryoshka prefix kNN: 128d coarse over 1M x 768d corpus + 768d
+    #    rerank of top-100.
+    rows768 = jnp.asarray(rng.standard_normal((n_b, 768)).astype(np.float32) * 0.05)
+    prefix = rows768[:, :128] * 1.0
+    q768 = jnp.asarray(rng.standard_normal((1, 768)).astype(np.float32))
+
+    def matryoshka():
+        _, cand = kknn.fused_knn_dot_batch(q768[:, :128], prefix, 100)
+        shortlist = rows768[cand[0]]
+        fine = jnp.matmul(shortlist, q768[0], preferred_element_type=jnp.float32)
+        return np.asarray(jax.lax.top_k(fine, 10)[1])
+
+    dt = _best_of(matryoshka)
+    out["matryoshka_coarse128_fine768_qps"] = 1 / dt
 
     return out
 

@@ -44,10 +44,12 @@ from innr_tpu.batch import (
 )
 from innr_tpu.ops.binary import (
     PackedBinary,
+    PackedBinaryBatch,
     batch_binary_hamming,
     binary_dot,
     binary_hamming,
     binary_jaccard,
+    binary_knn,
     encode_binary,
     encode_binary_batch,
 )
@@ -107,6 +109,7 @@ from innr_tpu.ops.slot import (
 from innr_tpu.ops.sparse import sparse_dot, sparse_maxsim
 from innr_tpu.ops.ternary import (
     PackedTernary,
+    PackedTernaryBatch,
     asymmetric_dot,
     batch_asymmetric_dot,
     batch_ternary_dot,
@@ -115,6 +118,7 @@ from innr_tpu.ops.ternary import (
     sparsity,
     ternary_dot,
     ternary_hamming,
+    ternary_knn,
 )
 from innr_tpu.ops.topk import TopK
 from innr_tpu.utils.asserts import ContractError

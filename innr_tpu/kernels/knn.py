@@ -65,6 +65,109 @@ def _pick_tile_n(n: int, d: int) -> int:
     return tile
 
 
+def f32_keys(scores: jax.Array) -> jax.Array:
+    """f32 scores -> int32 total-order keys (larger key = better)."""
+    bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    sign_mask = jax.lax.shift_right_logical(
+        jax.lax.shift_right_arithmetic(bits, 31), 1
+    )
+    return bits ^ sign_mask
+
+
+def init_topk_state(best_keys, best_idx) -> None:
+    """Initialize the running-best scratch at grid step 0."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        best_keys[:] = jnp.full_like(best_keys, _INT_MIN)
+        best_idx[:] = jnp.zeros_like(best_idx)
+
+
+def update_topk(keys, global_idx, best_keys, best_idx, k: int) -> None:
+    """Merge a (Q, T) tile of int32 keys into the (Q, _K_PAD) running-best
+    scratch. The shared streaming-top-k primitive every fused kNN kernel
+    builds on (dense dot/L2, u8 asymmetric, binary Hamming, ternary).
+
+    Two-level fast path, mirroring ``TopK::insert``'s design
+    (reference src/topk.rs:96-121):
+
+    1. tile-level reject — one row-max + compare skips the whole tile when
+       no query improves (almost every tile in a converged scan);
+    2. candidate-level insertion — a while-loop that extracts ONE improving
+       candidate per iteration (vectorized across queries) and inserts it
+       into the sorted buffer via a shift (``where`` + roll — the
+       ``copy_within``/memmove analog). Iterations = the *actual* number of
+       top-k updates the tile causes (expected ~1; bounded by k), instead
+       of unconditionally paying k selection passes.
+
+    Buffers stay sorted descending by key with the worst-retained candidate
+    at lane k-1 (the threshold), exactly the reference's layout inverted
+    for "larger key = better".
+    """
+    n_q = keys.shape[0]
+    tile_n = keys.shape[1]
+    tile_best = jnp.max(keys, axis=1)          # (Q,)
+    thresholds = best_keys[:, k - 1]           # (Q,)
+    can_improve = jnp.any(tile_best > thresholds)
+
+    @pl.when(can_improve)
+    def _merge():
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (n_q, tile_n), 1)
+        buf_lanes = jax.lax.broadcasted_iota(jnp.int32, (n_q, _K_PAD), 1)
+
+        def cond(carry):
+            ck, bk, bi = carry
+            return jnp.any(jnp.max(ck, axis=1) > bk[:, k - 1])
+
+        def body(carry):
+            ck, bk, bi = carry
+            m = jnp.max(ck, axis=1, keepdims=True)           # (Q, 1)
+            improve = m[:, 0] > bk[:, k - 1]                 # (Q,)
+            # First occurrence = lowest corpus index (tiles arrive in
+            # order): the reference's stable-sort tie-break.
+            pos_t = jnp.min(
+                jnp.where(ck == m, lanes, _INT_MAX), axis=1, keepdims=True
+            )
+            sel = lanes == pos_t
+            cand_idx = jnp.min(
+                jnp.where(sel, global_idx, _INT_MAX), axis=1, keepdims=True
+            )
+            # Sorted insert AFTER existing equal keys (first lane where
+            # bk < m): earlier-inserted = lower corpus index keeps
+            # precedence, the reference's stable tie-break
+            # (src/topk.rs:173-188, "equal elements pushed toward higher
+            # indices").
+            ins = jnp.sum((bk >= m).astype(jnp.int32), axis=1, keepdims=True)
+            bk_shift = pltpu.roll(bk, 1, axis=1)
+            bi_shift = pltpu.roll(bi, 1, axis=1)
+            nk = jnp.where(
+                buf_lanes < ins, bk, jnp.where(buf_lanes == ins, m, bk_shift)
+            )
+            ni = jnp.where(
+                buf_lanes < ins, bi, jnp.where(buf_lanes == ins, cand_idx, bi_shift)
+            )
+            imp = improve[:, None]
+            bk = jnp.where(imp, nk, bk)
+            bi = jnp.where(imp, ni, bi)
+            # Consume the extracted candidate only for improving queries.
+            ck = jnp.where(sel & imp, _INT_MIN, ck)
+            return ck, bk, bi
+
+        _, new_keys, new_idx = jax.lax.while_loop(
+            cond, body, (keys, best_keys[:], best_idx[:])
+        )
+        best_keys[:] = new_keys
+        best_idx[:] = new_idx
+
+
+def masked_global_idx(step, n_q: int, tile_n: int, n_rows: int, keys):
+    """Global row indices for a tile; mask padded rows to INT_MIN keys."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_q, tile_n), 1)
+    global_idx = step * tile_n + lane
+    keys = jnp.where(global_idx < n_rows, keys, _INT_MIN)
+    return keys, global_idx
+
+
 def _knn_kernel(n_rows, k, want_norms, q_ref, rows_ref, *rest):
     """One grid step: score a tile for all queries, merge into the running
     best iff some query can improve."""
@@ -78,17 +181,20 @@ def _knn_kernel(n_rows, k, want_norms, q_ref, rows_ref, *rest):
     n_q = q_ref.shape[0]
     tile_n = rows_ref.shape[0]
 
-    @pl.when(step == 0)
-    def _init():
-        best_keys[:] = jnp.full_like(best_keys, _INT_MIN)
-        best_idx[:] = jnp.zeros_like(best_idx)
+    init_topk_state(best_keys, best_idx)
 
     # (Q, TILE_N) score tile on the MXU: contract q (Q, D) with rows (T, D).
+    # u8 corpora convert on-chip after the 1-byte/element HBM read — the
+    # mixed-precision widen of reference src/arch/x86_64.rs:928.
     from innr_tpu import config
 
+    rows = rows_ref[:]
+    if rows.dtype != jnp.float32:
+        # Mosaic lacks a direct u8->f32 cast; widen to int32 first.
+        rows = rows.astype(jnp.int32).astype(jnp.float32)
     scores = jax.lax.dot_general(
         q_ref[:],
-        rows_ref[:],
+        rows,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=config.matmul_precision(),
@@ -97,65 +203,12 @@ def _knn_kernel(n_rows, k, want_norms, q_ref, rows_ref, *rest):
         # L2 decomposition: norms2 - 2 * dot (||q||^2 added on host).
         scores = norms_ref[:] - 2.0 * scores
 
-    # int32 total-order keys; "larger key = better candidate" uniformly.
-    bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
-    sign_mask = jax.lax.shift_right_logical(
-        jax.lax.shift_right_arithmetic(bits, 31), 1
-    )
-    keys = bits ^ sign_mask
+    keys = f32_keys(scores)
     if want_norms:
         keys = ~keys  # L2: smaller distance = better
 
-    # Mask padded rows in the final tile.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (n_q, tile_n), 1)
-    global_idx = step * tile_n + lane
-    keys = jnp.where(global_idx < n_rows, keys, _INT_MIN)
-
-    # Reject fast path: skip the merge unless some query improves.
-    tile_best = jnp.max(keys, axis=1)          # (Q,)
-    thresholds = best_keys[:, k - 1]           # (Q,)
-    can_improve = jnp.any(tile_best > thresholds)
-
-    @pl.when(can_improve)
-    def _merge():
-        # Concat the lane-aligned buffer; slots >= k stay at the INT_MIN
-        # sentinel and can never win while >= k real candidates exist.
-        combined_keys = jnp.concatenate([best_keys[:], keys], axis=1)
-        combined_idx = jnp.concatenate([best_idx[:], global_idx], axis=1)
-        width = combined_keys.shape[1]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (n_q, width), 1)
-        buf_lanes = jax.lax.broadcasted_iota(jnp.int32, (n_q, _K_PAD), 1)
-
-        def select(j, carry):
-            ck, nk, ni = carry
-            m = jnp.max(ck, axis=1, keepdims=True)  # (Q, 1)
-            # First occurrence of the max: buffer entries precede the tile
-            # and tiles arrive in index order, so "first" = lowest original
-            # index = the reference's stable-sort tie-break.
-            pos = jnp.min(
-                jnp.where(ck == m, lanes, _INT_MAX), axis=1, keepdims=True
-            )
-            sel = lanes == pos
-            chosen_idx = jnp.min(
-                jnp.where(sel, combined_idx, _INT_MAX), axis=1, keepdims=True
-            )
-            # Vectorized positional write (VMEM refs reject scalar stores).
-            nk = jnp.where(buf_lanes == j, m, nk)
-            ni = jnp.where(buf_lanes == j, chosen_idx, ni)
-            return jnp.where(sel, _INT_MIN, ck), nk, ni
-
-        _, new_keys, new_idx = jax.lax.fori_loop(
-            0,
-            k,
-            select,
-            (
-                combined_keys,
-                jnp.full((n_q, _K_PAD), _INT_MIN, dtype=jnp.int32),
-                jnp.zeros((n_q, _K_PAD), dtype=jnp.int32),
-            ),
-        )
-        best_keys[:] = new_keys
-        best_idx[:] = new_idx
+    keys, global_idx = masked_global_idx(step, n_q, tile_n, n_rows, keys)
+    update_topk(keys, global_idx, best_keys, best_idx, k)
 
     keys_out[:] = best_keys[:]
     idx_out[:] = best_idx[:]
@@ -165,7 +218,10 @@ def _knn_kernel(n_rows, k, want_norms, q_ref, rows_ref, *rest):
 def _fused_knn(qs: jax.Array, rows: jax.Array, norms2, k: int, l2: bool):
     n_q, d = qs.shape
     n, _ = rows.shape
-    tile_n = _pick_tile_n(n, d)
+    # u8 corpora: 1 byte/element in VMEM and a (32, 128) min tile.
+    sublane = 32 if rows.dtype == jnp.uint8 else 8
+    elem = 1 if rows.dtype == jnp.uint8 else 4
+    tile_n = round_up(_pick_tile_n(n, max(d * elem // 4, 1)), sublane)
     n_pad = round_up(n, tile_n)
     d_pad = round_up(d, 128)
     q_pad = round_up(n_q, _Q_TILE)
@@ -261,3 +317,18 @@ def fused_knn_l2_batch(qs: jax.Array, rows: jax.Array, k: int):
     vals, idx = _fused_knn(qs, rows, norms2, k, l2=True)
     qq = jnp.sum(qs * qs, axis=1, keepdims=True)
     return jnp.maximum(vals + qq, 0.0), idx
+
+
+def fused_knn_u8_batch(qs: jax.Array, codes: jax.Array, k: int):
+    """Top-k mixed dots of f32 queries against a u8-code corpus.
+
+    ``codes`` stays uint8 in HBM (the 4x-bandwidth win of reference
+    src/scalar.rs) and widens on-chip inside the kernel. Returns the raw
+    *mixed* scores ``sum(q_i * code_i)`` (Q, k) plus indices; callers apply
+    the affine correction ``(alpha/255) * mixed + offset * sum(q)`` — a
+    per-query monotone map (alpha > 0), so selection is unaffected.
+    """
+    _check_k(k)
+    if codes.dtype != jnp.uint8:
+        raise ValueError("fused_knn_u8_batch expects uint8 codes")
+    return _fused_knn(qs, codes, None, k, l2=False)

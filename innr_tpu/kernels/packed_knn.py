@@ -1,0 +1,163 @@
+"""Fused packed-corpus kNN: streaming XOR+popcount / sign-agreement scans
+with the shared top-k merge.
+
+Layout note: these kernels take the packed corpus **word-major** —
+``(W, N)`` uint32 planes, so each VPU lane holds one corpus vector and the
+per-vector count is a sublane reduction. This is the PDX columnar insight
+of reference ``src/batch.rs:1-59`` reborn where it actually pays on TPU:
+bit-packed scans have no MXU contraction to hide the layout, so
+dimension-major is the natural vectorization axis. The containers in
+:mod:`innr_tpu.ops.binary` / :mod:`innr_tpu.ops.ternary` cache the
+transposed planes.
+
+Scores are small integers, used directly as int32 selection keys (negated
+for Hamming, where smaller is better) feeding the shared streaming top-k
+(:func:`innr_tpu.kernels.knn.update_topk`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from innr_tpu.kernels import should_interpret
+from innr_tpu.kernels.knn import (
+    _K_PAD,
+    init_topk_state,
+    masked_global_idx,
+    update_topk,
+)
+from innr_tpu.utils.padding import pad_axis_to, round_up
+
+
+def _pick_tile_n(n: int, w: int) -> int:
+    budget = 4 * 1024 * 1024
+    tile = budget // max(w * 4, 1)
+    tile = max(512, min(16384, tile))
+    return round_up(min(tile, max(n, 128)), 128)
+
+
+def _binary_kernel(n_rows, k, q_ref, words_ref, keys_out, idx_out, best_keys, best_idx):
+    step = pl.program_id(0)
+    tile_n = words_ref.shape[1]
+
+    init_topk_state(best_keys, best_idx)
+
+    # (W, T) tile XOR (W, 1) query -> popcount -> per-vector counts (1, T).
+    x = words_ref[:] ^ q_ref[:]
+    counts = jnp.sum(
+        jax.lax.population_count(x).astype(jnp.int32), axis=0, keepdims=True
+    )
+    keys = -counts  # smaller Hamming = better
+    keys, global_idx = masked_global_idx(step, 1, tile_n, n_rows, keys)
+    update_topk(keys, global_idx, best_keys, best_idx, k)
+
+    keys_out[:] = best_keys[:]
+    idx_out[:] = best_idx[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fused_binary_knn(q_words: jax.Array, corpus_words_t: jax.Array, k: int):
+    """Top-k smallest bit-Hamming of one packed query against a word-major
+    packed corpus.
+
+    ``q_words``: (W,) uint32; ``corpus_words_t``: (W, N) uint32.
+    Returns ``(counts (k,) uint32 ascending, indices (k,) int32)``.
+    """
+    w, n = corpus_words_t.shape
+    tile_n = _pick_tile_n(n, w)
+    n_pad = round_up(n, tile_n)
+    corpus_p = pad_axis_to(corpus_words_t, 1, n_pad)
+    grid = (n_pad // tile_n,)
+
+    keys, idx = pl.pallas_call(
+        functools.partial(_binary_kernel, n, k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((w, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, _K_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((1, _K_PAD), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, _K_PAD), jnp.int32),
+            pltpu.VMEM((1, _K_PAD), jnp.int32),
+        ],
+        interpret=should_interpret(),
+    )(q_words[:, None], corpus_p)
+    return (-keys[0, :k]).astype(jnp.uint32), idx[0, :k]
+
+
+def _ternary_kernel(
+    n_rows, k, qp_ref, qn_ref, pos_ref, neg_ref, keys_out, idx_out, best_keys, best_idx
+):
+    step = pl.program_id(0)
+    tile_n = pos_ref.shape[1]
+
+    init_topk_state(best_keys, best_idx)
+
+    same = (pos_ref[:] & qp_ref[:]) | (neg_ref[:] & qn_ref[:])
+    diff = (pos_ref[:] & qn_ref[:]) | (neg_ref[:] & qp_ref[:])
+    dots = jnp.sum(
+        jax.lax.population_count(same).astype(jnp.int32)
+        - jax.lax.population_count(diff).astype(jnp.int32),
+        axis=0,
+        keepdims=True,
+    )
+    keys, global_idx = masked_global_idx(step, 1, tile_n, n_rows, dots)
+    update_topk(keys, global_idx, best_keys, best_idx, k)
+
+    keys_out[:] = best_keys[:]
+    idx_out[:] = best_idx[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fused_ternary_knn(
+    qpos: jax.Array, qneg: jax.Array, pos_t: jax.Array, neg_t: jax.Array, k: int
+):
+    """Top-k largest ternary dots of one packed query against a word-major
+    encoded corpus (planes (W, N)).
+
+    Returns ``(dots (k,) int32 descending, indices (k,) int32)``.
+    """
+    w, n = pos_t.shape
+    tile_n = _pick_tile_n(n, 2 * w)
+    n_pad = round_up(n, tile_n)
+    pos_p = pad_axis_to(pos_t, 1, n_pad)
+    neg_p = pad_axis_to(neg_t, 1, n_pad)
+    grid = (n_pad // tile_n,)
+
+    keys, idx = pl.pallas_call(
+        functools.partial(_ternary_kernel, n, k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((w, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, _K_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((1, _K_PAD), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, _K_PAD), jnp.int32),
+            pltpu.VMEM((1, _K_PAD), jnp.int32),
+        ],
+        interpret=should_interpret(),
+    )(qpos[:, None], qneg[:, None], pos_p, neg_p)
+    return keys[0, :k], idx[0, :k]

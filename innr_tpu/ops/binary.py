@@ -21,12 +21,14 @@ from innr_tpu.utils.asserts import ContractError
 
 __all__ = [
     "PackedBinary",
+    "PackedBinaryBatch",
     "encode_binary",
     "encode_binary_batch",
     "binary_hamming",
     "binary_dot",
     "binary_jaccard",
     "batch_binary_hamming",
+    "binary_knn",
 ]
 
 _WORD_BITS = 32
@@ -197,6 +199,80 @@ def binary_jaccard(a: PackedBinary, b: PackedBinary) -> jax.Array:
     return jnp.where(
         union == 0, 1.0, inter.astype(jnp.float32) / union.astype(jnp.float32)
     )
+
+
+class PackedBinaryBatch:
+    """A packed binary corpus: (N, W) uint32 words plus a cached word-major
+    transpose (W, N) — the layout the fused Hamming-kNN kernel streams
+    (lane = corpus vector; the TPU rebirth of the reference's PDX columnar
+    layout, ``src/batch.rs:1-59``, for bit-packed scans)."""
+
+    __slots__ = ("words", "words_t", "_dimension")
+
+    def __init__(self, words, dimension: int):
+        words = jnp.asarray(words, dtype=jnp.uint32)
+        if words.ndim != 2 or words.shape[1] != _num_words(dimension):
+            raise ContractError(
+                f"PackedBinaryBatch: words shape {words.shape} doesn't match "
+                f"dimension {dimension}"
+            )
+        self.words = _mask_padding(words, dimension)
+        self.words_t = self.words.T + jnp.uint32(0)
+        self._dimension = int(dimension)
+
+    @classmethod
+    def encode(cls, rows, threshold: float = 0.0) -> "PackedBinaryBatch":
+        rows = jnp.asarray(rows, dtype=jnp.float32)
+        return cls(_pack_bits(rows > jnp.float32(threshold)), int(rows.shape[1]))
+
+    @property
+    def num_vectors(self) -> int:
+        return int(self.words.shape[0])
+
+    @property
+    def dimension(self) -> int:
+        return self._dimension
+
+    def memory_bytes(self) -> int:
+        return int(self.words.size) * 4
+
+
+def binary_knn(query: PackedBinary, corpus: PackedBinaryBatch, k: int):
+    """Top-k nearest by bit-Hamming over a packed corpus — the coarse stage
+    of the binary retrieval pipeline (reference examples/binary_demo.rs).
+
+    Returns ``(counts ascending, indices)`` numpy arrays. Large corpora run
+    the fused Pallas streaming scan (one HBM pass over 1 bit/dim codes, no
+    count materialization); small ones use the jnp path.
+    """
+    import numpy as np_  # local alias; np already imported module-level
+
+    if query.dimension != corpus.dimension:
+        raise ContractError(
+            f"innr_tpu::binary_knn: dimension mismatch "
+            f"({query.dimension} vs {corpus.dimension})"
+        )
+    n = corpus.num_vectors
+    if n == 0 or k == 0:
+        return np.zeros((0,), np.uint32), np.zeros((0,), np.int64)
+    k = min(int(k), n)
+    from innr_tpu import config
+
+    if n >= config.MIN_ROWS_PALLAS and not config.reference_forced():
+        from innr_tpu.kernels import packed_knn as _kern
+
+        counts, idx = _kern.fused_binary_knn(query.words, corpus.words_t, k)
+    else:
+        all_counts = jnp.sum(
+            jax.lax.population_count(corpus.words ^ query.words[None, :]).astype(
+                jnp.int32
+            ),
+            axis=1,
+        )
+        neg = -all_counts
+        _, idx = jax.lax.top_k(neg, k)
+        counts = all_counts[idx].astype(jnp.uint32)
+    return np.asarray(counts), np.asarray(idx, dtype=np.int64)
 
 
 def batch_binary_hamming(query, corpus) -> jax.Array:

@@ -250,9 +250,24 @@ def batch_knn_u8(
             f"batch_knn_u8: dimension mismatch ({q.shape[-1]} vs {codes.shape[1]})"
         )
     k = min(int(k), int(codes.shape[0]))
-    vals, idx = _batch_knn_u8_jit(
-        q, codes, jnp.float32(params.alpha), jnp.float32(params.offset), k
-    )
+    from innr_tpu import config
+
+    if int(codes.shape[0]) >= config.MIN_ROWS_PALLAS and not config.reference_forced():
+        # Fused Pallas scan: codes stream as u8 (1 byte/dim HBM traffic),
+        # widen on-chip; the affine correction is a per-query monotone map
+        # (alpha > 0 by construction), applied after selection.
+        from innr_tpu.kernels import knn as _kern
+
+        mixed, idx = _kern.fused_knn_u8_batch(q[None, :], codes, k)
+        vals = (
+            jnp.float32(params.alpha / 255.0) * mixed[0]
+            + jnp.float32(params.offset) * jnp.sum(q)
+        )
+        idx = idx[0]
+    else:
+        vals, idx = _batch_knn_u8_jit(
+            q, codes, jnp.float32(params.alpha), jnp.float32(params.offset), k
+        )
     return [(int(i), float(v)) for i, v in zip(np.asarray(idx), np.asarray(vals))]
 
 

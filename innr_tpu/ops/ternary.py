@@ -24,6 +24,7 @@ from innr_tpu.utils.asserts import ContractError
 
 __all__ = [
     "PackedTernary",
+    "PackedTernaryBatch",
     "encode_ternary",
     "encode_ternary_batch",
     "ternary_dot",
@@ -32,6 +33,7 @@ __all__ = [
     "sparsity",
     "batch_ternary_dot",
     "batch_asymmetric_dot",
+    "ternary_knn",
 ]
 
 _WORD_BITS = 32
@@ -296,6 +298,74 @@ def batch_ternary_dot(query: PackedTernary, pos_corpus, neg_corpus) -> jax.Array
         diff
     ).astype(jnp.int32)
     return jnp.sum(counts, axis=1, dtype=jnp.int32)
+
+
+class PackedTernaryBatch:
+    """An encoded ternary corpus: (N, W) pos/neg planes plus cached
+    word-major transposes for the fused kNN kernel."""
+
+    __slots__ = ("pos", "neg", "pos_t", "neg_t", "_dimension")
+
+    def __init__(self, pos, neg, dimension: int):
+        pos = jnp.asarray(pos, dtype=jnp.uint32)
+        neg = jnp.asarray(neg, dtype=jnp.uint32)
+        if pos.ndim != 2 or pos.shape != neg.shape or pos.shape[1] != _num_words(dimension):
+            raise ContractError(
+                f"PackedTernaryBatch: plane shapes {pos.shape}/{neg.shape} "
+                f"don't match dimension {dimension}"
+            )
+        self.pos = _mask_padding(pos, dimension)
+        self.neg = _mask_padding(neg, dimension)
+        self.pos_t = self.pos.T + jnp.uint32(0)
+        self.neg_t = self.neg.T + jnp.uint32(0)
+        self._dimension = int(dimension)
+
+    @classmethod
+    def encode(cls, rows, threshold: float) -> "PackedTernaryBatch":
+        rows = jnp.asarray(rows, dtype=jnp.float32)
+        pos, neg = encode_ternary_batch(rows, threshold)
+        return cls(pos, neg, int(rows.shape[1]))
+
+    @property
+    def num_vectors(self) -> int:
+        return int(self.pos.shape[0])
+
+    @property
+    def dimension(self) -> int:
+        return self._dimension
+
+    def memory_bytes(self) -> int:
+        return int(self.pos.size + self.neg.size) * 4
+
+
+def ternary_knn(query: PackedTernary, corpus: PackedTernaryBatch, k: int):
+    """Top-k largest ternary dots over an encoded corpus — the symmetric
+    coarse stage of the ternary pipeline (reference examples/ternary_demo.rs).
+
+    Returns ``(dots descending, indices)`` numpy arrays. Large corpora run
+    the fused Pallas sign-agreement scan.
+    """
+    if query.dimension != corpus.dimension:
+        raise ContractError(
+            f"innr_tpu::ternary_knn: dimension mismatch "
+            f"({query.dimension} vs {corpus.dimension})"
+        )
+    n = corpus.num_vectors
+    if n == 0 or k == 0:
+        return np.zeros((0,), np.int32), np.zeros((0,), np.int64)
+    k = min(int(k), n)
+    from innr_tpu import config
+
+    if n >= config.MIN_ROWS_PALLAS and not config.reference_forced():
+        from innr_tpu.kernels import packed_knn as _kern
+
+        dots, idx = _kern.fused_ternary_knn(
+            query.pos, query.neg, corpus.pos_t, corpus.neg_t, k
+        )
+    else:
+        all_dots = batch_ternary_dot(query, corpus.pos, corpus.neg)
+        dots, idx = jax.lax.top_k(all_dots, k)
+    return np.asarray(dots), np.asarray(idx, dtype=np.int64)
 
 
 def batch_asymmetric_dot(query, pos_corpus, neg_corpus, dimension: int) -> jax.Array:

@@ -1,0 +1,149 @@
+"""Differential 'fuzzing': raw-byte-decoded inputs vs oracles.
+
+The analog of the reference's libfuzzer targets (``fuzz/fuzz_targets/``):
+inputs are decoded from raw random bytes so the corpus reaches NaN, ±inf,
+subnormals and -0.0 that range-based generators never produce
+(``dot_diff.rs:1-3``). Floating ops get condition-aware tolerances;
+integer ops get exact equality (``slot_diff.rs``).
+"""
+
+import numpy as np
+import pytest
+
+import innr_tpu as it
+from innr_tpu.ops import reference as ref
+from conftest import cond_tol
+
+N_CASES = 40
+
+
+def _bytes_to_f32(rng, n):
+    """Decode raw bytes into f32 — hits NaN/inf/subnormal/-0.0."""
+    raw = rng.bytes(4 * n)
+    return np.frombuffer(raw, dtype=np.float32).copy()
+
+
+def _sanitize_finite(x):
+    return np.nan_to_num(x, nan=0.0, posinf=1e30, neginf=-1e30)
+
+
+class TestDotDiff:
+    """Analog of fuzz/dot_diff.rs."""
+
+    @pytest.mark.parametrize("trial", range(N_CASES))
+    def test_dot_finite_equals(self, trial):
+        rng = np.random.default_rng(1000 + trial)
+        n = int(rng.integers(0, 200))
+        a = _bytes_to_f32(rng, n)
+        b = _bytes_to_f32(rng, n)
+        got = float(it.dot(a, b))
+        want = ref.dot_portable(a, b)
+        if np.isfinite(want) and np.isfinite(got):
+            assert abs(got - want) <= cond_tol(a, b, scale=64.0)
+        else:
+            # Non-finite results: both must be non-finite (NaN/inf agree in
+            # kind is not guaranteed across summation orders, presence is).
+            assert not (np.isfinite(got) and np.isfinite(want))
+
+    @pytest.mark.parametrize("trial", range(N_CASES))
+    def test_cosine_range_invariant(self, trial):
+        rng = np.random.default_rng(2000 + trial)
+        n = int(rng.integers(1, 200))
+        a = _sanitize_finite(_bytes_to_f32(rng, n))
+        b = _sanitize_finite(_bytes_to_f32(rng, n))
+        c = float(it.cosine(a, b))
+        # For finite inputs, cosine is 0.0 (guard) or within [-1, 1] + eps,
+        # unless the norms themselves overflow to inf (1e30-scale inputs).
+        aa = float(np.sum(a.astype(np.float64) ** 2))
+        bb = float(np.sum(b.astype(np.float64) ** 2))
+        if aa < 1e38 and bb < 1e38:
+            assert -1.001 <= c <= 1.001 or c == 0.0
+
+
+class TestL2L1Diff:
+    """Analog of fuzz/l2_l1_diff.rs: f32 vs oracle, f64 at 1e-9 rel tol."""
+
+    @pytest.mark.parametrize("trial", range(N_CASES))
+    def test_f32_l1_l2(self, trial):
+        rng = np.random.default_rng(3000 + trial)
+        n = int(rng.integers(0, 150))
+        a = _bytes_to_f32(rng, n)
+        b = _bytes_to_f32(rng, n)
+        got_l2 = float(it.l2_distance_squared(a, b))
+        want_l2 = ref.l2_distance_squared_portable(a, b)
+        if np.isfinite(want_l2) and np.isfinite(got_l2):
+            d = a - b
+            assert abs(got_l2 - want_l2) <= cond_tol(d, d, scale=64.0)
+        got_l1 = float(it.l1_distance(a, b))
+        want_l1 = ref.l1_distance_portable(a, b)
+        if np.isfinite(want_l1) and np.isfinite(got_l1):
+            assert abs(got_l1 - want_l1) <= cond_tol(a - b, np.ones(n), scale=64.0)
+
+    @pytest.mark.parametrize("trial", range(N_CASES // 2))
+    def test_f64_at_1e9_rel(self, trial):
+        rng = np.random.default_rng(4000 + trial)
+        n = int(rng.integers(1, 150))
+        # f64 from wide log-uniform magnitudes. df64's documented domain:
+        # values AND elementwise products within f32 range, so magnitudes
+        # span 10^-15..10^15 (products up to 1e30 < 3.4e38).
+        def gen():
+            mag = 10.0 ** rng.uniform(-15, 15, n)
+            return mag * rng.choice([-1.0, 1.0], n)
+
+        a, b = gen(), gen()
+        got = it.dot_f64(a, b, impl="df64")
+        want = ref.dot_f64_portable(a, b)
+        # df64 error ~ cond * 2^-48; the fuzz contract is 1e-9 relative on
+        # the result plus the condition-scaled floor for cancellation.
+        cond = float(np.sum(np.abs(a * b)))
+        assert abs(got - want) <= max(1e-9 * abs(want), cond * 1e-13, 1e-30)
+
+    @pytest.mark.parametrize("trial", range(N_CASES // 2))
+    def test_f64_l1_l2_at_1e9_rel(self, trial):
+        rng = np.random.default_rng(5000 + trial)
+        n = int(rng.integers(1, 100))
+        a = rng.standard_normal(n) * 10.0 ** rng.integers(-10, 10)
+        b = rng.standard_normal(n) * 10.0 ** rng.integers(-10, 10)
+        got = it.l2_distance_squared_f64(a, b, impl="df64")
+        want = ref.l2_distance_squared_f64_portable(a, b)
+        assert got == pytest.approx(want, rel=1e-9, abs=1e-300)
+        got = it.l1_distance_f64(a, b, impl="df64")
+        want = ref.l1_distance_f64_portable(a, b)
+        assert got == pytest.approx(want, rel=1e-9, abs=1e-300)
+
+
+class TestSlotDiff:
+    """Analog of fuzz/slot_diff.rs: integer ops match EXACTLY."""
+
+    @pytest.mark.parametrize("trial", range(N_CASES))
+    def test_slot_hammings_exact(self, trial):
+        rng = np.random.default_rng(6000 + trial)
+        n = int(rng.integers(0, 300))
+        raw = rng.bytes(8 * n) if n else b""
+        u16 = np.frombuffer(raw[: 2 * n], dtype=np.uint16).copy()
+        u32 = np.frombuffer(raw[: 4 * n], dtype=np.uint32).copy()
+        u64 = np.frombuffer(raw[: 8 * n], dtype=np.uint64).copy()
+        raw2 = rng.bytes(8 * n) if n else b""
+        v16 = np.frombuffer(raw2[: 2 * n], dtype=np.uint16).copy()
+        v32 = np.frombuffer(raw2[: 4 * n], dtype=np.uint32).copy()
+        v64 = np.frombuffer(raw2[: 8 * n], dtype=np.uint64).copy()
+        # Sprinkle equalities so matches exist.
+        if n:
+            eq = rng.random(n) < 0.3
+            v16[eq[: v16.size]] = u16[eq[: u16.size]]
+            v32[eq] = u32[eq]
+            v64[eq] = u64[eq]
+        assert int(it.slot_hamming_u16(u16, v16)) == ref.slot_hamming_portable(u16, v16)
+        assert int(it.slot_hamming_u32(u32, v32)) == ref.slot_hamming_portable(u32, v32)
+        assert int(it.slot_hamming_u64(u64, v64)) == ref.slot_hamming_portable(u64, v64)
+        c = it.slot_compare_counts(u64, v64)
+        assert (c.eq, c.lt, c.gt) == ref.slot_compare_counts_portable(u64, v64)
+
+    @pytest.mark.parametrize("trial", range(N_CASES))
+    def test_bit_hamming_and_dot_u8_exact(self, trial):
+        rng = np.random.default_rng(7000 + trial)
+        n = int(rng.integers(0, 400))
+        a = np.frombuffer(rng.bytes(n), dtype=np.uint8).copy()
+        b = np.frombuffer(rng.bytes(n), dtype=np.uint8).copy()
+        assert int(it.hamming_distance(a, b)) == ref.hamming_portable(a, b)
+        assert int(it.dot_u8(a, b)) == ref.dot_u8_portable(a, b)

@@ -1,0 +1,159 @@
+"""Hypothesis property tests — the proptest analog
+(reference tests/property_tests.rs, 500 cases/prop)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+import innr_tpu as it
+from innr_tpu.ops import reference as ref
+from conftest import cond_tol
+
+SETTINGS = dict(max_examples=100, deadline=None)
+
+
+def vec(min_dim=1, max_dim=129):
+    return st.integers(min_dim, max_dim).flatmap(
+        lambda n: st.lists(
+            st.floats(-100.0, 100.0, width=32), min_size=n, max_size=n
+        )
+    )
+
+
+def pair(min_dim=1, max_dim=129):
+    return st.integers(min_dim, max_dim).flatmap(
+        lambda n: st.tuples(
+            st.lists(st.floats(-100.0, 100.0, width=32), min_size=n, max_size=n),
+            st.lists(st.floats(-100.0, 100.0, width=32), min_size=n, max_size=n),
+        )
+    )
+
+
+class TestDenseProperties:
+    @settings(**SETTINGS)
+    @given(pair())
+    def test_dot_matches_reference(self, ab):
+        a = np.asarray(ab[0], np.float32)
+        b = np.asarray(ab[1], np.float32)
+        got = float(it.dot(a, b))
+        assert abs(got - ref.dot_portable(a, b)) <= cond_tol(a, b)
+
+    @settings(**SETTINGS)
+    @given(pair())
+    def test_dot_commutative(self, ab):
+        a = np.asarray(ab[0], np.float32)
+        b = np.asarray(ab[1], np.float32)
+        assert float(it.dot(a, b)) == float(it.dot(b, a))
+
+    @settings(**SETTINGS)
+    @given(pair())
+    def test_cosine_bounded_or_guarded(self, ab):
+        a = np.asarray(ab[0], np.float32)
+        b = np.asarray(ab[1], np.float32)
+        c = float(it.cosine(a, b))
+        assert (-1.001 <= c <= 1.001) or c == 0.0
+
+    @settings(**SETTINGS)
+    @given(pair())
+    def test_l2_symmetric_nonnegative(self, ab):
+        a = np.asarray(ab[0], np.float32)
+        b = np.asarray(ab[1], np.float32)
+        d1 = float(it.l2_distance(a, b))
+        d2 = float(it.l2_distance(b, a))
+        assert d1 >= 0.0 and d1 == d2
+
+    @settings(**SETTINGS)
+    @given(vec())
+    def test_self_distance_zero(self, v):
+        v = np.asarray(v, np.float32)
+        assert float(it.l2_distance_squared(v, v)) == 0.0
+        assert float(it.l1_distance(v, v)) == 0.0
+
+    @settings(**SETTINGS)
+    @given(vec(min_dim=2))
+    def test_normalize_unit_or_guarded(self, v):
+        v = np.asarray(v, np.float32)
+        out, n = it.normalize_with_norm(v)
+        if float(n) > 1e-6:
+            assert abs(float(it.norm(out)) - 1.0) < 1e-3
+
+
+class TestBatchProperties:
+    """Batch ops ≡ per-vector ops; kNN invariants
+    (reference tests/property_tests.rs:364-466)."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 30), st.integers(1, 20), st.data())
+    def test_batch_equals_per_vector(self, n, d, data):
+        rows = np.asarray(
+            data.draw(
+                st.lists(
+                    st.lists(st.floats(-50.0, 50.0, width=32), min_size=d, max_size=d),
+                    min_size=n,
+                    max_size=n,
+                )
+            ),
+            np.float32,
+        )
+        q = np.asarray(
+            data.draw(st.lists(st.floats(-50.0, 50.0, width=32), min_size=d, max_size=d)),
+            np.float32,
+        )
+        vb = it.VerticalBatch.from_rows(rows)
+        dots = np.asarray(it.batch_dot(q, vb))
+        l2s = np.asarray(it.batch_l2_squared(q, vb))
+        for i in range(n):
+            assert abs(dots[i] - float(it.dot(q, rows[i]))) <= cond_tol(q, rows[i]) + 1e-4
+            di = q - rows[i]
+            assert abs(l2s[i] - float(it.l2_distance_squared(q, rows[i]))) <= cond_tol(di, di) + 1e-4
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 10), st.integers(1, 50), st.data())
+    def test_knn_invariants(self, n, d, k, data):
+        rows = np.asarray(
+            data.draw(
+                st.lists(
+                    st.lists(st.floats(-50.0, 50.0, width=32), min_size=d, max_size=d),
+                    min_size=n,
+                    max_size=n,
+                )
+            ),
+            np.float32,
+        )
+        q = rows[0]
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn(q, vb, k)
+        kk = min(k, n)
+        assert len(res.indices) == kk
+        # sorted ascending, unique indices
+        assert all(res.scores[i] <= res.scores[i + 1] for i in range(kk - 1))
+        assert len(set(res.indices.tolist())) == kk
+
+
+class TestQuantizedProperties:
+    @settings(**SETTINGS)
+    @given(vec(min_dim=1, max_dim=200))
+    def test_binary_roundtrip_bits(self, v):
+        v = np.asarray(v, np.float32)
+        # XLA flushes subnormals to zero (DAZ); a subnormal input may
+        # legitimately encode as 0 — skip those positions.
+        p = it.encode_binary(v, 0.0)
+        for i in range(min(v.size, 40)):
+            if 0.0 < abs(float(v[i])) < 1.2e-38:
+                continue
+            assert p.get(i) == bool(v[i] > 0.0)
+
+    @settings(**SETTINGS)
+    @given(vec(min_dim=1, max_dim=200), st.floats(0.0, 5.0))
+    def test_ternary_dot_self_is_nnz(self, v, t):
+        v = np.asarray(v, np.float32)
+        p = it.encode_ternary(v, np.float32(t))
+        assert int(it.ternary_dot(p, p)) == p.nnz()
+
+    @settings(**SETTINGS)
+    @given(vec(min_dim=1, max_dim=100))
+    def test_quantize_within_half_step(self, v):
+        v = np.asarray(v, np.float32)
+        params = it.QuantizationParams.fit(v)
+        q = it.quantize_u8(v, params)
+        deq = params.alpha * (np.asarray(q.data()).astype(np.float64) / 255.0) + params.offset
+        assert np.max(np.abs(deq - v)) <= params.alpha / 255.0 / 2 + 1e-5
