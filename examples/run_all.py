@@ -18,6 +18,7 @@ EXAMPLES = [
     "maxsim_colbert",
     "fast_math_demo",
     "sharded_search",
+    "two_stage_pipeline",
 ]
 
 

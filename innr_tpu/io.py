@@ -1,0 +1,93 @@
+"""Persistence helpers for the corpus/quantized containers.
+
+The reference's only persistence surface is raw-data accessors
+(``VerticalBatch::data`` src/batch.rs:212, ``PackedBinary::data``
+src/binary.rs:71, ...) — callers own serialization. innr_tpu preserves the
+accessors and additionally provides explicit npz save/load, since a serving
+framework needs restartable indexes. Formats are plain numpy archives; no
+framework lock-in.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from innr_tpu.batch import VerticalBatch
+from innr_tpu.ops.binary import PackedBinary, PackedBinaryBatch
+from innr_tpu.ops.scalar import QuantizationParams, QuantizedU8Batch
+from innr_tpu.ops.ternary import PackedTernary, PackedTernaryBatch
+from innr_tpu.utils.asserts import ContractError
+
+__all__ = ["save_npz", "load_npz"]
+
+_KINDS = {
+    "VerticalBatch",
+    "PackedBinary",
+    "PackedBinaryBatch",
+    "PackedTernary",
+    "PackedTernaryBatch",
+    "QuantizedU8Batch",
+}
+
+
+def save_npz(path: str, obj) -> None:
+    """Serialize a container to an npz archive."""
+    if isinstance(obj, VerticalBatch):
+        np.savez(path, kind="VerticalBatch", rows=np.asarray(obj.rows))
+    elif isinstance(obj, PackedBinary):
+        np.savez(
+            path,
+            kind="PackedBinary",
+            words=np.asarray(obj.words),
+            dimension=obj.dimension,
+        )
+    elif isinstance(obj, PackedBinaryBatch):
+        np.savez(
+            path,
+            kind="PackedBinaryBatch",
+            words=np.asarray(obj.words),
+            dimension=obj.dimension,
+        )
+    elif isinstance(obj, PackedTernary):
+        np.savez(
+            path,
+            kind="PackedTernary",
+            pos=np.asarray(obj.pos),
+            neg=np.asarray(obj.neg),
+            dimension=obj.dimension,
+        )
+    elif isinstance(obj, PackedTernaryBatch):
+        np.savez(
+            path,
+            kind="PackedTernaryBatch",
+            pos=np.asarray(obj.pos),
+            neg=np.asarray(obj.neg),
+            dimension=obj.dimension,
+        )
+    elif isinstance(obj, QuantizedU8Batch):
+        np.savez(path, kind="QuantizedU8Batch", codes=np.asarray(obj.codes))
+    else:
+        raise ContractError(f"save_npz: unsupported container {type(obj).__name__}")
+
+
+def load_npz(path: str):
+    """Load a container previously written by :func:`save_npz`.
+
+    ``QuantizationParams`` travel separately (they are shared corpus-level
+    scalars, reference src/scalar.rs:44); persist them as plain floats.
+    """
+    with np.load(path) as z:
+        kind = str(z["kind"])
+        if kind not in _KINDS:
+            raise ContractError(f"load_npz: unknown container kind {kind!r}")
+        if kind == "VerticalBatch":
+            return VerticalBatch(z["rows"])
+        if kind == "PackedBinary":
+            return PackedBinary(z["words"], int(z["dimension"]))
+        if kind == "PackedBinaryBatch":
+            return PackedBinaryBatch(z["words"], int(z["dimension"]))
+        if kind == "PackedTernary":
+            return PackedTernary(z["pos"], z["neg"], int(z["dimension"]))
+        if kind == "PackedTernaryBatch":
+            return PackedTernaryBatch(z["pos"], z["neg"], int(z["dimension"]))
+        return QuantizedU8Batch(z["codes"])

@@ -15,5 +15,12 @@ from innr_tpu.parallel.sharded import (  # noqa: F401
     sharded_knn_dot,
     sharded_knn_l2,
 )
+from innr_tpu.parallel.sharded_packed import ShardedPackedBinary  # noqa: F401
 
-__all__ = ["ShardedCorpus", "default_mesh", "sharded_knn_dot", "sharded_knn_l2"]
+__all__ = [
+    "ShardedCorpus",
+    "ShardedPackedBinary",
+    "default_mesh",
+    "sharded_knn_dot",
+    "sharded_knn_l2",
+]

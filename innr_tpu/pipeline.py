@@ -1,0 +1,189 @@
+"""Two-stage retrieval pipelines: quantized coarse scan -> exact rerank.
+
+The reference demonstrates coarse-then-rerank as example code
+(``examples/binary_demo.rs:139+``, ``examples/ternary_demo.rs:290+``,
+``examples/matryoshka_search.rs:14-18``); in a serving framework it is the
+primary entry point, so innr_tpu makes it a first-class, jit-friendly
+object. A :class:`TwoStageIndex` owns the f32 corpus plus one encoded
+coarse representation and answers queries with:
+
+1. **coarse**: fused Pallas scan over the compressed corpus
+   (1-32x smaller HBM read) for ``k * rerank_factor`` candidates;
+2. **fine**: exact f32 scoring of the shortlist (one small MXU matmul) and
+   final total-order top-k.
+
+Coarse stages: ``"binary"`` (1 bit/dim), ``"ternary"`` (2 bits/dim),
+``"u8"`` (8 bits/dim, asymmetric), ``"matryoshka"`` (f32 prefix dims).
+Fine metric: ``"dot"`` (MIPS; use normalized vectors for cosine ranking).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from innr_tpu.batch import BatchKnnResult
+from innr_tpu.ops import binary as _binary
+from innr_tpu.ops import scalar as _scalar
+from innr_tpu.ops import ternary as _ternary
+from innr_tpu.utils.asserts import ContractError
+from innr_tpu.utils.order import top_k_total
+
+__all__ = ["TwoStageIndex", "CoarseConfig"]
+
+
+@dataclass(frozen=True)
+class CoarseConfig:
+    """Coarse-stage configuration.
+
+    ``kind``: "binary" | "ternary" | "u8" | "matryoshka".
+    ``threshold``: encode threshold for binary/ternary.
+    ``prefix_dims``: prefix length for matryoshka.
+    ``quantile``: u8 fit quantile (1.0 = plain min/max fit).
+    """
+
+    kind: str = "binary"
+    threshold: float = 0.0
+    prefix_dims: int = 128
+    quantile: float = 1.0
+
+
+class TwoStageIndex:
+    """Coarse-quantized scan + exact f32 rerank over an (N, D) corpus."""
+
+    def __init__(self, rows, coarse: CoarseConfig | str = "binary", rerank_factor: int = 4):
+        if isinstance(coarse, str):
+            coarse = CoarseConfig(kind=coarse)
+        self.config = coarse
+        self.rerank_factor = int(rerank_factor)
+        if self.rerank_factor < 1:
+            raise ContractError("TwoStageIndex: rerank_factor must be >= 1")
+        rows = jnp.asarray(rows, dtype=jnp.float32)
+        if rows.ndim != 2:
+            raise ContractError("TwoStageIndex: rows must be 2-D (N, D)")
+        self.rows = rows
+
+        kind = coarse.kind
+        if kind == "binary":
+            self._coarse = _binary.PackedBinaryBatch.encode(rows, coarse.threshold)
+        elif kind == "ternary":
+            self._coarse = _ternary.PackedTernaryBatch.encode(rows, coarse.threshold)
+        elif kind == "u8":
+            self.params = (
+                _scalar.QuantizationParams.fit(np.asarray(rows))
+                if coarse.quantile >= 1.0
+                else _scalar.QuantizationParams.fit_quantile(
+                    np.asarray(rows), coarse.quantile
+                )
+            )
+            self._coarse = _scalar.QuantizedU8Batch.quantize(rows, self.params)
+        elif kind == "matryoshka":
+            p = min(coarse.prefix_dims, int(rows.shape[1]))
+            self._coarse = rows[:, :p] * 1.0  # materialized prefix copy
+        else:
+            raise ContractError(f"TwoStageIndex: unknown coarse kind {kind!r}")
+
+    @property
+    def num_vectors(self) -> int:
+        return int(self.rows.shape[0])
+
+    @property
+    def dimension(self) -> int:
+        return int(self.rows.shape[1])
+
+    def memory_bytes(self) -> dict:
+        """Per-representation memory accounting (the container
+        ``memory_bytes`` discipline of the reference)."""
+        fine = int(self.rows.size) * 4
+        kind = self.config.kind
+        if kind == "matryoshka":
+            coarse = int(self._coarse.size) * 4
+        else:
+            coarse = self._coarse.memory_bytes()
+        return {"fine_f32": fine, f"coarse_{kind}": coarse}
+
+    # -- search ---------------------------------------------------------------
+
+    def _coarse_candidates(self, query: jax.Array, n_cand: int) -> jax.Array:
+        kind = self.config.kind
+        if kind == "binary":
+            q = _binary.encode_binary(query, self.config.threshold)
+            _, idx = _binary.binary_knn(q, self._coarse, n_cand)
+            return jnp.asarray(idx, dtype=jnp.int32)
+        if kind == "ternary":
+            q = _ternary.encode_ternary(query, self.config.threshold)
+            _, idx = _ternary.ternary_knn(q, self._coarse, n_cand)
+            return jnp.asarray(idx, dtype=jnp.int32)
+        if kind == "u8":
+            res = _scalar.batch_knn_u8(query, self._coarse, self.params, n_cand)
+            return jnp.asarray([i for i, _ in res], dtype=jnp.int32)
+        # matryoshka
+        from innr_tpu import config as _cfg
+
+        p = self._coarse.shape[1]
+        qp = jnp.asarray(query, dtype=jnp.float32)[:p]
+        if self.num_vectors >= _cfg.MIN_ROWS_PALLAS and not _cfg.reference_forced():
+            from innr_tpu.kernels import knn as _kern
+
+            _, idx = _kern.fused_knn_dot(qp, self._coarse, n_cand)
+        else:
+            scores = jnp.matmul(
+                self._coarse, qp,
+                preferred_element_type=jnp.float32,
+                precision=_cfg.matmul_precision(),
+            )
+            _, idx = top_k_total(scores, n_cand, largest=True)
+        return idx
+
+    def search(self, query, k: int) -> BatchKnnResult:
+        """Top-k by exact dot product, shortlisted by the coarse stage.
+
+        Returns a :class:`BatchKnnResult` (scores descending). Recall
+        depends on the coarse representation and ``rerank_factor``; exact
+        within the shortlist.
+        """
+        query = jnp.asarray(query, dtype=jnp.float32)
+        if query.ndim != 1 or query.shape[0] != self.dimension:
+            raise ContractError(
+                f"TwoStageIndex.search: query shape {query.shape} != "
+                f"dimension {self.dimension}"
+            )
+        if self.num_vectors == 0 or k == 0:
+            return BatchKnnResult(
+                indices=np.zeros((0,), np.int64),
+                scores=np.zeros((0,), np.float32),
+            )
+        k = min(int(k), self.num_vectors)
+        n_cand = min(k * self.rerank_factor, self.num_vectors)
+        cand = self._coarse_candidates(query, n_cand)
+
+        from innr_tpu import config as _cfg
+
+        shortlist = self.rows[cand]
+        fine = jnp.matmul(
+            shortlist, query,
+            preferred_element_type=jnp.float32,
+            precision=_cfg.matmul_precision(),
+        )
+        vals, pos = top_k_total(fine, k, largest=True)
+        return BatchKnnResult(
+            indices=np.asarray(cand)[np.asarray(pos)].astype(np.int64),
+            scores=np.asarray(vals, dtype=np.float32),
+        )
+
+    def recall_vs_exact(self, queries, k: int) -> float:
+        """Measured recall@k against exact search — the runtime recall
+        measurement the reference examples perform."""
+        from innr_tpu.batch import VerticalBatch, batch_knn_dot
+
+        vb = VerticalBatch(self.rows)
+        queries = np.asarray(queries, dtype=np.float32)
+        total = 0.0
+        for q in queries:
+            exact = set(batch_knn_dot(q, vb, k).indices.tolist())
+            got = set(self.search(q, k).indices.tolist())
+            total += len(exact & got) / max(len(exact), 1)
+        return total / max(len(queries), 1)

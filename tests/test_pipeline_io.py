@@ -1,0 +1,169 @@
+"""Two-stage retrieval pipeline, persistence, sharded packed search, and the
+Distance-protocol interop proof (the hnsw_rs-interop analog)."""
+
+import numpy as np
+import pytest
+
+import innr_tpu as it
+from innr_tpu.io import load_npz, save_npz
+from innr_tpu.parallel import ShardedPackedBinary
+from innr_tpu.pipeline import CoarseConfig, TwoStageIndex
+
+
+def _clustered(rng, n=2000, d=128, clusters=100):
+    centers = rng.standard_normal((clusters, d)).astype(np.float32)
+    assign = rng.integers(0, clusters, n)
+    rows = centers[assign] + 0.4 * rng.standard_normal((n, d)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    return rows, centers
+
+
+class TestTwoStageIndex:
+    @pytest.mark.parametrize("kind", ["binary", "ternary", "u8", "matryoshka"])
+    def test_search_recalls_planted_neighbors(self, rng, kind):
+        rows, centers = _clustered(rng)
+        cfg = CoarseConfig(kind=kind, threshold=0.02, prefix_dims=32)
+        index = TwoStageIndex(rows, cfg, rerank_factor=8)
+        q = rows[5] + 0.01 * rng.standard_normal(128).astype(np.float32)
+        res = index.search(q, 5)
+        assert len(res.indices) == 5
+        assert res.indices[0] == 5  # the planted neighbor wins
+        assert all(res.scores[i] >= res.scores[i + 1] for i in range(4))
+
+    def test_recall_vs_exact(self, rng):
+        rows, _ = _clustered(rng)
+        index = TwoStageIndex(rows, "binary", rerank_factor=8)
+        queries = rows[:10] + 0.01 * rng.standard_normal((10, 128)).astype(np.float32)
+        recall = index.recall_vs_exact(queries, 10)
+        assert recall > 0.6
+
+    def test_rerank_scores_are_exact(self, rng):
+        rows, _ = _clustered(rng)
+        index = TwoStageIndex(rows, "binary", rerank_factor=4)
+        q = rows[7]
+        res = index.search(q, 3)
+        exact = rows.astype(np.float64) @ q.astype(np.float64)
+        for i, s in zip(res.indices, res.scores):
+            assert s == pytest.approx(exact[i], rel=1e-4)
+
+    def test_memory_accounting(self, rng):
+        rows, _ = _clustered(rng, n=512, d=256)
+        index = TwoStageIndex(rows, "binary")
+        mem = index.memory_bytes()
+        assert mem["fine_f32"] == 512 * 256 * 4
+        assert mem["coarse_binary"] == 512 * 256 // 8
+
+    def test_edge_cases(self, rng):
+        rows, _ = _clustered(rng, n=50)
+        index = TwoStageIndex(rows, "binary")
+        assert len(index.search(rows[0], 0).indices) == 0
+        assert len(index.search(rows[0], 1000).indices) == 50
+        with pytest.raises(it.ContractError):
+            index.search(np.zeros(5, np.float32), 3)
+        with pytest.raises(it.ContractError):
+            TwoStageIndex(rows, "bogus")
+
+
+class TestPersistence:
+    def test_roundtrips(self, rng, tmp_path):
+        rows = rng.standard_normal((20, 70)).astype(np.float32)
+
+        vb = it.VerticalBatch.from_rows(rows)
+        save_npz(tmp_path / "vb.npz", vb)
+        vb2 = load_npz(tmp_path / "vb.npz")
+        np.testing.assert_array_equal(np.asarray(vb2.rows), np.asarray(vb.rows))
+
+        pb = it.encode_binary(rows[0], 0.0)
+        save_npz(tmp_path / "pb.npz", pb)
+        assert load_npz(tmp_path / "pb.npz") == pb
+
+        pbb = it.PackedBinaryBatch.encode(rows, 0.0)
+        save_npz(tmp_path / "pbb.npz", pbb)
+        pbb2 = load_npz(tmp_path / "pbb.npz")
+        np.testing.assert_array_equal(np.asarray(pbb2.words), np.asarray(pbb.words))
+
+        pt = it.encode_ternary(rows[0], 0.3)
+        save_npz(tmp_path / "pt.npz", pt)
+        assert load_npz(tmp_path / "pt.npz") == pt
+
+        ptb = it.PackedTernaryBatch.encode(rows, 0.3)
+        save_npz(tmp_path / "ptb.npz", ptb)
+        ptb2 = load_npz(tmp_path / "ptb.npz")
+        np.testing.assert_array_equal(np.asarray(ptb2.pos), np.asarray(ptb.pos))
+
+        params = it.QuantizationParams.fit(rows)
+        qb = it.QuantizedU8Batch.quantize(rows, params)
+        save_npz(tmp_path / "qb.npz", qb)
+        qb2 = load_npz(tmp_path / "qb.npz")
+        np.testing.assert_array_equal(np.asarray(qb2.codes), np.asarray(qb.codes))
+
+    def test_unsupported_raises(self, tmp_path):
+        with pytest.raises(it.ContractError):
+            save_npz(tmp_path / "x.npz", object())
+
+
+class TestShardedPackedBinary:
+    def test_matches_single_device(self, rng):
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs virtual devices")
+        rows = rng.standard_normal((1000, 128)).astype(np.float32)
+        sharded = ShardedPackedBinary.encode(rows, 0.0)
+        q = it.encode_binary(rows[33], 0.0)
+        counts, idx = sharded.knn(q, 7)
+        # single-device oracle
+        corpus = it.PackedBinaryBatch.encode(rows, 0.0)
+        counts1, idx1 = it.binary_knn(q, corpus, 7)
+        np.testing.assert_array_equal(np.asarray(idx), idx1)
+        np.testing.assert_array_equal(np.asarray(counts), counts1)
+
+    def test_padding_masked(self, rng):
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs virtual devices")
+        rows = rng.standard_normal((1001, 64)).astype(np.float32)
+        sharded = ShardedPackedBinary.encode(rows, 0.0)
+        q = it.PackedBinary.zeros(64)
+        counts, idx = sharded.knn(q, 64)
+        assert np.all(np.asarray(idx) < 1001)
+
+
+class TestDistanceInterop:
+    """Plug innr_tpu metrics into a generic index — the analog of the
+    reference's anndists/hnsw_rs interop test (tests/anndists_interop.rs)."""
+
+    class BruteIndex:
+        """A metric-agnostic index written only against the Distance
+        protocol (eval/eval_batch)."""
+
+        def __init__(self, metric, corpus):
+            self.metric = metric
+            self.corpus = corpus
+
+        def nearest(self, query, k):
+            d = np.asarray(self.metric.eval_batch(query, self.corpus))
+            return np.argsort(d, kind="stable")[:k]
+
+    def test_cosine_backend(self, rng):
+        from innr_tpu.distance import DistCosine
+
+        corpus = rng.standard_normal((50, 32)).astype(np.float32)
+        idx = self.BruteIndex(DistCosine(), corpus)
+        got = idx.nearest(corpus[13], 1)
+        assert got[0] == 13
+
+    def test_minhash_backend(self, rng):
+        from innr_tpu.distance import DistSlotU32
+
+        sketches = rng.integers(0, 16, (40, 64)).astype(np.uint32)
+        idx = self.BruteIndex(DistSlotU32(), sketches)
+        assert idx.nearest(sketches[7], 1)[0] == 7
+
+    def test_hamming_backend(self, rng):
+        from innr_tpu.distance import DistHamming
+
+        codes = rng.integers(0, 256, (30, 16)).astype(np.uint8)
+        idx = self.BruteIndex(DistHamming(), codes)
+        assert idx.nearest(codes[21], 1)[0] == 21
