@@ -98,6 +98,63 @@ def fused_binary_knn(q_words: jax.Array, corpus_words_t: jax.Array, k: int):
     return (-keys[0, :k]).astype(jnp.uint32), idx[0, :k]
 
 
+def _binary_kernel_mq(n_rows, k, q_ref, words_ref, keys_out, idx_out, best_keys, best_idx):
+    """Multi-query step: (Q, W, 1) queries x (1, W, T) tile -> (Q, T)
+    counts via one broadcast XOR+popcount, merged with the shared top-k."""
+    step = pl.program_id(0)
+    n_q = q_ref.shape[0]
+    tile_n = words_ref.shape[2]
+
+    init_topk_state(best_keys, best_idx)
+
+    x = words_ref[:] ^ q_ref[:]
+    counts = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=1)
+    keys = -counts  # (Q, T); smaller Hamming = better
+    keys, global_idx = masked_global_idx(step, n_q, tile_n, n_rows, keys)
+    update_topk(keys, global_idx, best_keys, best_idx, k)
+
+    keys_out[:] = best_keys[:]
+    idx_out[:] = best_idx[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fused_binary_knn_batch(q_words: jax.Array, corpus_words_t: jax.Array, k: int):
+    """Top-k smallest bit-Hamming for a (Q, W) packed query batch against a
+    word-major corpus — one kernel launch, one corpus read for all queries.
+
+    Returns ``(counts (Q, k) uint32 ascending, indices (Q, k) int32)``.
+    """
+    n_q, w = q_words.shape
+    _, n = corpus_words_t.shape
+    tile_n = _pick_tile_n(n, w * max(n_q // 4, 1))
+    n_pad = round_up(n, tile_n)
+    corpus_p = pad_axis_to(corpus_words_t, 1, n_pad)
+    grid = (n_pad // tile_n,)
+
+    keys, idx = pl.pallas_call(
+        functools.partial(_binary_kernel_mq, n, k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_q, w, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, tile_n), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n_q, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_q, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_q, _K_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((n_q, _K_PAD), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_q, _K_PAD), jnp.int32),
+            pltpu.VMEM((n_q, _K_PAD), jnp.int32),
+        ],
+        interpret=should_interpret(),
+    )(q_words[:, :, None], corpus_p[None, :, :])
+    return (-keys[:, :k]).astype(jnp.uint32), idx[:, :k]
+
+
 def _ternary_kernel(
     n_rows, k, qp_ref, qn_ref, pos_ref, neg_ref, keys_out, idx_out, best_keys, best_idx
 ):

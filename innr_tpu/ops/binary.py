@@ -275,6 +275,46 @@ def binary_knn(query: PackedBinary, corpus: PackedBinaryBatch, k: int):
     return np.asarray(counts), np.asarray(idx, dtype=np.int64)
 
 
+def binary_knn_batch(queries, corpus: PackedBinaryBatch, k: int):
+    """Multi-query binary kNN: one fused launch for a (Q, W) packed query
+    batch (TPU-native serving form; all queries share one corpus read).
+
+    ``queries``: (Q, W) uint32 words, a list of :class:`PackedBinary`, or a
+    :class:`PackedBinaryBatch`. Returns ``(counts (Q, k), indices (Q, k))``.
+    """
+    if isinstance(queries, PackedBinaryBatch):
+        q_words = queries.words
+    elif isinstance(queries, (list, tuple)):
+        q_words = jnp.stack([q.words for q in queries])
+    else:
+        q_words = jnp.asarray(queries, dtype=jnp.uint32)
+    if q_words.ndim != 2 or q_words.shape[1] != corpus.words.shape[1]:
+        raise ContractError(
+            f"innr_tpu::binary_knn_batch: query words {q_words.shape} don't "
+            f"match corpus word count {corpus.words.shape[1]}"
+        )
+    n = corpus.num_vectors
+    if n == 0 or k == 0:
+        return np.zeros((0, 0), np.uint32), np.zeros((0, 0), np.int64)
+    k = min(int(k), n)
+    from innr_tpu import config
+
+    if n >= config.MIN_ROWS_PALLAS and not config.reference_forced():
+        from innr_tpu.kernels import packed_knn as _kern
+
+        counts, idx = _kern.fused_binary_knn_batch(q_words, corpus.words_t, k)
+    else:
+        all_counts = jnp.sum(
+            jax.lax.population_count(
+                corpus.words[None, :, :] ^ q_words[:, None, :]
+            ).astype(jnp.int32),
+            axis=2,
+        )
+        _, idx = jax.lax.top_k(-all_counts, k)
+        counts = jnp.take_along_axis(all_counts, idx, axis=1).astype(jnp.uint32)
+    return np.asarray(counts), np.asarray(idx, dtype=np.int64)
+
+
 def batch_binary_hamming(query, corpus) -> jax.Array:
     """Hamming of one packed query against a packed corpus.
 

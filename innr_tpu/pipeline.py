@@ -174,6 +174,55 @@ class TwoStageIndex:
             scores=np.asarray(vals, dtype=np.float32),
         )
 
+    def search_batch(self, queries, k: int) -> BatchKnnResult:
+        """Batched search: (Q, D) queries -> (Q, k) results.
+
+        Binary coarse stages run ONE fused multi-query kernel launch (all
+        queries share the corpus read); other coarse kinds loop per query
+        for the shortlist, then rerank all shortlists in one batched
+        gather+matmul.
+        """
+        queries = jnp.asarray(queries, dtype=jnp.float32)
+        if queries.ndim != 2 or queries.shape[1] != self.dimension:
+            raise ContractError(
+                f"TwoStageIndex.search_batch: queries shape {queries.shape} "
+                f"!= (Q, {self.dimension})"
+            )
+        n_q = int(queries.shape[0])
+        if self.num_vectors == 0 or k == 0 or n_q == 0:
+            return BatchKnnResult(
+                indices=np.zeros((n_q, 0), np.int64),
+                scores=np.zeros((n_q, 0), np.float32),
+            )
+        k = min(int(k), self.num_vectors)
+        n_cand = min(k * self.rerank_factor, self.num_vectors)
+
+        if self.config.kind == "binary":
+            from innr_tpu.ops.binary import binary_knn_batch, encode_binary_batch
+
+            q_words = encode_binary_batch(queries, self.config.threshold)
+            _, cand = binary_knn_batch(q_words, self._coarse, n_cand)
+            cand = jnp.asarray(cand, dtype=jnp.int32)
+        else:
+            cand = jnp.stack(
+                [self._coarse_candidates(queries[i], n_cand) for i in range(n_q)]
+            )
+
+        from innr_tpu import config as _cfg
+
+        shortlists = self.rows[cand]  # (Q, n_cand, D)
+        fine = jnp.einsum(
+            "qcd,qd->qc", shortlists, queries,
+            preferred_element_type=jnp.float32,
+            precision=_cfg.matmul_precision(),
+        )
+        vals, pos = top_k_total(fine, k, largest=True)
+        gathered = np.take_along_axis(np.asarray(cand), np.asarray(pos), axis=1)
+        return BatchKnnResult(
+            indices=gathered.astype(np.int64),
+            scores=np.asarray(vals, dtype=np.float32),
+        )
+
     def recall_vs_exact(self, queries, k: int) -> float:
         """Measured recall@k against exact search — the runtime recall
         measurement the reference examples perform."""

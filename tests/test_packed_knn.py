@@ -103,3 +103,62 @@ class TestU8Knn:
             kknn.fused_knn_u8_batch(
                 jnp.zeros((1, 8), jnp.float32), jnp.zeros((16, 8), jnp.float32), 2
             )
+
+
+class TestBinaryKnnBatch:
+    def test_fused_multi_query_matches_single(self, rng):
+        rows = rng.standard_normal((3000, 128)).astype(np.float32)
+        corpus = it.PackedBinaryBatch.encode(rows, 0.0)
+        qs = [it.encode_binary(rows[i] + 0.1, 0.0) for i in (3, 77, 500)]
+        counts, idx = kpacked.fused_binary_knn_batch(
+            jnp.stack([q.words for q in qs]), corpus.words_t, 5
+        )
+        for j, q in enumerate(qs):
+            c1, i1 = kpacked.fused_binary_knn(q.words, corpus.words_t, 5)
+            np.testing.assert_array_equal(np.asarray(idx)[j], np.asarray(i1))
+            np.testing.assert_array_equal(np.asarray(counts)[j], np.asarray(c1))
+
+    def test_public_batch_api(self, rng):
+        rows = rng.standard_normal((400, 64)).astype(np.float32)
+        corpus = it.PackedBinaryBatch.encode(rows, 0.0)
+        queries = [it.encode_binary(rows[i], 0.0) for i in (1, 9)]
+        from innr_tpu.ops.binary import binary_knn_batch
+
+        counts, idx = binary_knn_batch(queries, corpus, 3)
+        assert idx.shape == (2, 3)
+        assert idx[0, 0] == 1 and idx[1, 0] == 9
+        assert counts[0, 0] == 0
+
+    def test_word_count_mismatch(self, rng):
+        rows = rng.standard_normal((100, 64)).astype(np.float32)
+        corpus = it.PackedBinaryBatch.encode(rows, 0.0)
+        from innr_tpu.ops.binary import binary_knn_batch
+
+        with pytest.raises(it.ContractError):
+            binary_knn_batch(np.zeros((2, 5), np.uint32), corpus, 3)
+
+
+class TestPipelineBatch:
+    def test_search_batch_matches_search(self, rng):
+        rows = rng.standard_normal((800, 64)).astype(np.float32)
+        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        from innr_tpu.pipeline import TwoStageIndex
+
+        index = TwoStageIndex(rows, "binary", rerank_factor=8)
+        queries = rows[[5, 100, 321]]
+        batch = index.search_batch(queries, 4)
+        assert batch.indices.shape == (3, 4)
+        for j in range(3):
+            single = index.search(queries[j], 4)
+            np.testing.assert_array_equal(batch.indices[j], single.indices)
+
+    def test_search_batch_other_kinds(self, rng):
+        rows = rng.standard_normal((300, 32)).astype(np.float32)
+        from innr_tpu.pipeline import CoarseConfig, TwoStageIndex
+
+        for kind in ("u8", "matryoshka"):
+            index = TwoStageIndex(
+                rows, CoarseConfig(kind=kind, prefix_dims=16), rerank_factor=8
+            )
+            res = index.search_batch(rows[[2, 7]], 3)
+            assert res.indices[0, 0] == 2 and res.indices[1, 0] == 7
