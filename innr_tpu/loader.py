@@ -1,0 +1,72 @@
+"""Host-side corpus ingest (the data-loader layer).
+
+Encoding a large corpus for device upload is host work: the f32 source
+usually lives on disk/CPU, and shipping it to the TPU just to pack bits
+wastes PCIe/relay bandwidth 32x. These functions encode on the host — via
+the native C runtime (``native/innr_host.c``) when available, NumPy
+otherwise — and return the same containers the jit encoders produce, so
+ingest and on-device encoding are interchangeable (differential-tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from innr_tpu import _native
+from innr_tpu.ops.binary import PackedBinaryBatch
+from innr_tpu.ops.scalar import QuantizationParams, QuantizedU8Batch
+from innr_tpu.ops.ternary import PackedTernaryBatch
+
+__all__ = [
+    "encode_binary_host",
+    "encode_ternary_host",
+    "quantize_u8_host",
+]
+
+
+def _pack_rows_numpy(bits: np.ndarray) -> np.ndarray:
+    """(R, D) bool -> (R, ceil(D/32)) uint32, bit i%32 of word i//32."""
+    r, d = bits.shape
+    w = (d + 31) // 32
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    full = np.zeros((r, w * 4), dtype=np.uint8)
+    full[:, : packed.shape[1]] = packed
+    return full.view(np.uint32)
+
+
+def encode_binary_host(rows, threshold: float = 0.0) -> PackedBinaryBatch:
+    """Encode an (R, D) f32 corpus to packed binary on the host CPU."""
+    rows = np.ascontiguousarray(rows, dtype=np.float32)
+    words = _native.pack_binary_rows(rows, float(threshold))
+    if words is None:
+        words = _pack_rows_numpy(rows > np.float32(threshold))
+    return PackedBinaryBatch(words, int(rows.shape[1]))
+
+
+def encode_ternary_host(rows, threshold: float) -> PackedTernaryBatch:
+    """Encode an (R, D) f32 corpus to ternary bitplanes on the host CPU."""
+    rows = np.ascontiguousarray(rows, dtype=np.float32)
+    t = np.float32(threshold)
+    if _native.available():
+        pos_rows, neg_rows = [], []
+        for r in rows:
+            p, n = _native.pack_ternary(r, float(threshold))
+            pos_rows.append(p)
+            neg_rows.append(n)
+        pos = np.stack(pos_rows)
+        neg = np.stack(neg_rows)
+    else:
+        pos = _pack_rows_numpy(rows > t)
+        neg = _pack_rows_numpy(rows < -t)
+    return PackedTernaryBatch(pos, neg, int(rows.shape[1]))
+
+
+def quantize_u8_host(rows, params: QuantizationParams) -> QuantizedU8Batch:
+    """Quantize an (R, D) f32 corpus to u8 codes on the host CPU."""
+    rows = np.ascontiguousarray(rows, dtype=np.float32)
+    codes = _native.quantize_u8_rows(rows, params.alpha, params.offset)
+    if codes is None:
+        inv = 255.0 / params.alpha
+        normalized = (rows - np.float32(params.offset)) * np.float32(inv)
+        codes = np.clip(np.round(normalized), 0, 255).astype(np.uint8)
+    return QuantizedU8Batch(codes)

@@ -1,0 +1,145 @@
+/* innr_tpu host-side native runtime.
+ *
+ * The TPU does the scoring; this library is the native half of the
+ * *runtime around it*: data-loader encoders (bit packing, ternary planes,
+ * u8 quantization) that prepare corpora for device upload without a JAX
+ * round-trip, a streaming TopK tracker for host-side candidate merging
+ * (the counterpart of reference src/topk.rs, with identical total_cmp
+ * semantics), and packed-word Hamming for host-side verification.
+ *
+ * Plain C99 + OpenMP-free (deterministic, embeddable); exposed through
+ * ctypes (innr_tpu/_native.py) with pure-Python fallbacks, so the wheel
+ * works without a compiler and accelerates when one is present.
+ *
+ * Build: scripts/build_native.sh (cc -O3 -shared -fPIC).
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+/* ---------------------------------------------------------------- TopK --
+ * f32 total-order key: bits ^ (sign ? 0x7FFFFFFF : 0). Matches Rust
+ * f32::total_cmp (NaN sorts greatest) and utils/order.py exactly.
+ */
+static inline int32_t total_key(float f) {
+  int32_t bits;
+  memcpy(&bits, &f, sizeof bits);
+  return bits ^ (int32_t)(((uint32_t)(bits >> 31)) >> 1);
+}
+
+/* Running k-smallest tracker over a stream of (id, distance) candidates.
+ *
+ * buf_d/buf_i hold up to k entries sorted descending by distance key
+ * (worst at index 0 — O(1) threshold, reference src/topk.rs design).
+ * *count is the current fill. Processes n candidates; the common-case
+ * reject is a single integer compare.
+ */
+void innr_topk_insert_batch(const float *dists, const uint32_t *ids, int64_t n,
+                            int32_t k, float *buf_d, uint32_t *buf_i,
+                            int32_t *count) {
+  int32_t c = *count;
+  int32_t thr_key = (c < k) ? 0x7FFFFFFF : total_key(buf_d[0]);
+  for (int64_t i = 0; i < n; ++i) {
+    const float d = dists[i];
+    const int32_t key = total_key(d);
+    if (c >= k && key >= thr_key) continue; /* reject fast path */
+
+    /* Find insert position in the descending buffer: leftmost j with
+     * key(buf[j]) <= key — equal keys push toward higher indices. */
+    int32_t lo = 0, hi = c;
+    if (c >= k) { /* evict worst (index 0) by shifting left */
+      memmove(buf_d, buf_d + 1, (size_t)(k - 1) * sizeof(float));
+      memmove(buf_i, buf_i + 1, (size_t)(k - 1) * sizeof(uint32_t));
+      c = k - 1;
+      hi = c;
+    }
+    while (lo < hi) {
+      int32_t mid = (lo + hi) / 2;
+      if (total_key(buf_d[mid]) > key) lo = mid + 1;
+      else hi = mid;
+    }
+    memmove(buf_d + lo + 1, buf_d + lo, (size_t)(c - lo) * sizeof(float));
+    memmove(buf_i + lo + 1, buf_i + lo, (size_t)(c - lo) * sizeof(uint32_t));
+    buf_d[lo] = d;
+    buf_i[lo] = ids[i];
+    ++c;
+    if (c >= k) thr_key = total_key(buf_d[0]);
+  }
+  *count = c;
+}
+
+/* ------------------------------------------------------------- encoders --
+ * Data-loader fast paths: encode f32 rows into device-upload layouts.
+ */
+
+/* Binary: bit i%32 of word i/32 set iff v[i] > threshold (strict). */
+void innr_pack_binary(const float *v, int64_t n, float threshold,
+                      uint32_t *out /* ceil(n/32) zeroed words */) {
+  int64_t words = (n + 31) / 32;
+  memset(out, 0, (size_t)words * sizeof(uint32_t));
+  for (int64_t i = 0; i < n; ++i)
+    if (v[i] > threshold) out[i >> 5] |= (uint32_t)1u << (i & 31);
+}
+
+/* Ternary bitplanes: pos bit iff v > t, neg bit iff v < -t. */
+void innr_pack_ternary(const float *v, int64_t n, float threshold,
+                       uint32_t *pos, uint32_t *neg) {
+  int64_t words = (n + 31) / 32;
+  memset(pos, 0, (size_t)words * sizeof(uint32_t));
+  memset(neg, 0, (size_t)words * sizeof(uint32_t));
+  for (int64_t i = 0; i < n; ++i) {
+    if (v[i] > threshold) pos[i >> 5] |= (uint32_t)1u << (i & 31);
+    else if (v[i] < -threshold) neg[i >> 5] |= (uint32_t)1u << (i & 31);
+  }
+}
+
+/* Affine u8 quantization: round+clamp((v - offset) * 255 / alpha). */
+void innr_quantize_u8(const float *v, int64_t n, float alpha, float offset,
+                      uint8_t *out) {
+  const float inv = 255.0f / alpha;
+  for (int64_t i = 0; i < n; ++i) {
+    float x = (v[i] - offset) * inv;
+    x = x < 0.0f ? 0.0f : (x > 255.0f ? 255.0f : x);
+    /* round half away from zero like Rust f32::round / np.round-ish;
+     * x >= 0 here so +0.5 truncation is round-half-up. */
+    out[i] = (uint8_t)(x + 0.5f);
+  }
+}
+
+/* Batched row encoders (row-major (rows, n) input). */
+void innr_pack_binary_rows(const float *v, int64_t rows, int64_t n,
+                           float threshold, uint32_t *out) {
+  int64_t words = (n + 31) / 32;
+  for (int64_t r = 0; r < rows; ++r)
+    innr_pack_binary(v + r * n, n, threshold, out + r * words);
+}
+
+void innr_quantize_u8_rows(const float *v, int64_t rows, int64_t n,
+                           float alpha, float offset, uint8_t *out) {
+  for (int64_t r = 0; r < rows; ++r)
+    innr_quantize_u8(v + r * n, n, alpha, offset, out + r * n);
+}
+
+/* ------------------------------------------------------------- hamming --
+ * Packed-word Hamming for host-side verification / small scans.
+ */
+uint64_t innr_hamming_words(const uint32_t *a, const uint32_t *b, int64_t w) {
+  uint64_t acc = 0;
+  for (int64_t i = 0; i < w; ++i)
+    acc += (uint64_t)__builtin_popcount(a[i] ^ b[i]);
+  return acc;
+}
+
+void innr_hamming_scan(const uint32_t *query, const uint32_t *corpus,
+                       int64_t rows, int64_t w, uint32_t *out) {
+  for (int64_t r = 0; r < rows; ++r) {
+    uint64_t acc = 0;
+    const uint32_t *row = corpus + r * w;
+    for (int64_t i = 0; i < w; ++i)
+      acc += (uint64_t)__builtin_popcount(row[i] ^ query[i]);
+    out[r] = (uint32_t)acc;
+  }
+}
+
+/* ABI version for the ctypes loader. */
+int32_t innr_native_abi_version(void) { return 1; }

@@ -1,0 +1,94 @@
+"""Native host runtime (C via ctypes) and host-side ingest loaders:
+differential tests vs the jit encoders and the Python TopK."""
+
+import numpy as np
+import pytest
+
+import innr_tpu as it
+from innr_tpu import _native
+from innr_tpu.loader import encode_binary_host, encode_ternary_host, quantize_u8_host
+
+
+class TestNativeTopK:
+    def test_insert_batch_equals_streaming(self, rng):
+        dists = rng.standard_normal(500).astype(np.float32) ** 2
+        dists[17] = np.nan
+        ids = np.arange(500, dtype=np.uint32)
+        a = it.TopK(7)
+        a.insert_batch(ids, dists)
+        b = it.TopK(7)
+        for i, d in zip(ids, dists):
+            b.insert(int(i), float(d))
+        assert a.into_sorted() == b.into_sorted()
+
+    def test_incremental_batches(self, rng):
+        a = it.TopK(5)
+        b = it.TopK(5)
+        all_d = rng.standard_normal(300).astype(np.float32) ** 2
+        ids = np.arange(300, dtype=np.uint32)
+        for lo in range(0, 300, 50):
+            a.insert_batch(ids[lo:lo+50], all_d[lo:lo+50])
+        b.insert_batch(ids, all_d)
+        assert a.into_sorted() == b.into_sorted()
+
+    def test_matches_vectorized_topk(self, rng):
+        from innr_tpu.utils.order import top_k_total
+
+        dists = rng.standard_normal(400).astype(np.float32) ** 2
+        tk = it.TopK(9)
+        tk.insert_batch(np.arange(400, dtype=np.uint32), dists)
+        expect = tk.into_sorted()
+        vals, idx = top_k_total(dists, 9, largest=False)
+        assert [int(i) for i in np.asarray(idx)] == [i for i, _ in expect]
+
+    def test_ties_keep_insertion_order(self):
+        tk = it.TopK(3)
+        tk.insert_batch(np.arange(5, dtype=np.uint32), np.ones(5, np.float32))
+        assert [i for i, _ in tk.into_sorted()] == [0, 1, 2]
+
+
+class TestHostLoaders:
+    def test_binary_host_equals_device_encoder(self, rng):
+        rows = rng.standard_normal((30, 100)).astype(np.float32)
+        host = encode_binary_host(rows, 0.1)
+        device = it.PackedBinaryBatch.encode(rows, 0.1)
+        np.testing.assert_array_equal(np.asarray(host.words), np.asarray(device.words))
+
+    def test_ternary_host_equals_device_encoder(self, rng):
+        rows = rng.standard_normal((20, 70)).astype(np.float32)
+        host = encode_ternary_host(rows, 0.3)
+        device = it.PackedTernaryBatch.encode(rows, 0.3)
+        np.testing.assert_array_equal(np.asarray(host.pos), np.asarray(device.pos))
+        np.testing.assert_array_equal(np.asarray(host.neg), np.asarray(device.neg))
+
+    def test_u8_host_equals_device_quantizer(self, rng):
+        rows = rng.standard_normal((25, 60)).astype(np.float32)
+        params = it.QuantizationParams.fit(rows)
+        host = quantize_u8_host(rows, params)
+        device = it.QuantizedU8Batch.quantize(rows, params)
+        h = np.asarray(host.codes).astype(np.int32)
+        d = np.asarray(device.codes).astype(np.int32)
+        # Rounding mode at exact .5 boundaries may differ by 1 code
+        # (reference rounds half-away, XLA rounds half-even); everywhere
+        # else they are identical.
+        assert np.max(np.abs(h - d)) <= 1
+        assert np.mean(h != d) < 0.01
+
+    def test_loaded_corpus_searches(self, rng):
+        rows = rng.standard_normal((500, 64)).astype(np.float32)
+        corpus = encode_binary_host(rows, 0.0)
+        q = it.encode_binary(rows[42], 0.0)
+        counts, idx = it.binary_knn(q, corpus, 3)
+        assert idx[0] == 42 and counts[0] == 0
+
+
+@pytest.mark.skipif(not _native.available(), reason="no C compiler")
+class TestNativeDirect:
+    def test_hamming_scan(self, rng):
+        corpus = rng.integers(0, 2**32, (50, 8), dtype=np.uint32)
+        q = corpus[9]
+        got = _native.hamming_scan(q, corpus)
+        want = np.zeros(50, np.uint32)
+        for i, row in enumerate(corpus):
+            want[i] = sum(bin(int(a) ^ int(b)).count("1") for a, b in zip(row, q))
+        np.testing.assert_array_equal(got, want)
