@@ -101,11 +101,13 @@ from innr_tpu.ops.slot import (
     batch_slot_hamming_u32,
     jaccard_distance,
     minhash_jaccard,
+    minhash_knn,
     slot_compare_counts,
     slot_hamming,
     slot_hamming_u16,
     slot_hamming_u32,
     slot_hamming_u64,
+    slot_knn_u32,
 )
 from innr_tpu.ops.sparse import sparse_dot, sparse_maxsim
 from innr_tpu.ops.ternary import (

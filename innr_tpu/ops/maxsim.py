@@ -103,14 +103,17 @@ def maxsim_cosine(query_tokens, doc_tokens) -> jax.Array:
 
 
 @jax.jit
-def batch_maxsim(queries: jax.Array, docs: jax.Array) -> jax.Array:
+def batch_maxsim(queries: jax.Array, docs: jax.Array, doc_mask=None, query_mask=None) -> jax.Array:
     """MaxSim of a batch of queries against a batch of docs — the serving
     shape the reference cannot express.
 
     ``queries``: (Q, Tq, D); ``docs``: (N, Td, D). Returns (Q, N) scores in
     one einsum: ``scores[q, n] = sum_i max_j queries[q, i] . docs[n, j]``.
-    Zero-padded tokens are safe for non-negative-similarity models; for
-    signed scores mask padded tokens to -inf before the max.
+
+    Ragged token counts pad to rectangles; pass boolean masks to exclude
+    the padding exactly: ``doc_mask`` (N, Td) pins masked doc tokens to
+    -inf before the row-max (safe for signed scores), ``query_mask``
+    (Q, Tq) drops masked query tokens from the sum.
     """
     queries = jnp.asarray(queries, dtype=jnp.float32)
     docs = jnp.asarray(docs, dtype=jnp.float32)
@@ -120,4 +123,11 @@ def batch_maxsim(queries: jax.Array, docs: jax.Array) -> jax.Array:
         preferred_element_type=jnp.float32,
         precision=config.matmul_precision(),
     )
-    return jnp.sum(jnp.max(pair, axis=3), axis=2)
+    if doc_mask is not None:
+        doc_mask = jnp.asarray(doc_mask, dtype=bool)
+        pair = jnp.where(doc_mask[None, :, None, :], pair, -jnp.inf)
+    best = jnp.max(pair, axis=3)  # (Q, N, Tq)
+    if query_mask is not None:
+        query_mask = jnp.asarray(query_mask, dtype=bool)
+        best = jnp.where(query_mask[:, None, :], best, 0.0)
+    return jnp.sum(best, axis=2)

@@ -166,6 +166,38 @@ def jaccard_distance(a, b) -> jax.Array:
     return diff.astype(jnp.float32) / jnp.float32(n)
 
 
+def slot_knn_u32(query, corpus, k: int):
+    """Top-k most similar u32 sketches: smallest differing-slot counts.
+
+    TPU-native sketch retrieval (the reference provides only the pairwise
+    primitive; a MinHash corpus scan is its natural batch form). ``query``:
+    (S,) uint32; ``corpus``: (N, S) uint32. Returns
+    ``(counts ascending, indices)`` as jnp arrays.
+    """
+    query = jnp.asarray(query, dtype=jnp.uint32)
+    corpus = jnp.asarray(corpus, dtype=jnp.uint32)
+    _check_len(query, corpus, "slot_knn_u32")
+    n = int(corpus.shape[0])
+    if n == 0 or k <= 0:
+        return jnp.zeros((0,), jnp.uint32), jnp.zeros((0,), jnp.int32)
+    k = min(int(k), n)
+    counts = jnp.sum((corpus != query[None, :]).astype(jnp.int32), axis=1)
+    neg, idx = jax.lax.top_k(-counts, k)
+    return (-neg).astype(jnp.uint32), idx
+
+
+def minhash_knn(query, corpus, k: int):
+    """Top-k sketches by MinHash Jaccard similarity (descending).
+
+    Returns ``(similarities, indices)``; similarity = matching-slot
+    fraction, the :func:`minhash_jaccard` estimator applied corpus-wide.
+    """
+    counts, idx = slot_knn_u32(query, corpus, k)
+    s = jnp.asarray(query).shape[-1]
+    sims = 1.0 - counts.astype(jnp.float32) / jnp.float32(max(s, 1))
+    return sims, idx
+
+
 def batch_slot_hamming_u32(query, corpus) -> jax.Array:
     """Differing-slot counts of one u32 sketch against a sketch corpus.
 

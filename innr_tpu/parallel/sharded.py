@@ -52,45 +52,52 @@ def _invert_total_key(keys: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(keys ^ mask, jnp.float32)
 
 
-def _local_topk(q, rows_shard, n_total, k, l2):
-    """Per-shard body under shard_map: local scores -> local top-k with
-    global indices, padded rows masked out."""
+def _local_topk(qs, rows_shard, n_total, k, l2):
+    """Per-shard body under shard_map: (Q, shard) local scores -> per-query
+    local top-k with global indices, padded rows masked out."""
     shard_rows = rows_shard.shape[0]
     if l2:
-        d = rows_shard - q[None, :]
-        scores = jnp.sum(d * d, axis=1)
+        d = rows_shard[None, :, :] - qs[:, None, :]
+        scores = jnp.sum(d * d, axis=2)
     else:
         from innr_tpu import config
 
         scores = jnp.matmul(
-            rows_shard, q,
+            qs, rows_shard.T,
             preferred_element_type=jnp.float32,
             precision=config.matmul_precision(),
         )
-    keys = total_order_key_f32(scores)
+    keys = total_order_key_f32(scores)  # (Q, shard)
     if l2:
         keys = ~keys  # smaller distance = better
     base = jax.lax.axis_index(AXIS) * shard_rows
-    gidx = base + jax.lax.broadcasted_iota(jnp.int32, (shard_rows, 1), 0)[:, 0]
-    keys = jnp.where(gidx < n_total, keys, _INT_MIN)
-    top_keys, tidx = jax.lax.top_k(keys, k)
+    gidx = base + jnp.arange(shard_rows, dtype=jnp.int32)
+    keys = jnp.where(gidx[None, :] < n_total, keys, _INT_MIN)
+    top_keys, tidx = jax.lax.top_k(keys, k)  # (Q, k)
     return top_keys, gidx[tidx]
 
 
 @partial(jax.jit, static_argnames=("k", "l2", "n_total", "mesh"))
-def _sharded_knn(q, rows_sharded, k: int, l2: bool, n_total: int, mesh: Mesh):
+def _sharded_knn(qs, rows_sharded, k: int, l2: bool, n_total: int, mesh: Mesh):
+    single = qs.ndim == 1
+    if single:
+        qs = qs[None, :]
     local = jax.shard_map(
         partial(_local_topk, n_total=n_total, k=k, l2=l2),
         mesh=mesh,
         in_specs=(P(), P(AXIS, None)),
-        out_specs=(P(AXIS), P(AXIS)),
+        out_specs=(P(None, AXIS), P(None, AXIS)),
     )
-    keys, gidx = local(q, rows_sharded)  # (num_devices * k,) each
+    keys, gidx = local(qs, rows_sharded)  # (Q, num_devices * k) each
     # Final merge over the gathered candidates (tiny).
     merged_keys, pos = jax.lax.top_k(keys, k)
     if l2:
         merged_keys = ~merged_keys
-    return _invert_total_key(merged_keys), gidx[pos]
+    vals = _invert_total_key(merged_keys)
+    idx = jnp.take_along_axis(gidx, pos, axis=1)
+    if single:
+        return vals[0], idx[0]
+    return vals, idx
 
 
 class ShardedCorpus:
@@ -135,7 +142,7 @@ class ShardedCorpus:
 
 def _check(query, corpus: ShardedCorpus, k: int, op: str):
     q = jnp.asarray(query, dtype=jnp.float32)
-    if q.ndim != 1 or q.shape[0] != corpus.dimension:
+    if q.ndim not in (1, 2) or q.shape[-1] != corpus.dimension:
         raise ContractError(
             f"innr_tpu::{op}: query shape {q.shape} != dimension "
             f"{corpus.dimension}"
@@ -146,7 +153,11 @@ def _check(query, corpus: ShardedCorpus, k: int, op: str):
 
 
 def sharded_knn_dot(query, corpus: ShardedCorpus, k: int):
-    """Distributed batch_knn_dot over a :class:`ShardedCorpus`."""
+    """Distributed batch_knn_dot over a :class:`ShardedCorpus`.
+
+    ``query`` may be (D,) or a (Q, D) batch — all queries share the
+    per-shard scan and one collective merge.
+    """
     q, k = _check(query, corpus, k, "sharded_knn_dot")
     if k == 0:
         return jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32)
@@ -154,7 +165,8 @@ def sharded_knn_dot(query, corpus: ShardedCorpus, k: int):
 
 
 def sharded_knn_l2(query, corpus: ShardedCorpus, k: int):
-    """Distributed batch_knn (L2^2) over a :class:`ShardedCorpus`."""
+    """Distributed batch_knn (L2^2) over a :class:`ShardedCorpus`.
+    Accepts (D,) or (Q, D) queries."""
     q, k = _check(query, corpus, k, "sharded_knn_l2")
     if k == 0:
         return jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32)

@@ -84,3 +84,28 @@ class TestBatchMaxsim:
             for ni in range(5):
                 want = float(it.maxsim(queries[qi], docs[ni]))
                 assert got[qi, ni] == pytest.approx(want, abs=1e-4)
+
+
+class TestBatchMaxsimMasks:
+    def test_doc_mask_excludes_padding(self, rng):
+        q = rng.standard_normal((1, 3, 8)).astype(np.float32)
+        # Two docs: doc 1 is doc 0 plus a huge padded token that must be
+        # ignored under the mask.
+        d0 = rng.standard_normal((4, 8)).astype(np.float32)
+        d1 = d0.copy(); d1[3] = 100.0
+        docs = np.stack([d0, d1])
+        mask = np.ones((2, 4), bool); mask[1, 3] = False
+        scores = np.asarray(it.batch_maxsim(q, docs, doc_mask=mask))
+        # Masked doc1 == doc0 truncated to its first 3 tokens.
+        want = float(it.maxsim(q[0], d0[:3]))
+        assert scores[0, 1] == pytest.approx(want, rel=1e-5)
+        unmasked = np.asarray(it.batch_maxsim(q, docs))
+        assert unmasked[0, 1] > unmasked[0, 0]
+
+    def test_query_mask_drops_tokens(self, rng):
+        q = rng.standard_normal((1, 4, 8)).astype(np.float32)
+        docs = rng.standard_normal((2, 5, 8)).astype(np.float32)
+        qmask = np.array([[True, True, False, False]])
+        got = np.asarray(it.batch_maxsim(q, docs, query_mask=qmask))
+        want = np.asarray(it.batch_maxsim(q[:, :2], docs))
+        np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -65,3 +65,22 @@ class TestShardedKnn:
         sc = ShardedCorpus(rows)
         vals, idx = sc.knn_dot(rows[0], 4)
         assert np.asarray(idx).shape == (4,)
+
+
+class TestShardedMultiQuery:
+    def test_multi_query_matches_single(self, rng, devices_ok):
+        rows = rng.standard_normal((512, 32)).astype(np.float32)
+        sc = ShardedCorpus(rows)
+        qs = rng.standard_normal((4, 32)).astype(np.float32)
+        vals, idx = sc.knn_dot(qs, 5)
+        assert np.asarray(idx).shape == (4, 5)
+        for j in range(4):
+            v1, i1 = sc.knn_dot(qs[j], 5)
+            np.testing.assert_array_equal(np.asarray(idx)[j], np.asarray(i1))
+
+    def test_multi_query_l2(self, rng, devices_ok):
+        rows = rng.standard_normal((256, 16)).astype(np.float32)
+        sc = ShardedCorpus(rows)
+        vals, idx = sc.knn_l2(rows[[3, 9]], 2)
+        assert int(np.asarray(idx)[0, 0]) == 3
+        assert int(np.asarray(idx)[1, 0]) == 9

@@ -135,3 +135,30 @@ class TestBatch:
         got = np.asarray(it.batch_slot_hamming_u32(q, corpus))
         want = np.sum(corpus != q[None, :], axis=1)
         np.testing.assert_array_equal(got, want)
+
+
+class TestSlotKnn:
+    def test_slot_knn_matches_bruteforce(self, rng):
+        corpus = rng.integers(0, 8, (200, 64)).astype(np.uint32)
+        q = corpus[33]
+        counts, idx = it.slot_knn_u32(q, corpus, 5)
+        ref = np.sum(corpus != q[None, :], axis=1)
+        want = np.argsort(ref, kind="stable")[:5]
+        np.testing.assert_array_equal(np.asarray(idx), want)
+        np.testing.assert_array_equal(np.asarray(counts), ref[want])
+        assert int(np.asarray(idx)[0]) == 33 and int(np.asarray(counts)[0]) == 0
+
+    def test_minhash_knn_similarity(self, rng):
+        corpus = rng.integers(0, 8, (100, 32)).astype(np.uint32)
+        q = corpus[7]
+        sims, idx = it.minhash_knn(q, corpus, 3)
+        assert int(np.asarray(idx)[0]) == 7
+        assert float(np.asarray(sims)[0]) == 1.0
+        assert np.all(np.diff(np.asarray(sims)) <= 0)
+
+    def test_slot_knn_edges(self, rng):
+        corpus = rng.integers(0, 8, (5, 16)).astype(np.uint32)
+        counts, idx = it.slot_knn_u32(corpus[0], corpus, 0)
+        assert len(np.asarray(idx)) == 0
+        counts, idx = it.slot_knn_u32(corpus[0], corpus, 50)
+        assert len(np.asarray(idx)) == 5
