@@ -1,0 +1,134 @@
+"""Fused streaming MaxSim scorer: late-interaction retrieval over a
+multi-vector doc corpus without materializing the pair tensor.
+
+``batch_maxsim``'s einsum materializes (Q, N, Tq, Td) — fine for rerank
+shortlists, quadratic-memory for corpus-wide scoring. This kernel streams
+doc tiles: per grid step it computes the (docs, Td, Tq) token-interaction
+block on the MXU, reduces max-over-doc-tokens then sum-over-query-tokens in
+VMEM, and writes only the (N,) scores. The IO shape of FLASH-style fused
+MaxSim scoring, built from the same streaming discipline as the kNN kernels.
+
+Masking: padded doc tokens are pinned to -inf before the row-max via a
+(N, Td) boolean mask streamed alongside the tile, so ragged documents are
+exact, not approximated.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from innr_tpu.kernels import should_interpret
+from innr_tpu.utils.order import top_k_total
+from innr_tpu.utils.padding import pad_axis_to, round_up
+
+
+def _pick_tile_docs(n: int, td: int, d: int) -> int:
+    budget = 4 * 1024 * 1024
+    tile = budget // max(td * d * 4, 1)
+    tile = max(8, min(512, tile))
+    return round_up(min(tile, max(n, 8)), 8)
+
+
+def _maxsim_kernel(tq_true, use_mask, q_ref, docs_ref, *rest):
+    if use_mask:
+        mask_ref, out_ref = rest
+    else:
+        mask_ref = None
+        out_ref = rest[0]
+
+    from innr_tpu import config
+
+    docs = docs_ref[:]  # (TILE_DOCS, Td, D)
+    # Token interactions on the MXU: (TILE_DOCS, Td, Tq).
+    pair = jax.lax.dot_general(
+        docs,
+        q_ref[:],
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=config.matmul_precision(),
+    )
+    if use_mask:
+        pair = jnp.where(mask_ref[:][:, :, None], pair, -jnp.inf)
+    best = jnp.max(pair, axis=1)  # (TILE_DOCS, Tq): per query token best doc token
+    # Zero out padded query tokens (q rows beyond tq_true are zero anyway,
+    # but a fully-masked doc would give -inf; clamp those to 0 like the
+    # reference's empty-doc -> 0.0 contract).
+    tq_pad = best.shape[1]
+    q_lane = jax.lax.broadcasted_iota(jnp.int32, (1, tq_pad), 1)
+    best = jnp.where(q_lane < tq_true, best, 0.0)
+    best = jnp.where(jnp.isfinite(best), best, 0.0)
+    out_ref[:] = jnp.sum(best, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def fused_maxsim_scores(q_tokens: jax.Array, docs: jax.Array, doc_mask=None):
+    """MaxSim scores of one token-matrix query against an (N, Td, D) doc
+    corpus -> (N,) f32, one streamed pass.
+
+    ``doc_mask``: optional (N, Td) boolean; masked (padded) doc tokens are
+    excluded exactly. A document with no valid tokens scores 0.0 (the
+    empty-doc contract).
+    """
+    q_tokens = jnp.asarray(q_tokens, dtype=jnp.float32)
+    docs = jnp.asarray(docs, dtype=jnp.float32)
+    tq, d = q_tokens.shape
+    n, td, _ = docs.shape
+
+    tile_docs = _pick_tile_docs(n, td, d)
+    n_pad = round_up(n, tile_docs)
+    d_pad = round_up(d, 128)
+    tq_pad = round_up(tq, 8)
+    td_pad = round_up(td, 8)
+
+    docs_p = pad_axis_to(pad_axis_to(pad_axis_to(docs, 0, n_pad), 1, td_pad), 2, d_pad)
+    q_p = pad_axis_to(pad_axis_to(q_tokens, 0, tq_pad), 1, d_pad)
+    use_mask = doc_mask is not None
+    inputs = [q_p, docs_p]
+    in_specs = [
+        pl.BlockSpec((tq_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (tile_docs, td_pad, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    if use_mask:
+        mask = jnp.asarray(doc_mask, dtype=bool)
+        mask_p = pad_axis_to(pad_axis_to(mask, 0, n_pad), 1, td_pad)
+        inputs.append(mask_p)
+        in_specs.append(
+            pl.BlockSpec((tile_docs, td_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+    elif td_pad != td:
+        # Padded doc tokens are zero rows; their dot with any query token is
+        # 0, which can only win a max when all real scores are negative.
+        # Supply an implicit mask in that case for exactness.
+        mask = jnp.ones((n, td), dtype=bool)
+        mask_p = pad_axis_to(pad_axis_to(mask, 0, n_pad), 1, td_pad)
+        inputs.append(mask_p)
+        in_specs.append(
+            pl.BlockSpec((tile_docs, td_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        use_mask = True
+
+    out = pl.pallas_call(
+        functools.partial(_maxsim_kernel, tq, use_mask),
+        grid=(n_pad // tile_docs,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tile_docs, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        interpret=should_interpret(),
+    )(*inputs)
+    return out[:n, 0]
+
+
+def fused_maxsim_knn(q_tokens: jax.Array, docs: jax.Array, k: int, doc_mask=None):
+    """Top-k docs by MaxSim against a token-matrix query — fused scoring
+    plus total-order selection. Returns (scores descending, indices)."""
+    scores = fused_maxsim_scores(q_tokens, docs, doc_mask)
+    return top_k_total(scores, k, largest=True)

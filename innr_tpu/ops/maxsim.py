@@ -21,7 +21,7 @@ import numpy as np
 from innr_tpu.config import NORM_EPSILON
 from innr_tpu.utils.asserts import ContractError
 
-__all__ = ["maxsim", "maxsim_cosine", "batch_maxsim"]
+__all__ = ["maxsim", "maxsim_cosine", "batch_maxsim", "maxsim_knn"]
 
 
 def _tokens_2d(tokens, name: str) -> jax.Array:
@@ -131,3 +131,39 @@ def batch_maxsim(queries: jax.Array, docs: jax.Array, doc_mask=None, query_mask=
         query_mask = jnp.asarray(query_mask, dtype=bool)
         best = jnp.where(query_mask[:, None, :], best, 0.0)
     return jnp.sum(best, axis=2)
+
+
+def maxsim_knn(query_tokens, doc_corpus, k: int, doc_mask=None):
+    """Top-k documents by MaxSim over an (N, Td, D) multi-vector corpus —
+    ColBERT-style late-interaction *retrieval*, not just pairwise scoring.
+
+    Streams the corpus through the fused Pallas MaxSim scorer (never
+    materializing the (N, Tq, Td) interaction tensor) above the dispatch
+    threshold; small corpora use the batched einsum. ``doc_mask`` (N, Td)
+    excludes padded doc tokens exactly. Returns
+    ``(scores descending, indices)`` numpy arrays.
+    """
+    import numpy as np_
+
+    q = _tokens_2d(query_tokens, "query")
+    docs = jnp.asarray(doc_corpus, dtype=jnp.float32)
+    if docs.ndim != 3 or docs.shape[2] != q.shape[1]:
+        raise ContractError(
+            f"innr_tpu::maxsim_knn: corpus shape {docs.shape} incompatible "
+            f"with query dim {q.shape[1]}"
+        )
+    n = int(docs.shape[0])
+    if n == 0 or k == 0 or q.shape[0] == 0:
+        return np_.zeros((0,), np_.float32), np_.zeros((0,), np_.int64)
+    k = min(int(k), n)
+    from innr_tpu import config
+    from innr_tpu.utils.order import top_k_total
+
+    if n >= max(config.MIN_ROWS_PALLAS // 16, 64) and not config.reference_forced():
+        from innr_tpu.kernels import maxsim_kernel as _kern
+
+        vals, idx = _kern.fused_maxsim_knn(q, docs, k, doc_mask)
+    else:
+        scores = batch_maxsim(q[None], docs, doc_mask=doc_mask)[0]
+        vals, idx = top_k_total(scores, k, largest=True)
+    return np_.asarray(vals), np_.asarray(idx, dtype=np_.int64)

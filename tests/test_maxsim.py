@@ -109,3 +109,52 @@ class TestBatchMaxsimMasks:
         got = np.asarray(it.batch_maxsim(q, docs, query_mask=qmask))
         want = np.asarray(it.batch_maxsim(q[:, :2], docs))
         np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+class TestMaxsimKnn:
+    def test_fused_matches_einsum(self, rng):
+        q = rng.standard_normal((8, 32)).astype(np.float32)
+        docs = rng.standard_normal((300, 12, 32)).astype(np.float32)
+        from innr_tpu.kernels.maxsim_kernel import fused_maxsim_scores
+
+        got = np.asarray(fused_maxsim_scores(q, docs))
+        want = np.asarray(it.batch_maxsim(q[None], docs))[0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_public_api_retrieval(self, rng):
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        docs = rng.standard_normal((200, 6, 16)).astype(np.float32)
+        docs[17, :4] = q[[0, 1, 2, 3]]  # plant the query tokens in doc 17
+        vals, idx = it.maxsim_knn(q, docs, 3)
+        assert idx[0] == 17
+        assert np.all(np.diff(vals) <= 0)
+
+    def test_doc_mask_exact(self, rng):
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        docs = rng.standard_normal((150, 8, 16)).astype(np.float32)
+        mask = rng.random((150, 8)) < 0.7
+        mask[:, 0] = True  # at least one valid token each
+        from innr_tpu.kernels.maxsim_kernel import fused_maxsim_scores
+
+        got = np.asarray(fused_maxsim_scores(q, docs, doc_mask=mask))
+        want = np.asarray(it.batch_maxsim(q[None], docs, doc_mask=mask))[0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_all_masked_doc_scores_zero(self, rng):
+        q = rng.standard_normal((2, 16)).astype(np.float32)
+        docs = rng.standard_normal((100, 4, 16)).astype(np.float32)
+        mask = np.ones((100, 4), bool)
+        mask[5] = False  # doc 5 has no valid tokens
+        from innr_tpu.kernels.maxsim_kernel import fused_maxsim_scores
+
+        got = np.asarray(fused_maxsim_scores(q, docs, doc_mask=mask))
+        assert got[5] == 0.0
+
+    def test_edges(self, rng):
+        docs = rng.standard_normal((10, 4, 8)).astype(np.float32)
+        vals, idx = it.maxsim_knn(np.zeros((0, 8), np.float32), docs, 3)
+        assert len(idx) == 0
+        vals, idx = it.maxsim_knn(np.ones((2, 8), np.float32), docs, 0)
+        assert len(idx) == 0
+        with pytest.raises(it.ContractError):
+            it.maxsim_knn(np.ones((2, 9), np.float32), docs, 3)
