@@ -198,11 +198,6 @@ def _cosine_scores(q: jax.Array, rows: jax.Array, norms: jax.Array) -> jax.Array
     return jnp.where(ok, dots / jnp.where(ok, denom, 1.0), 0.0)
 
 
-@partial(jax.jit, static_argnames=("k", "largest"))
-def _select_topk(scores: jax.Array, k: int, largest: bool):
-    return top_k_total(scores, k, largest=largest)
-
-
 @partial(jax.jit, static_argnames=("k",))
 def _knn_l2(q: jax.Array, rows: jax.Array, k: int):
     return top_k_total(_l2sq_scores(q, rows), k, largest=False)
@@ -399,7 +394,7 @@ def batch_knn(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
     if batch.num_vectors == 0 or k == 0:
         return _empty_result()
     k = min(int(k), batch.num_vectors)
-    if _use_fused(batch.num_vectors):
+    if _use_fused(batch.num_vectors, k):
         from innr_tpu.kernels import knn as _kernels
 
         if q.ndim == 2:
@@ -427,7 +422,7 @@ def batch_knn_dot(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
     if batch.num_vectors == 0 or k == 0:
         return _empty_result()
     k = min(int(k), batch.num_vectors)
-    if _use_fused(batch.num_vectors):
+    if _use_fused(batch.num_vectors, k):
         from innr_tpu.kernels import knn as _kernels
 
         if q.ndim == 2:
@@ -544,12 +539,13 @@ def batch_knn_adaptive(
     return _result(vals[keep], idx[keep])
 
 
-def _use_fused(num_rows: int) -> bool:
+def _use_fused(num_rows: int, k: int = 1) -> bool:
     """Dispatch gate for the Pallas fused kernel (analog of the reference's
-    per-module SIMD length thresholds)."""
+    per-module SIMD length thresholds). k beyond the kernel's 128-lane
+    running-best buffer falls back to the XLA top-k path."""
     if config.reference_forced():
         return False
-    if num_rows < config.MIN_ROWS_PALLAS:
+    if num_rows < config.MIN_ROWS_PALLAS or k > 128:
         return False
     try:
         from innr_tpu.kernels import knn as _kernels  # noqa: F401

@@ -245,8 +245,6 @@ def binary_knn(query: PackedBinary, corpus: PackedBinaryBatch, k: int):
     the fused Pallas streaming scan (one HBM pass over 1 bit/dim codes, no
     count materialization); small ones use the jnp path.
     """
-    import numpy as np_  # local alias; np already imported module-level
-
     if query.dimension != corpus.dimension:
         raise ContractError(
             f"innr_tpu::binary_knn: dimension mismatch "
@@ -258,7 +256,7 @@ def binary_knn(query: PackedBinary, corpus: PackedBinaryBatch, k: int):
     k = min(int(k), n)
     from innr_tpu import config
 
-    if n >= config.MIN_ROWS_PALLAS and not config.reference_forced():
+    if n >= config.MIN_ROWS_PALLAS and k <= 128 and not config.reference_forced():
         from innr_tpu.kernels import packed_knn as _kern
 
         counts, idx = _kern.fused_binary_knn(query.words, corpus.words_t, k)
@@ -299,7 +297,7 @@ def binary_knn_batch(queries, corpus: PackedBinaryBatch, k: int):
     k = min(int(k), n)
     from innr_tpu import config
 
-    if n >= config.MIN_ROWS_PALLAS and not config.reference_forced():
+    if n >= config.MIN_ROWS_PALLAS and k <= 128 and not config.reference_forced():
         from innr_tpu.kernels import packed_knn as _kern
 
         counts, idx = _kern.fused_binary_knn_batch(q_words, corpus.words_t, k)

@@ -143,8 +143,6 @@ def maxsim_knn(query_tokens, doc_corpus, k: int, doc_mask=None):
     excludes padded doc tokens exactly. Returns
     ``(scores descending, indices)`` numpy arrays.
     """
-    import numpy as np_
-
     q = _tokens_2d(query_tokens, "query")
     docs = jnp.asarray(doc_corpus, dtype=jnp.float32)
     if docs.ndim != 3 or docs.shape[2] != q.shape[1]:
@@ -154,7 +152,7 @@ def maxsim_knn(query_tokens, doc_corpus, k: int, doc_mask=None):
         )
     n = int(docs.shape[0])
     if n == 0 or k == 0 or q.shape[0] == 0:
-        return np_.zeros((0,), np_.float32), np_.zeros((0,), np_.int64)
+        return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
     k = min(int(k), n)
     from innr_tpu import config
     from innr_tpu.utils.order import top_k_total
@@ -166,4 +164,4 @@ def maxsim_knn(query_tokens, doc_corpus, k: int, doc_mask=None):
     else:
         scores = batch_maxsim(q[None], docs, doc_mask=doc_mask)[0]
         vals, idx = top_k_total(scores, k, largest=True)
-    return np_.asarray(vals), np_.asarray(idx, dtype=np_.int64)
+    return np.asarray(vals), np.asarray(idx, dtype=np.int64)

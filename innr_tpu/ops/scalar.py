@@ -252,7 +252,7 @@ def batch_knn_u8(
     k = min(int(k), int(codes.shape[0]))
     from innr_tpu import config
 
-    if int(codes.shape[0]) >= config.MIN_ROWS_PALLAS and not config.reference_forced():
+    if int(codes.shape[0]) >= config.MIN_ROWS_PALLAS and k <= 128 and not config.reference_forced():
         # Fused Pallas scan: codes stream as u8 (1 byte/dim HBM traffic),
         # widen on-chip; the affine correction is a per-query monotone map
         # (alpha > 0 by construction), applied after selection.

@@ -356,7 +356,7 @@ def ternary_knn(query: PackedTernary, corpus: PackedTernaryBatch, k: int):
     k = min(int(k), n)
     from innr_tpu import config
 
-    if n >= config.MIN_ROWS_PALLAS and not config.reference_forced():
+    if n >= config.MIN_ROWS_PALLAS and k <= 128 and not config.reference_forced():
         from innr_tpu.kernels import packed_knn as _kern
 
         dots, idx = _kern.fused_ternary_knn(

@@ -162,3 +162,41 @@ class TestPipelineBatch:
             )
             res = index.search_batch(rows[[2, 7]], 3)
             assert res.indices[0, 0] == 2 and res.indices[1, 0] == 7
+
+
+class TestLargeKFallback:
+    def test_k_over_128_uses_xla_path(self, rng):
+        n = config.MIN_ROWS_PALLAS + 64
+        rows = rng.standard_normal((n, 16)).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        q = rng.standard_normal(16).astype(np.float32)
+        res = it.batch_knn_dot(q, vb, 200)  # > kernel buffer width
+        assert len(res.indices) == 200
+        dots = rows.astype(np.float64) @ q.astype(np.float64)
+        np.testing.assert_array_equal(
+            res.indices, np.argsort(-dots, kind="stable")[:200]
+        )
+
+    def test_binary_knn_large_k(self, rng):
+        n = config.MIN_ROWS_PALLAS + 8
+        rows = rng.standard_normal((n, 64)).astype(np.float32)
+        corpus = it.PackedBinaryBatch.encode(rows, 0.0)
+        q = it.encode_binary(rows[0], 0.0)
+        counts, idx = it.binary_knn(q, corpus, 300)
+        assert len(idx) == 300 and idx[0] == 0
+
+    def test_ternary_knn_large_k(self, rng):
+        n = config.MIN_ROWS_PALLAS + 8
+        rows = rng.standard_normal((n, 64)).astype(np.float32)
+        corpus = it.PackedTernaryBatch.encode(rows, 0.5)
+        q = it.encode_ternary(rows[3], 0.5)
+        dots, idx = it.ternary_knn(q, corpus, 200)
+        assert len(idx) == 200 and idx[0] == 3
+
+    def test_batch_knn_u8_large_k(self, rng):
+        n = config.MIN_ROWS_PALLAS + 8
+        rows = rng.standard_normal((n, 32)).astype(np.float32)
+        params = it.QuantizationParams.fit(rows)
+        batch = it.QuantizedU8Batch.quantize(rows, params)
+        res = it.batch_knn_u8(rows[5], batch, params, 200)
+        assert len(res) == 200 and res[0][0] == 5
