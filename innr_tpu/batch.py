@@ -439,12 +439,21 @@ def batch_knn_dot(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
 def batch_knn_cosine(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
     """Top-k by cosine similarity (reference ``src/batch.rs:766``).
 
-    Precomputes corpus norms once, then one MXU matvec. Scores descending.
+    Precomputes corpus norms once, then one MXU matvec (the fused Pallas
+    scan streams inverse norms alongside the corpus for large N). Scores
+    descending. A zero-norm query scores everything 0.0 (jnp path).
     """
     q = _check_query(query, batch, "batch_knn_cosine")
     if batch.num_vectors == 0 or k == 0:
         return _empty_result()
     k = min(int(k), batch.num_vectors)
+    if _use_fused(batch.num_vectors, k) and q.ndim == 1:
+        qn = float(jnp.sqrt(jnp.sum(q * q)))
+        if qn > NORM_EPSILON:
+            from innr_tpu.kernels import knn as _kernels
+
+            vals, idx = _kernels.fused_knn_cosine(q, batch.rows, k)
+            return _result(vals, idx)
     vals, idx = _knn_cosine(q, batch.rows, k)
     return _result(vals, idx)
 

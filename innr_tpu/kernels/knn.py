@@ -168,10 +168,12 @@ def masked_global_idx(step, n_q: int, tile_n: int, n_rows: int, keys):
     return keys, global_idx
 
 
-def _knn_kernel(n_rows, k, want_norms, q_ref, rows_ref, *rest):
+def _knn_kernel(n_rows, k, mode, q_ref, rows_ref, *rest):
     """One grid step: score a tile for all queries, merge into the running
-    best iff some query can improve."""
-    if want_norms:
+    best iff some query can improve. ``mode``: "dot" | "l2" | "cosine"
+    (l2 streams per-row squared norms; cosine streams per-row inverse
+    norms)."""
+    if mode != "dot":
         norms_ref, keys_out, idx_out, best_keys, best_idx = rest
     else:
         norms_ref = None
@@ -199,12 +201,16 @@ def _knn_kernel(n_rows, k, want_norms, q_ref, rows_ref, *rest):
         preferred_element_type=jnp.float32,
         precision=config.matmul_precision(),
     )
-    if want_norms:
+    if mode == "l2":
         # L2 decomposition: norms2 - 2 * dot (||q||^2 added on host).
         scores = norms_ref[:] - 2.0 * scores
+    elif mode == "cosine":
+        # dot * (1/||r||); the 1/||q|| factor is a per-query monotone
+        # scale applied on the host.
+        scores = scores * norms_ref[:]
 
     keys = f32_keys(scores)
-    if want_norms:
+    if mode == "l2":
         keys = ~keys  # L2: smaller distance = better
 
     keys, global_idx = masked_global_idx(step, n_q, tile_n, n_rows, keys)
@@ -214,8 +220,8 @@ def _knn_kernel(n_rows, k, want_norms, q_ref, rows_ref, *rest):
     idx_out[:] = best_idx[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "l2"))
-def _fused_knn(qs: jax.Array, rows: jax.Array, norms2, k: int, l2: bool):
+@functools.partial(jax.jit, static_argnames=("k", "mode"))
+def _fused_knn(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str = "dot"):
     n_q, d = qs.shape
     n, _ = rows.shape
     # u8 corpora: 1 byte/element in VMEM and a (32, 128) min tile.
@@ -234,14 +240,14 @@ def _fused_knn(qs: jax.Array, rows: jax.Array, norms2, k: int, l2: bool):
         pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     inputs = [qs_p, rows_p]
-    if l2:
-        norms_p = pad_axis_to(norms2[None, :], 1, n_pad)
+    if mode != "dot":
+        aux_p = pad_axis_to(aux[None, :], 1, n_pad)
         in_specs.append(
             pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM)
         )
-        inputs.append(norms_p)
+        inputs.append(aux_p)
 
-    kernel = functools.partial(_knn_kernel, n, k, l2)
+    kernel = functools.partial(_knn_kernel, n, k, mode)
     keys, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -263,7 +269,7 @@ def _fused_knn(qs: jax.Array, rows: jax.Array, norms2, k: int, l2: bool):
 
     keys = keys[:n_q, :k]
     idx = idx[:n_q, :k]
-    if l2:
+    if mode == "l2":
         keys = ~keys
     vals = _invert_total_key(keys)
     return vals, idx
@@ -281,7 +287,7 @@ def fused_knn_dot(q: jax.Array, rows: jax.Array, k: int):
     identical to the jnp path in :func:`innr_tpu.batch.batch_knn_dot`.
     """
     _check_k(k)
-    vals, idx = _fused_knn(q[None, :], rows, None, k, l2=False)
+    vals, idx = _fused_knn(q[None, :], rows, None, k, mode="dot")
     return vals[0], idx[0]
 
 
@@ -294,7 +300,7 @@ def fused_knn_l2(q: jax.Array, rows: jax.Array, k: int):
     """
     _check_k(k)
     norms2 = jnp.sum(rows * rows, axis=1)
-    vals, idx = _fused_knn(q[None, :], rows, norms2, k, l2=True)
+    vals, idx = _fused_knn(q[None, :], rows, norms2, k, mode="l2")
     qq = jnp.sum(q * q)
     return jnp.maximum(vals[0] + qq, 0.0), idx[0]
 
@@ -307,14 +313,14 @@ def fused_knn_dot_batch(qs: jax.Array, rows: jax.Array, k: int):
     Returns ``(scores (Q, k), indices (Q, k))``.
     """
     _check_k(k)
-    return _fused_knn(qs, rows, None, k, l2=False)
+    return _fused_knn(qs, rows, None, k, mode="dot")
 
 
 def fused_knn_l2_batch(qs: jax.Array, rows: jax.Array, k: int):
     """Top-k L2^2 for a (Q, D) query batch in one kernel launch."""
     _check_k(k)
     norms2 = jnp.sum(rows * rows, axis=1)
-    vals, idx = _fused_knn(qs, rows, norms2, k, l2=True)
+    vals, idx = _fused_knn(qs, rows, norms2, k, mode="l2")
     qq = jnp.sum(qs * qs, axis=1, keepdims=True)
     return jnp.maximum(vals + qq, 0.0), idx
 
@@ -331,4 +337,22 @@ def fused_knn_u8_batch(qs: jax.Array, codes: jax.Array, k: int):
     _check_k(k)
     if codes.dtype != jnp.uint8:
         raise ValueError("fused_knn_u8_batch expects uint8 codes")
-    return _fused_knn(qs, codes, None, k, l2=False)
+    return _fused_knn(qs, codes, None, k, mode="dot")
+
+
+def fused_knn_cosine(q: jax.Array, rows: jax.Array, k: int):
+    """Top-k by cosine similarity — fused scan with per-row inverse norms
+    streamed alongside the corpus tiles.
+
+    Zero-norm corpus rows score exactly 0.0 (the reference guard); a
+    zero-norm *query* cannot be expressed as a monotone scale, so callers
+    (``batch_knn_cosine``) route that case to the jnp path.
+    """
+    _check_k(k)
+    from innr_tpu.config import NORM_EPSILON
+
+    norms = jnp.sqrt(jnp.sum(rows * rows, axis=1))
+    inv = jnp.where(norms > NORM_EPSILON, 1.0 / jnp.where(norms > 0, norms, 1.0), 0.0)
+    vals, idx = _fused_knn(q[None, :], rows, inv, k, mode="cosine")
+    qn = jnp.sqrt(jnp.sum(q * q))
+    return vals[0] / qn, idx[0]

@@ -134,3 +134,40 @@ class TestFusedBatch:
         for j in range(4):
             single = it.batch_knn(qs[j], vb, 3)
             np.testing.assert_array_equal(res.indices[j], single.indices)
+
+
+class TestFusedCosine:
+    def test_fused_cosine_matches_oracle(self, rng):
+        rows = rng.standard_normal((900, 48)).astype(np.float32)
+        rows[17] = 0.0  # zero-norm row must score exactly 0.0
+        q = rng.standard_normal(48).astype(np.float32)
+        vals, idx = kknn.fused_knn_cosine(jnp.asarray(q), jnp.asarray(rows), 6)
+        norms = np.linalg.norm(rows.astype(np.float64), axis=1)
+        qn = np.linalg.norm(q.astype(np.float64))
+        ref = np.where(norms > 1e-9, rows.astype(np.float64) @ q / (qn * np.maximum(norms, 1e-30)), 0.0)
+        want = np.argsort(-ref, kind="stable")[:6]
+        np.testing.assert_array_equal(np.asarray(idx), want)
+        np.testing.assert_allclose(np.asarray(vals), ref[want], rtol=1e-4, atol=1e-5)
+
+    def test_dispatch_matches_jnp_path(self, rng):
+        from innr_tpu import config
+
+        rows = rng.standard_normal((config.MIN_ROWS_PALLAS + 16, 24)).astype(np.float32)
+        q = rng.standard_normal(24).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn_cosine(q, vb, 5)
+        config.force_reference(True)
+        try:
+            ref = it.batch_knn_cosine(q, vb, 5)
+        finally:
+            config.force_reference(False)
+        np.testing.assert_array_equal(res.indices, ref.indices)
+        np.testing.assert_allclose(res.scores, ref.scores, rtol=1e-4, atol=1e-5)
+
+    def test_zero_query_norm_falls_back(self, rng):
+        from innr_tpu import config
+
+        rows = rng.standard_normal((config.MIN_ROWS_PALLAS + 16, 8)).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn_cosine(np.zeros(8, np.float32), vb, 3)
+        np.testing.assert_array_equal(res.scores, np.zeros(3, np.float32))
