@@ -36,14 +36,28 @@ def main():
 
     rho = spearman(exact, -hamm)  # low Hamming = high similarity
     print(f"Spearman rho (binary Hamming vs exact cosine), d={d}: {rho:.3f}")
-    assert rho > 0.7, "binary ranking must correlate strongly at d=512"
+    # Pure-random corpora are the worst case for sign bits: the cosine
+    # spread (~1/sqrt(d)) is comparable to the bit-estimator noise, so
+    # rho ~ 0.6 at d=512 is expected; real (clustered) embeddings score
+    # far higher (see binary_demo.py / two_stage_pipeline.py).
+    assert rho > 0.45, "binary ranking must correlate at d=512"
 
-    for d_small in (64, 128, 256):
+    rhos = [rho]
+    for d_small in (256, 128, 64):
         pk = it.encode_binary_batch(corpus[:, :d_small], 0.0)
         qk = it.encode_binary(q[:d_small], 0.0)
         hk = np.asarray(it.batch_binary_hamming(qk, pk)).astype(np.float64)
-        print(f"  d={d_small}: rho = {spearman(exact, -hk):.3f}")
-    print("OK: fidelity grows with dimension")
+        # Exact ranking restricted to the same prefix, so the comparison
+        # isolates quantization error from truncation error.
+        exact_small = corpus[:, :d_small].astype(np.float64) @ q[:d_small].astype(np.float64)
+        r = spearman(exact_small, -hk)
+        rhos.append(r)
+        print(f"  d={d_small}: rho = {r:.3f}")
+    # With prefix-matched exact rankings, rho is roughly flat in d: both
+    # the cosine spread and the sign-bit noise scale as 1/sqrt(d) on
+    # isotropic data. It rises with d only when later dims add signal.
+    assert all(r > 0.45 for r in rhos), rhos
+    print("OK: rank fidelity stable across dimensions on isotropic data")
 
 
 if __name__ == "__main__":
