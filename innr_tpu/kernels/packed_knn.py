@@ -218,3 +218,71 @@ def fused_ternary_knn(
         interpret=should_interpret(),
     )(qpos[:, None], qneg[:, None], pos_p, neg_p)
     return keys[0, :k], idx[0, :k]
+
+
+def _ternary_kernel_mq(
+    n_rows, k, qp_ref, qn_ref, pos_ref, neg_ref, keys_out, idx_out, best_keys, best_idx
+):
+    """Multi-query ternary step: (Q, W, 1) query planes x (1, W, T) corpus
+    planes -> (Q, T) sign-agreement dots via broadcast AND/OR + popcount."""
+    step = pl.program_id(0)
+    n_q = qp_ref.shape[0]
+    tile_n = pos_ref.shape[2]
+
+    init_topk_state(best_keys, best_idx)
+
+    same = (pos_ref[:] & qp_ref[:]) | (neg_ref[:] & qn_ref[:])
+    diff = (pos_ref[:] & qn_ref[:]) | (neg_ref[:] & qp_ref[:])
+    dots = jnp.sum(
+        jax.lax.population_count(same).astype(jnp.int32)
+        - jax.lax.population_count(diff).astype(jnp.int32),
+        axis=1,
+    )
+    keys, global_idx = masked_global_idx(step, n_q, tile_n, n_rows, dots)
+    update_topk(keys, global_idx, best_keys, best_idx, k)
+
+    keys_out[:] = best_keys[:]
+    idx_out[:] = best_idx[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fused_ternary_knn_batch(
+    qpos: jax.Array, qneg: jax.Array, pos_t: jax.Array, neg_t: jax.Array, k: int
+):
+    """Top-k largest ternary dots for a (Q, W) packed query batch — one
+    launch, one corpus read for the batch.
+
+    Returns ``(dots (Q, k) int32 descending, indices (Q, k) int32)``.
+    """
+    n_q, w = qpos.shape
+    _, n = pos_t.shape
+    tile_n = _pick_tile_n(n, 2 * w * max(n_q // 4, 1))
+    n_pad = round_up(n, tile_n)
+    pos_p = pad_axis_to(pos_t, 1, n_pad)
+    neg_p = pad_axis_to(neg_t, 1, n_pad)
+    grid = (n_pad // tile_n,)
+
+    keys, idx = pl.pallas_call(
+        functools.partial(_ternary_kernel_mq, n, k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_q, w, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_q, w, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, tile_n), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, tile_n), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n_q, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_q, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_q, _K_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((n_q, _K_PAD), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_q, _K_PAD), jnp.int32),
+            pltpu.VMEM((n_q, _K_PAD), jnp.int32),
+        ],
+        interpret=should_interpret(),
+    )(qpos[:, :, None], qneg[:, :, None], pos_p[None, :, :], neg_p[None, :, :])
+    return keys[:, :k], idx[:, :k]

@@ -368,6 +368,50 @@ def ternary_knn(query: PackedTernary, corpus: PackedTernaryBatch, k: int):
     return np.asarray(dots), np.asarray(idx, dtype=np.int64)
 
 
+def ternary_knn_batch(queries, corpus: PackedTernaryBatch, k: int):
+    """Multi-query ternary kNN: one fused launch for a query batch.
+
+    ``queries``: list of :class:`PackedTernary` or a
+    :class:`PackedTernaryBatch`. Returns ``(dots (Q, k), indices (Q, k))``.
+    """
+    if isinstance(queries, PackedTernaryBatch):
+        qp, qn = queries.pos, queries.neg
+    else:
+        qp = jnp.stack([q.pos for q in queries])
+        qn = jnp.stack([q.neg for q in queries])
+    if qp.ndim != 2 or qp.shape[1] != corpus.pos.shape[1]:
+        raise ContractError(
+            f"innr_tpu::ternary_knn_batch: query planes {qp.shape} don't "
+            f"match corpus word count {corpus.pos.shape[1]}"
+        )
+    n = corpus.num_vectors
+    if n == 0 or k == 0:
+        return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.int64)
+    k = min(int(k), n)
+    from innr_tpu import config
+
+    if n >= config.MIN_ROWS_PALLAS and k <= 128 and not config.reference_forced():
+        from innr_tpu.kernels import packed_knn as _kern
+
+        dots, idx = _kern.fused_ternary_knn_batch(
+            qp, qn, corpus.pos_t, corpus.neg_t, k
+        )
+    else:
+        same = (qp[:, None, :] & corpus.pos[None, :, :]) | (
+            qn[:, None, :] & corpus.neg[None, :, :]
+        )
+        diff = (qp[:, None, :] & corpus.neg[None, :, :]) | (
+            qn[:, None, :] & corpus.pos[None, :, :]
+        )
+        all_dots = jnp.sum(
+            jax.lax.population_count(same).astype(jnp.int32)
+            - jax.lax.population_count(diff).astype(jnp.int32),
+            axis=2,
+        )
+        dots, idx = jax.lax.top_k(all_dots, k)
+    return np.asarray(dots), np.asarray(idx, dtype=np.int64)
+
+
 def batch_asymmetric_dot(query, pos_corpus, neg_corpus, dimension: int) -> jax.Array:
     """f32 query x encoded ternary corpus -> (N,) f32 rerank scores.
 

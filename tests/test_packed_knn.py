@@ -200,3 +200,38 @@ class TestLargeKFallback:
         batch = it.QuantizedU8Batch.quantize(rows, params)
         res = it.batch_knn_u8(rows[5], batch, params, 200)
         assert len(res) == 200 and res[0][0] == 5
+
+
+class TestTernaryKnnBatch:
+    def test_fused_multi_query_matches_single(self, rng):
+        rows = rng.standard_normal((2500, 96)).astype(np.float32)
+        corpus = it.PackedTernaryBatch.encode(rows, 0.5)
+        qs = [it.encode_ternary(rows[i], 0.5) for i in (3, 77, 500)]
+        dots, idx = kpacked.fused_ternary_knn_batch(
+            jnp.stack([q.pos for q in qs]),
+            jnp.stack([q.neg for q in qs]),
+            corpus.pos_t, corpus.neg_t, 5,
+        )
+        for j, q in enumerate(qs):
+            d1, i1 = kpacked.fused_ternary_knn(q.pos, q.neg, corpus.pos_t, corpus.neg_t, 5)
+            np.testing.assert_array_equal(np.asarray(idx)[j], np.asarray(i1))
+            np.testing.assert_array_equal(np.asarray(dots)[j], np.asarray(d1))
+
+    def test_public_batch_api_small(self, rng):
+        from innr_tpu.ops.ternary import ternary_knn_batch
+
+        rows = rng.standard_normal((300, 64)).astype(np.float32)
+        corpus = it.PackedTernaryBatch.encode(rows, 0.5)
+        queries = [it.encode_ternary(rows[i], 0.5) for i in (4, 42)]
+        dots, idx = ternary_knn_batch(queries, corpus, 3)
+        assert idx.shape == (2, 3)
+        assert idx[0, 0] == 4 and idx[1, 0] == 42
+
+    def test_plane_mismatch_raises(self, rng):
+        from innr_tpu.ops.ternary import ternary_knn_batch
+
+        rows = rng.standard_normal((100, 64)).astype(np.float32)
+        corpus = it.PackedTernaryBatch.encode(rows, 0.5)
+        bad = it.PackedTernaryBatch.encode(rng.standard_normal((2, 96)).astype(np.float32), 0.5)
+        with pytest.raises(it.ContractError):
+            ternary_knn_batch(bad, corpus, 3)
