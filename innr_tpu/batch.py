@@ -231,6 +231,21 @@ def _knn_cosine(q: jax.Array, rows: jax.Array, k: int):
 
 
 @partial(jax.jit, static_argnames=("k",))
+def _knn_cosine_multi(qs: jax.Array, rows: jax.Array, k: int):
+    norms = _norms(rows)
+    dots = jnp.matmul(
+        qs, rows.T,
+        preferred_element_type=jnp.float32,
+        precision=config.matmul_precision(),
+    )
+    qn = jnp.sqrt(jnp.sum(qs * qs, axis=1, keepdims=True))
+    denom = qn * norms[None, :]
+    ok = (qn > NORM_EPSILON) & (norms[None, :] > NORM_EPSILON)
+    scores = jnp.where(ok, dots / jnp.where(ok, denom, 1.0), 0.0)
+    return top_k_total(scores, k, largest=True)
+
+
+@partial(jax.jit, static_argnames=("k",))
 def _knn_l2_masked(q: jax.Array, rows: jax.Array, mask: jax.Array, k: int):
     """Top-k smallest L2^2 among rows where ``mask``; non-passing rows get
     the maximal int32 key so they sort strictly last."""
@@ -252,7 +267,10 @@ def _knn_adaptive(q: jax.Array, rows: jax.Array, k: int, warmup_dims: int):
     partial_d = jnp.sum(dw * dw, axis=1)
     kth_vals, _ = top_k_total(partial_d, k, largest=False)
     threshold = kth_vals[-1] * scale
-    alive = partial_d * scale <= threshold * 1.5
+    # Inverted gate so NaN warmup partials stay alive, matching the
+    # reference's "estimated > threshold * 1.5 -> prune" (false for NaN,
+    # src/batch.rs:474-488).
+    alive = ~(partial_d * scale > threshold * 1.5)
 
     # Phase 2: exact distances; the static-threshold prune
     # (full <= threshold) is exactly the reference's per-dimension
@@ -366,10 +384,13 @@ def batch_dimension_variance(batch: VerticalBatch) -> jax.Array:
 # kNN family
 # ---------------------------------------------------------------------------
 
-def _empty_result() -> BatchKnnResult:
+def _empty_result(q=None) -> BatchKnnResult:
+    """Empty result; shaped (Q, 0) for a 2-D query batch so per-query
+    indexing works on the k=0 / empty-corpus edge."""
+    shape = (0,) if q is None or getattr(q, "ndim", 1) == 1 else (int(q.shape[0]), 0)
     return BatchKnnResult(
-        indices=np.zeros((0,), dtype=np.int64),
-        scores=np.zeros((0,), dtype=np.float32),
+        indices=np.zeros(shape, dtype=np.int64),
+        scores=np.zeros(shape, dtype=np.float32),
     )
 
 
@@ -392,7 +413,7 @@ def batch_knn(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
     """
     q = _check_query(query, batch, "batch_knn", allow_multi=True)
     if batch.num_vectors == 0 or k == 0:
-        return _empty_result()
+        return _empty_result(q)
     k = min(int(k), batch.num_vectors)
     if _use_fused(batch.num_vectors, k):
         from innr_tpu.kernels import knn as _kernels
@@ -420,7 +441,7 @@ def batch_knn_dot(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
     """
     q = _check_query(query, batch, "batch_knn_dot", allow_multi=True)
     if batch.num_vectors == 0 or k == 0:
-        return _empty_result()
+        return _empty_result(q)
     k = min(int(k), batch.num_vectors)
     if _use_fused(batch.num_vectors, k):
         from innr_tpu.kernels import knn as _kernels
@@ -441,20 +462,27 @@ def batch_knn_cosine(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
 
     Precomputes corpus norms once, then one MXU matvec (the fused Pallas
     scan streams inverse norms alongside the corpus for large N). Scores
-    descending. A zero-norm query scores everything 0.0 (jnp path).
-    """
-    q = _check_query(query, batch, "batch_knn_cosine")
-    if batch.num_vectors == 0 or k == 0:
-        return _empty_result()
-    k = min(int(k), batch.num_vectors)
-    if _use_fused(batch.num_vectors, k) and q.ndim == 1:
-        qn = float(jnp.sqrt(jnp.sum(q * q)))
-        if qn > NORM_EPSILON:
-            from innr_tpu.kernels import knn as _kernels
+    descending. A zero-norm query scores everything 0.0 (both paths; the
+    fused scan pre-normalizes queries on-device, so there is no host sync).
 
+    TPU-native extension: ``query`` may be a (Q, D) batch — all Q queries
+    share one corpus scan and the result arrays are (Q, k).
+    """
+    q = _check_query(query, batch, "batch_knn_cosine", allow_multi=True)
+    if batch.num_vectors == 0 or k == 0:
+        return _empty_result(q)
+    k = min(int(k), batch.num_vectors)
+    if _use_fused(batch.num_vectors, k):
+        from innr_tpu.kernels import knn as _kernels
+
+        if q.ndim == 2:
+            vals, idx = _kernels.fused_knn_cosine_batch(q, batch.rows, k)
+        else:
             vals, idx = _kernels.fused_knn_cosine(q, batch.rows, k)
-            return _result(vals, idx)
-    vals, idx = _knn_cosine(q, batch.rows, k)
+    elif q.ndim == 2:
+        vals, idx = _knn_cosine_multi(q, batch.rows, k)
+    else:
+        vals, idx = _knn_cosine(q, batch.rows, k)
     return _result(vals, idx)
 
 
@@ -550,11 +578,11 @@ def batch_knn_adaptive(
 
 def _use_fused(num_rows: int, k: int = 1) -> bool:
     """Dispatch gate for the Pallas fused kernel (analog of the reference's
-    per-module SIMD length thresholds). k beyond the kernel's 128-lane
-    running-best buffer falls back to the XLA top-k path."""
+    per-module SIMD length thresholds). k beyond the kernel's running-best
+    buffer cap (512, multi-lane) falls back to the XLA top-k path."""
     if config.reference_forced():
         return False
-    if num_rows < config.MIN_ROWS_PALLAS or k > 128:
+    if num_rows < config.MIN_ROWS_PALLAS or k > 512:
         return False
     try:
         from innr_tpu.kernels import knn as _kernels  # noqa: F401

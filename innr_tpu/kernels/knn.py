@@ -41,8 +41,12 @@ from innr_tpu.utils.padding import pad_axis_to, round_up
 _INT_MIN = jnp.iinfo(jnp.int32).min
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
-# Lane width of the running-best buffer. k is padded up to this.
-_K_PAD = 128
+# Lane width of the running-best buffer. k is padded up to a multiple of
+# this (the hardware lane count); the buffer may span several lanes-rows.
+_K_LANE = 128
+# Hard cap on k for the fused path: beyond this the per-insert shift cost
+# dominates and the XLA top-k path wins.
+_K_MAX = 512
 # Sublane padding for the query axis.
 _Q_TILE = 8
 
@@ -84,7 +88,7 @@ def init_topk_state(best_keys, best_idx) -> None:
 
 
 def update_topk(keys, global_idx, best_keys, best_idx, k: int) -> None:
-    """Merge a (Q, T) tile of int32 keys into the (Q, _K_PAD) running-best
+    """Merge a (Q, T) tile of int32 keys into the (Q, k_pad) running-best
     scratch. The shared streaming-top-k primitive every fused kNN kernel
     builds on (dense dot/L2, u8 asymmetric, binary Hamming, ternary).
 
@@ -106,6 +110,7 @@ def update_topk(keys, global_idx, best_keys, best_idx, k: int) -> None:
     """
     n_q = keys.shape[0]
     tile_n = keys.shape[1]
+    k_pad = best_keys.shape[1]
     tile_best = jnp.max(keys, axis=1)          # (Q,)
     thresholds = best_keys[:, k - 1]           # (Q,)
     can_improve = jnp.any(tile_best > thresholds)
@@ -113,7 +118,7 @@ def update_topk(keys, global_idx, best_keys, best_idx, k: int) -> None:
     @pl.when(can_improve)
     def _merge():
         lanes = jax.lax.broadcasted_iota(jnp.int32, (n_q, tile_n), 1)
-        buf_lanes = jax.lax.broadcasted_iota(jnp.int32, (n_q, _K_PAD), 1)
+        buf_lanes = jax.lax.broadcasted_iota(jnp.int32, (n_q, k_pad), 1)
 
         def cond(carry):
             ck, bk, bi = carry
@@ -231,6 +236,7 @@ def _fused_knn(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str = "dot"):
     n_pad = round_up(n, tile_n)
     d_pad = round_up(d, 128)
     q_pad = round_up(n_q, _Q_TILE)
+    k_pad = round_up(k, _K_LANE)
     rows_p = pad_axis_to(pad_axis_to(rows, 0, n_pad), 1, d_pad)
     qs_p = pad_axis_to(pad_axis_to(qs, 0, q_pad), 1, d_pad)
     grid = (n_pad // tile_n,)
@@ -253,16 +259,16 @@ def _fused_knn(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str = "dot"):
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((q_pad, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_pad, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_pad, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((q_pad, _K_PAD), jnp.int32),
-            jax.ShapeDtypeStruct((q_pad, _K_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((q_pad, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((q_pad, k_pad), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((q_pad, _K_PAD), jnp.int32),
-            pltpu.VMEM((q_pad, _K_PAD), jnp.int32),
+            pltpu.VMEM((q_pad, k_pad), jnp.int32),
+            pltpu.VMEM((q_pad, k_pad), jnp.int32),
         ],
         interpret=should_interpret(),
     )(*inputs)
@@ -276,8 +282,8 @@ def _fused_knn(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str = "dot"):
 
 
 def _check_k(k: int):
-    if k > _K_PAD:
-        raise ValueError(f"fused kNN supports k <= {_K_PAD}, got {k}")
+    if k > _K_MAX:
+        raise ValueError(f"fused kNN supports k <= {_K_MAX}, got {k}")
 
 
 def fused_knn_dot(q: jax.Array, rows: jax.Array, k: int):
@@ -340,19 +346,38 @@ def fused_knn_u8_batch(qs: jax.Array, codes: jax.Array, k: int):
     return _fused_knn(qs, codes, None, k, mode="dot")
 
 
+def _unit_queries(qs: jax.Array) -> jax.Array:
+    """Normalize query rows; zero/tiny-norm queries become zero rows so
+    every cosine they produce is exactly 0.0 (the reference's zero-norm
+    guard), handled inside the fused scan with no host sync."""
+    from innr_tpu.config import NORM_EPSILON
+
+    qn = jnp.sqrt(jnp.sum(qs * qs, axis=1, keepdims=True))
+    ok = qn > NORM_EPSILON
+    return jnp.where(ok, qs / jnp.where(ok, qn, 1.0), 0.0)
+
+
 def fused_knn_cosine(q: jax.Array, rows: jax.Array, k: int):
     """Top-k by cosine similarity — fused scan with per-row inverse norms
     streamed alongside the corpus tiles.
 
-    Zero-norm corpus rows score exactly 0.0 (the reference guard); a
-    zero-norm *query* cannot be expressed as a monotone scale, so callers
-    (``batch_knn_cosine``) route that case to the jnp path.
+    Zero-norm corpus rows score exactly 0.0 (the reference guard); the
+    query is pre-normalized (zero-norm queries become zero rows, scoring
+    everything 0.0), so the whole contract lives on-device.
+    """
+    vals, idx = fused_knn_cosine_batch(q[None, :], rows, k)
+    return vals[0], idx[0]
+
+
+def fused_knn_cosine_batch(qs: jax.Array, rows: jax.Array, k: int):
+    """Top-k by cosine for a (Q, D) query batch in one kernel launch.
+
+    Queries pre-normalize on-device; per-row inverse norms stream alongside
+    the corpus tiles. Returns ``(scores (Q, k), indices (Q, k))``.
     """
     _check_k(k)
     from innr_tpu.config import NORM_EPSILON
 
     norms = jnp.sqrt(jnp.sum(rows * rows, axis=1))
     inv = jnp.where(norms > NORM_EPSILON, 1.0 / jnp.where(norms > 0, norms, 1.0), 0.0)
-    vals, idx = _fused_knn(q[None, :], rows, inv, k, mode="cosine")
-    qn = jnp.sqrt(jnp.sum(q * q))
-    return vals[0] / qn, idx[0]
+    return _fused_knn(_unit_queries(qs), rows, inv, k, mode="cosine")

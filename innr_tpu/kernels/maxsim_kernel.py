@@ -61,7 +61,9 @@ def _maxsim_kernel(tq_true, use_mask, q_ref, docs_ref, *rest):
     tq_pad = best.shape[1]
     q_lane = jax.lax.broadcasted_iota(jnp.int32, (1, tq_pad), 1)
     best = jnp.where(q_lane < tq_true, best, 0.0)
-    best = jnp.where(jnp.isfinite(best), best, 0.0)
+    # Clamp ONLY the -inf a fully-masked doc produces (empty-doc -> 0.0
+    # contract). NaN and +inf scores propagate, matching batch_maxsim.
+    best = jnp.where(best == -jnp.inf, 0.0, best)
     out_ref[:] = jnp.sum(best, axis=1, keepdims=True)
 
 

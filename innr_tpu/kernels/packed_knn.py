@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from innr_tpu.kernels import should_interpret
 from innr_tpu.kernels.knn import (
-    _K_PAD,
+    _K_LANE,
     init_topk_state,
     masked_global_idx,
     update_topk,
@@ -70,6 +70,7 @@ def fused_binary_knn(q_words: jax.Array, corpus_words_t: jax.Array, k: int):
     """
     w, n = corpus_words_t.shape
     tile_n = _pick_tile_n(n, w)
+    k_pad = round_up(k, _K_LANE)
     n_pad = round_up(n, tile_n)
     corpus_p = pad_axis_to(corpus_words_t, 1, n_pad)
     grid = (n_pad // tile_n,)
@@ -82,16 +83,16 @@ def fused_binary_knn(q_words: jax.Array, corpus_words_t: jax.Array, k: int):
             pl.BlockSpec((w, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, _K_PAD), jnp.int32),
-            jax.ShapeDtypeStruct((1, _K_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((1, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, k_pad), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, _K_PAD), jnp.int32),
-            pltpu.VMEM((1, _K_PAD), jnp.int32),
+            pltpu.VMEM((1, k_pad), jnp.int32),
+            pltpu.VMEM((1, k_pad), jnp.int32),
         ],
         interpret=should_interpret(),
     )(q_words[:, None], corpus_p)
@@ -127,6 +128,7 @@ def fused_binary_knn_batch(q_words: jax.Array, corpus_words_t: jax.Array, k: int
     n_q, w = q_words.shape
     _, n = corpus_words_t.shape
     tile_n = _pick_tile_n(n, w * max(n_q // 4, 1))
+    k_pad = round_up(k, _K_LANE)
     n_pad = round_up(n, tile_n)
     corpus_p = pad_axis_to(corpus_words_t, 1, n_pad)
     grid = (n_pad // tile_n,)
@@ -139,16 +141,16 @@ def fused_binary_knn_batch(q_words: jax.Array, corpus_words_t: jax.Array, k: int
             pl.BlockSpec((1, w, tile_n), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((n_q, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_q, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_q, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_q, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_q, _K_PAD), jnp.int32),
-            jax.ShapeDtypeStruct((n_q, _K_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((n_q, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((n_q, k_pad), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n_q, _K_PAD), jnp.int32),
-            pltpu.VMEM((n_q, _K_PAD), jnp.int32),
+            pltpu.VMEM((n_q, k_pad), jnp.int32),
+            pltpu.VMEM((n_q, k_pad), jnp.int32),
         ],
         interpret=should_interpret(),
     )(q_words[:, :, None], corpus_p[None, :, :])
@@ -189,6 +191,7 @@ def fused_ternary_knn(
     """
     w, n = pos_t.shape
     tile_n = _pick_tile_n(n, 2 * w)
+    k_pad = round_up(k, _K_LANE)
     n_pad = round_up(n, tile_n)
     pos_p = pad_axis_to(pos_t, 1, n_pad)
     neg_p = pad_axis_to(neg_t, 1, n_pad)
@@ -204,16 +207,16 @@ def fused_ternary_knn(
             pl.BlockSpec((w, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, _K_PAD), jnp.int32),
-            jax.ShapeDtypeStruct((1, _K_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((1, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, k_pad), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, _K_PAD), jnp.int32),
-            pltpu.VMEM((1, _K_PAD), jnp.int32),
+            pltpu.VMEM((1, k_pad), jnp.int32),
+            pltpu.VMEM((1, k_pad), jnp.int32),
         ],
         interpret=should_interpret(),
     )(qpos[:, None], qneg[:, None], pos_p, neg_p)
@@ -257,6 +260,7 @@ def fused_ternary_knn_batch(
     n_q, w = qpos.shape
     _, n = pos_t.shape
     tile_n = _pick_tile_n(n, 2 * w * max(n_q // 4, 1))
+    k_pad = round_up(k, _K_LANE)
     n_pad = round_up(n, tile_n)
     pos_p = pad_axis_to(pos_t, 1, n_pad)
     neg_p = pad_axis_to(neg_t, 1, n_pad)
@@ -272,16 +276,16 @@ def fused_ternary_knn_batch(
             pl.BlockSpec((1, w, tile_n), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((n_q, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_q, _K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_q, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_q, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_q, _K_PAD), jnp.int32),
-            jax.ShapeDtypeStruct((n_q, _K_PAD), jnp.int32),
+            jax.ShapeDtypeStruct((n_q, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((n_q, k_pad), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n_q, _K_PAD), jnp.int32),
-            pltpu.VMEM((n_q, _K_PAD), jnp.int32),
+            pltpu.VMEM((n_q, k_pad), jnp.int32),
+            pltpu.VMEM((n_q, k_pad), jnp.int32),
         ],
         interpret=should_interpret(),
     )(qpos[:, :, None], qneg[:, :, None], pos_p[None, :, :], neg_p[None, :, :])

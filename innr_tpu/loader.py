@@ -68,5 +68,7 @@ def quantize_u8_host(rows, params: QuantizationParams) -> QuantizedU8Batch:
     if codes is None:
         inv = 255.0 / params.alpha
         normalized = (rows - np.float32(params.offset)) * np.float32(inv)
-        codes = np.clip(np.round(normalized), 0, 255).astype(np.uint8)
+        # Half-away-from-zero (matches the C encoder and ops/scalar.py),
+        # not np.round's half-to-even.
+        codes = np.clip(np.floor(normalized + 0.5), 0, 255).astype(np.uint8)
     return QuantizedU8Batch(codes)

@@ -256,7 +256,7 @@ def binary_knn(query: PackedBinary, corpus: PackedBinaryBatch, k: int):
     k = min(int(k), n)
     from innr_tpu import config
 
-    if n >= config.MIN_ROWS_PALLAS and k <= 128 and not config.reference_forced():
+    if n >= config.MIN_ROWS_PALLAS and k <= 512 and not config.reference_forced():
         from innr_tpu.kernels import packed_knn as _kern
 
         counts, idx = _kern.fused_binary_knn(query.words, corpus.words_t, k)
@@ -293,11 +293,12 @@ def binary_knn_batch(queries, corpus: PackedBinaryBatch, k: int):
         )
     n = corpus.num_vectors
     if n == 0 or k == 0:
-        return np.zeros((0, 0), np.uint32), np.zeros((0, 0), np.int64)
+        n_q = int(q_words.shape[0])
+        return np.zeros((n_q, 0), np.uint32), np.zeros((n_q, 0), np.int64)
     k = min(int(k), n)
     from innr_tpu import config
 
-    if n >= config.MIN_ROWS_PALLAS and k <= 128 and not config.reference_forced():
+    if n >= config.MIN_ROWS_PALLAS and k <= 512 and not config.reference_forced():
         from innr_tpu.kernels import packed_knn as _kern
 
         counts, idx = _kern.fused_binary_knn_batch(q_words, corpus.words_t, k)

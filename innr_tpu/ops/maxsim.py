@@ -127,6 +127,11 @@ def batch_maxsim(queries: jax.Array, docs: jax.Array, doc_mask=None, query_mask=
         doc_mask = jnp.asarray(doc_mask, dtype=bool)
         pair = jnp.where(doc_mask[None, :, None, :], pair, -jnp.inf)
     best = jnp.max(pair, axis=3)  # (Q, N, Tq)
+    if doc_mask is not None:
+        # A fully-masked doc leaves -inf bests; clamp those to 0.0 (the
+        # empty-doc -> 0.0 contract, same as the fused kernel). Genuine
+        # NaN/+inf scores still propagate.
+        best = jnp.where(best == -jnp.inf, 0.0, best)
     if query_mask is not None:
         query_mask = jnp.asarray(query_mask, dtype=bool)
         best = jnp.where(query_mask[:, None, :], best, 0.0)

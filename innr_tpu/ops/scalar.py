@@ -35,6 +35,7 @@ __all__ = [
     "asymmetric_dot_u8_precomputed",
     "mixed_dot_u8_f32",
     "batch_knn_u8",
+    "batch_knn_u8_multi",
 ]
 
 
@@ -155,7 +156,11 @@ class QuantizedU8Batch:
 def _quantize(values: jax.Array, alpha: float, offset: float) -> jax.Array:
     inv_alpha = 255.0 / alpha
     normalized = (values - jnp.float32(offset)) * jnp.float32(inv_alpha)
-    return jnp.clip(jnp.round(normalized), 0.0, 255.0).astype(jnp.uint8)
+    # Half-away-from-zero rounding (reference f32::round and the native C
+    # encoder), NOT jnp.round's half-to-even: floor(x + 0.5) agrees with
+    # round-half-away on the clamped [0, 255] range (negatives clamp to 0
+    # either way), so all three encoders produce identical codes.
+    return jnp.clip(jnp.floor(normalized + 0.5), 0.0, 255.0).astype(jnp.uint8)
 
 
 def quantize_u8(values, params: QuantizationParams) -> QuantizedU8:
@@ -252,7 +257,7 @@ def batch_knn_u8(
     k = min(int(k), int(codes.shape[0]))
     from innr_tpu import config
 
-    if int(codes.shape[0]) >= config.MIN_ROWS_PALLAS and k <= 128 and not config.reference_forced():
+    if int(codes.shape[0]) >= config.MIN_ROWS_PALLAS and k <= 512 and not config.reference_forced():
         # Fused Pallas scan: codes stream as u8 (1 byte/dim HBM traffic),
         # widen on-chip; the affine correction is a per-query monotone map
         # (alpha > 0 by construction), applied after selection.
@@ -284,3 +289,50 @@ def _batch_knn_u8_jit(q, codes, alpha, offset, k):
     )
     scores = (alpha / 255.0) * mixed + offset * jnp.sum(q)
     return top_k_total(scores, k, largest=True)
+
+
+@_partial(jax.jit, static_argnames=("k",))
+def _batch_knn_u8_multi_jit(qs, codes, alpha, offset, k):
+    from innr_tpu import config
+    mixed = jnp.matmul(
+        qs, codes.astype(jnp.float32).T,
+        preferred_element_type=jnp.float32,
+        precision=config.matmul_precision(),
+    )
+    scores = (alpha / 255.0) * mixed + offset * jnp.sum(qs, axis=1, keepdims=True)
+    return top_k_total(scores, k, largest=True)
+
+
+def batch_knn_u8_multi(queries, corpus: QuantizedU8Batch, params: QuantizationParams, k: int):
+    """Multi-query quantized kNN: (Q, D) f32 queries against a u8 corpus in
+    ONE fused launch (all queries share the 1-byte/dim corpus read).
+
+    The TPU-native serving form of :func:`batch_knn_u8`. Returns
+    ``(scores (Q, k) descending, indices (Q, k))`` jax arrays; scores carry
+    the full affine correction.
+    """
+    qs = jnp.asarray(queries, dtype=jnp.float32)
+    if qs.ndim != 2 or qs.shape[1] != corpus.dimension:
+        raise ContractError(
+            f"batch_knn_u8_multi: queries shape {qs.shape} != "
+            f"(Q, {corpus.dimension})"
+        )
+    n = corpus.num_vectors
+    if n == 0 or k == 0:
+        n_q = int(qs.shape[0])
+        return (jnp.zeros((n_q, 0), jnp.float32), jnp.zeros((n_q, 0), jnp.int32))
+    k = min(int(k), n)
+    from innr_tpu import config
+
+    if n >= config.MIN_ROWS_PALLAS and k <= 512 and not config.reference_forced():
+        from innr_tpu.kernels import knn as _kern
+
+        mixed, idx = _kern.fused_knn_u8_batch(qs, corpus.codes, k)
+        vals = (
+            jnp.float32(params.alpha / 255.0) * mixed
+            + jnp.float32(params.offset) * jnp.sum(qs, axis=1, keepdims=True)
+        )
+        return vals, idx
+    return _batch_knn_u8_multi_jit(
+        qs, corpus.codes, jnp.float32(params.alpha), jnp.float32(params.offset), k
+    )

@@ -356,7 +356,7 @@ def ternary_knn(query: PackedTernary, corpus: PackedTernaryBatch, k: int):
     k = min(int(k), n)
     from innr_tpu import config
 
-    if n >= config.MIN_ROWS_PALLAS and k <= 128 and not config.reference_forced():
+    if n >= config.MIN_ROWS_PALLAS and k <= 512 and not config.reference_forced():
         from innr_tpu.kernels import packed_knn as _kern
 
         dots, idx = _kern.fused_ternary_knn(
@@ -376,6 +376,11 @@ def ternary_knn_batch(queries, corpus: PackedTernaryBatch, k: int):
     """
     if isinstance(queries, PackedTernaryBatch):
         qp, qn = queries.pos, queries.neg
+    elif isinstance(queries, tuple) and len(queries) == 2:
+        # Raw ((Q, W) pos, (Q, W) neg) planes, e.g. from
+        # :func:`encode_ternary_batch` — no container round-trip needed.
+        qp = jnp.asarray(queries[0], dtype=jnp.uint32)
+        qn = jnp.asarray(queries[1], dtype=jnp.uint32)
     else:
         qp = jnp.stack([q.pos for q in queries])
         qn = jnp.stack([q.neg for q in queries])
@@ -386,11 +391,12 @@ def ternary_knn_batch(queries, corpus: PackedTernaryBatch, k: int):
         )
     n = corpus.num_vectors
     if n == 0 or k == 0:
-        return np.zeros((0, 0), np.int32), np.zeros((0, 0), np.int64)
+        n_q = int(qp.shape[0])
+        return np.zeros((n_q, 0), np.int32), np.zeros((n_q, 0), np.int64)
     k = min(int(k), n)
     from innr_tpu import config
 
-    if n >= config.MIN_ROWS_PALLAS and k <= 128 and not config.reference_forced():
+    if n >= config.MIN_ROWS_PALLAS and k <= 512 and not config.reference_forced():
         from innr_tpu.kernels import packed_knn as _kern
 
         dots, idx = _kern.fused_ternary_knn_batch(

@@ -174,13 +174,52 @@ class TwoStageIndex:
             scores=np.asarray(vals, dtype=np.float32),
         )
 
+    def _coarse_candidates_batch(self, queries: jax.Array, n_cand: int) -> jax.Array:
+        """(Q, D) queries -> (Q, n_cand) candidate indices in ONE coarse
+        launch per kind (all queries share the compressed-corpus read)."""
+        kind = self.config.kind
+        if kind == "binary":
+            from innr_tpu.ops.binary import binary_knn_batch, encode_binary_batch
+
+            q_words = encode_binary_batch(queries, self.config.threshold)
+            _, cand = binary_knn_batch(q_words, self._coarse, n_cand)
+            return jnp.asarray(cand, dtype=jnp.int32)
+        if kind == "ternary":
+            from innr_tpu.ops.ternary import encode_ternary_batch, ternary_knn_batch
+
+            planes = encode_ternary_batch(queries, self.config.threshold)
+            _, cand = ternary_knn_batch(planes, self._coarse, n_cand)
+            return jnp.asarray(cand, dtype=jnp.int32)
+        if kind == "u8":
+            _, cand = _scalar.batch_knn_u8_multi(
+                queries, self._coarse, self.params, n_cand
+            )
+            return jnp.asarray(cand, dtype=jnp.int32)
+        # matryoshka: multi-query prefix MIPS.
+        from innr_tpu import config as _cfg
+
+        p = self._coarse.shape[1]
+        qp = queries[:, :p]
+        if self.num_vectors >= _cfg.MIN_ROWS_PALLAS and not _cfg.reference_forced():
+            from innr_tpu.kernels import knn as _kern
+
+            _, cand = _kern.fused_knn_dot_batch(qp, self._coarse, n_cand)
+        else:
+            scores = jnp.matmul(
+                qp, self._coarse.T,
+                preferred_element_type=jnp.float32,
+                precision=_cfg.matmul_precision(),
+            )
+            _, cand = top_k_total(scores, n_cand, largest=True)
+        return cand
+
     def search_batch(self, queries, k: int) -> BatchKnnResult:
         """Batched search: (Q, D) queries -> (Q, k) results.
 
-        Binary coarse stages run ONE fused multi-query kernel launch (all
-        queries share the corpus read); other coarse kinds loop per query
-        for the shortlist, then rerank all shortlists in one batched
-        gather+matmul.
+        EVERY coarse kind (binary/ternary/u8/matryoshka) runs ONE fused
+        multi-query launch for the shortlist — all queries share the
+        compressed-corpus HBM read — then all shortlists rerank in one
+        batched gather+matmul. No per-query dispatch anywhere.
         """
         queries = jnp.asarray(queries, dtype=jnp.float32)
         if queries.ndim != 2 or queries.shape[1] != self.dimension:
@@ -196,17 +235,7 @@ class TwoStageIndex:
             )
         k = min(int(k), self.num_vectors)
         n_cand = min(k * self.rerank_factor, self.num_vectors)
-
-        if self.config.kind == "binary":
-            from innr_tpu.ops.binary import binary_knn_batch, encode_binary_batch
-
-            q_words = encode_binary_batch(queries, self.config.threshold)
-            _, cand = binary_knn_batch(q_words, self._coarse, n_cand)
-            cand = jnp.asarray(cand, dtype=jnp.int32)
-        else:
-            cand = jnp.stack(
-                [self._coarse_candidates(queries[i], n_cand) for i in range(n_q)]
-            )
+        cand = self._coarse_candidates_batch(queries, n_cand)
 
         from innr_tpu import config as _cfg
 

@@ -258,3 +258,69 @@ class TestKnnVariants:
         assert set(idx.tolist()) <= set(np.nonzero(l2 <= thr + 1e-3)[0].tolist())
         assert set(np.nonzero(l2 <= thr - 1e-3)[0].tolist()) <= set(idx.tolist())
         assert np.all(dists <= thr + 1e-6)
+
+
+class TestMultiQueryCosineAndEmptyShapes:
+    """Round-2 additions: multi-query cosine parity and (Q, 0)-shaped empty
+    results (ADVICE r1 items 3; VERDICT r1 weak item 6)."""
+
+    def test_knn_cosine_multi_matches_single(self, rng):
+        rows = _corpus(rng, 300, 24)
+        qs = rng.standard_normal((7, 24)).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        multi = it.batch_knn_cosine(qs, vb, 4)
+        assert multi.indices.shape == (7, 4)
+        for i in range(7):
+            single = it.batch_knn_cosine(qs[i], vb, 4)
+            np.testing.assert_array_equal(multi.indices[i], single.indices)
+            np.testing.assert_allclose(
+                multi.scores[i], single.scores, rtol=1e-5, atol=1e-6
+            )
+
+    def test_knn_cosine_multi_zero_norm_row(self, rng):
+        rows = _corpus(rng, 50, 8)
+        rows[3] = 0.0
+        qs = rng.standard_normal((2, 8)).astype(np.float32)
+        qs[1] = 0.0  # zero-norm query scores everything 0.0
+        vb = it.VerticalBatch.from_rows(rows)
+        res = it.batch_knn_cosine(qs, vb, 50)
+        # zero-norm corpus row scores 0.0 for the real query
+        row3 = np.where(res.indices[0] == 3)[0][0]
+        assert res.scores[0][row3] == 0.0
+        np.testing.assert_array_equal(res.scores[1], np.zeros(50, np.float32))
+
+    def test_empty_results_are_2d_for_query_batches(self, rng):
+        rows = _corpus(rng, 10, 8)
+        vb = it.VerticalBatch.from_rows(rows)
+        empty_vb = it.VerticalBatch.from_rows(np.zeros((0, 8), np.float32))
+        qs = rng.standard_normal((5, 8)).astype(np.float32)
+        for fn in (it.batch_knn, it.batch_knn_dot, it.batch_knn_cosine):
+            res = fn(qs, vb, 0)
+            assert res.indices.shape == (5, 0) and res.scores.shape == (5, 0)
+            res = fn(qs, empty_vb, 3)
+            assert res.indices.shape == (5, 0)
+            res1 = fn(qs[0], vb, 0)
+            assert res1.indices.shape == (0,)
+
+    def test_binary_ternary_batch_empty_shapes(self, rng):
+        from innr_tpu.ops import binary as b, ternary as t
+
+        rows = rng.standard_normal((6, 64)).astype(np.float32)
+        qb = b.PackedBinaryBatch.encode(rows, 0.0)
+        empty_b = b.PackedBinaryBatch.encode(np.zeros((0, 64), np.float32), 0.0)
+        counts, idx = b.binary_knn_batch(qb, empty_b, 3)
+        assert counts.shape == (6, 0) and idx.shape == (6, 0)
+        qt = t.PackedTernaryBatch.encode(rows, 0.1)
+        empty_t = t.PackedTernaryBatch.encode(np.zeros((0, 64), np.float32), 0.1)
+        dots, idx = t.ternary_knn_batch(qt, empty_t, 3)
+        assert dots.shape == (6, 0) and idx.shape == (6, 0)
+
+    def test_adaptive_nan_candidate_stays_alive(self, rng):
+        # A NaN-distance candidate must be retained (reference NaN gate,
+        # ADVICE r1 item 4): it sorts last ascending but is not pruned.
+        rows = _corpus(rng, 40, 16)
+        rows[7, 0] = np.nan
+        vb = it.VerticalBatch.from_rows(rows)
+        q = rng.standard_normal(16).astype(np.float32)
+        res = it.batch_knn_adaptive(q, vb, 40, 16)
+        assert 7 in res.indices.tolist()
