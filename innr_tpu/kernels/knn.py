@@ -225,8 +225,27 @@ def _knn_kernel(n_rows, k, mode, q_ref, rows_ref, *rest):
     idx_out[:] = best_idx[:]
 
 
+def fused_knn_keys_batch(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str):
+    """Fused scan returning RAW int32 total-order keys (larger = better for
+    every mode; L2 keys come pre-flipped) plus local row indices — the form
+    a distributed top-k merge consumes directly (keys from different shards
+    compare without decoding). ``aux``: per-row squared norms for "l2",
+    per-row inverse norms for "cosine", ``None`` for "dot"."""
+    _check_k(k)
+    return _fused_knn_raw(qs, rows, aux, k, mode)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mode"))
 def _fused_knn(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str = "dot"):
+    keys, idx = _fused_knn_raw(qs, rows, aux, k, mode)
+    if mode == "l2":
+        keys = ~keys
+    vals = _invert_total_key(keys)
+    return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mode"))
+def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str):
     n_q, d = qs.shape
     n, _ = rows.shape
     # u8 corpora: 1 byte/element in VMEM and a (32, 128) min tile.
@@ -273,12 +292,7 @@ def _fused_knn(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str = "dot"):
         interpret=should_interpret(),
     )(*inputs)
 
-    keys = keys[:n_q, :k]
-    idx = idx[:n_q, :k]
-    if mode == "l2":
-        keys = ~keys
-    vals = _invert_total_key(keys)
-    return vals, idx
+    return keys[:n_q, :k], idx[:n_q, :k]
 
 
 def _check_k(k: int):

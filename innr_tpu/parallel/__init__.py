@@ -7,20 +7,39 @@ mesh with ``NamedSharding``, run the fused local scan per shard under
 ``shard_map``, all-gather the tiny per-shard (score, global-index) top-k
 pairs, and merge — XLA supplies the collectives, there is no hand-written
 transport layer.
+
+Every op family is covered: f32 dot/L2/cosine (:class:`ShardedCorpus`),
+1-bit Hamming (:class:`ShardedPackedBinary`), ternary
+(:class:`ShardedPackedTernary`), asymmetric u8
+(:class:`ShardedQuantizedU8`), MaxSim late interaction
+(:class:`ShardedMaxSimCorpus`), and the two-stage coarse->rerank pipeline
+(:class:`ShardedTwoStageIndex`).
 """
 
 from innr_tpu.parallel.sharded import (  # noqa: F401
     ShardedCorpus,
     default_mesh,
+    sharded_knn_cosine,
     sharded_knn_dot,
     sharded_knn_l2,
 )
-from innr_tpu.parallel.sharded_packed import ShardedPackedBinary  # noqa: F401
+from innr_tpu.parallel.sharded_packed import (  # noqa: F401
+    ShardedPackedBinary,
+    ShardedPackedTernary,
+)
+from innr_tpu.parallel.sharded_quant import ShardedQuantizedU8  # noqa: F401
+from innr_tpu.parallel.sharded_maxsim import ShardedMaxSimCorpus  # noqa: F401
+from innr_tpu.parallel.sharded_pipeline import ShardedTwoStageIndex  # noqa: F401
 
 __all__ = [
     "ShardedCorpus",
     "ShardedPackedBinary",
+    "ShardedPackedTernary",
+    "ShardedQuantizedU8",
+    "ShardedMaxSimCorpus",
+    "ShardedTwoStageIndex",
     "default_mesh",
     "sharded_knn_dot",
     "sharded_knn_l2",
+    "sharded_knn_cosine",
 ]

@@ -3,20 +3,23 @@
 Corpus rows are sharded along the vector axis over a 1-D device mesh
 (axis ``"shards"``). A kNN query runs as:
 
-1. per-shard local scan (MXU matvec + total-order top-k over the local
-   rows, with global indices carried alongside) under ``shard_map``;
-2. all-gather of the per-shard (score, global index) top-k pairs — k values
-   per device, a few hundred bytes over ICI;
-3. final top-k merge over the ``num_devices * k`` candidates.
+1. per-shard local scan under ``shard_map`` — the fused Pallas streaming
+   score+top-k kernel when the shard is large enough (one corpus HBM read,
+   no (Q, N) score materialization; the same kernel the single-chip path
+   uses), else an MXU matmul + total-order top-k;
+2. all-gather of the per-shard (raw int32 total-order key, global index)
+   top-k pairs — k values per device, a few hundred bytes over ICI;
+3. final top-k merge over the ``num_devices * k`` candidates and key
+   decode back to f32 scores.
 
-Step 1's selection is the same integer total-order top-k the single-chip
-path uses, so the distributed result is bit-identical to a single-chip scan
-of the concatenated corpus (both pick the same winners; scores are computed
-shard-locally from identical row data).
+The per-shard selection uses the same integer total-order keys as the
+single-chip path, so the distributed result is bit-identical to a
+single-chip scan of the concatenated corpus.
 
-Padding: the row axis is padded to a multiple of the mesh size; padded rows
-are masked to the INT32_MIN sentinel key inside the local scan and can
-never win.
+Padding: the row axis is padded to a multiple of the mesh size; padded
+rows are masked to the INT32_MIN sentinel key. The fused path fetches
+``k + pad_count`` local candidates so padded rows (which the kernel cannot
+see as padding) can never displace genuine winners.
 """
 
 from __future__ import annotations
@@ -32,7 +35,13 @@ from innr_tpu.utils.asserts import ContractError
 from innr_tpu.utils.order import total_order_key_f32
 from innr_tpu.utils.padding import pad_axis_to, round_up
 
-__all__ = ["ShardedCorpus", "default_mesh", "sharded_knn_dot", "sharded_knn_l2"]
+__all__ = [
+    "ShardedCorpus",
+    "default_mesh",
+    "sharded_knn_dot",
+    "sharded_knn_l2",
+    "sharded_knn_cosine",
+]
 
 _INT_MIN = jnp.iinfo(jnp.int32).min
 
@@ -52,49 +61,97 @@ def _invert_total_key(keys: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(keys ^ mask, jnp.float32)
 
 
-def _local_topk(qs, rows_shard, n_total, k, l2):
+def _row_inv_norms(rows: jax.Array) -> jax.Array:
+    from innr_tpu.config import NORM_EPSILON
+
+    norms = jnp.sqrt(jnp.sum(rows * rows, axis=1))
+    return jnp.where(
+        norms > NORM_EPSILON, 1.0 / jnp.where(norms > 0, norms, 1.0), 0.0
+    )
+
+
+def _local_topk(qs, rows_shard, n_total, k, mode, use_fused):
     """Per-shard body under shard_map: (Q, shard) local scores -> per-query
-    local top-k with global indices, padded rows masked out."""
+    local top-k raw total-order keys (larger = better, every mode) with
+    global indices; padded rows masked out."""
     shard_rows = rows_shard.shape[0]
-    if l2:
+    base = jax.lax.axis_index(AXIS) * shard_rows
+
+    if use_fused:
+        from innr_tpu.kernels.knn import fused_knn_keys_batch
+
+        if mode == "l2":
+            aux = jnp.sum(rows_shard * rows_shard, axis=1)
+        elif mode == "cosine":
+            aux = _row_inv_norms(rows_shard)
+        else:
+            aux = None
+        keys, lidx = fused_knn_keys_batch(qs, rows_shard, aux, k, mode)
+        gidx = base + lidx
+        keys = jnp.where(gidx < n_total, keys, _INT_MIN)
+        return keys, gidx
+
+    from innr_tpu import config
+
+    if mode == "l2":
         d = rows_shard[None, :, :] - qs[:, None, :]
         scores = jnp.sum(d * d, axis=2)
     else:
-        from innr_tpu import config
-
         scores = jnp.matmul(
             qs, rows_shard.T,
             preferred_element_type=jnp.float32,
             precision=config.matmul_precision(),
         )
+        if mode == "cosine":
+            # Queries arrive pre-normalized; scale by per-row inverse norms
+            # (zero-norm rows score exactly 0.0, the reference guard).
+            scores = scores * _row_inv_norms(rows_shard)[None, :]
     keys = total_order_key_f32(scores)  # (Q, shard)
-    if l2:
+    if mode == "l2":
         keys = ~keys  # smaller distance = better
-    base = jax.lax.axis_index(AXIS) * shard_rows
-    gidx = base + jnp.arange(shard_rows, dtype=jnp.int32)
-    keys = jnp.where(gidx[None, :] < n_total, keys, _INT_MIN)
+    gidx_row = base + jnp.arange(shard_rows, dtype=jnp.int32)
+    keys = jnp.where(gidx_row[None, :] < n_total, keys, _INT_MIN)
     top_keys, tidx = jax.lax.top_k(keys, k)  # (Q, k)
-    return top_keys, gidx[tidx]
+    return top_keys, gidx_row[tidx]
 
 
-@partial(jax.jit, static_argnames=("k", "l2", "n_total", "mesh"))
-def _sharded_knn(qs, rows_sharded, k: int, l2: bool, n_total: int, mesh: Mesh):
+@partial(
+    jax.jit, static_argnames=("k", "k_local", "mode", "n_total", "mesh", "use_fused")
+)
+def _sharded_knn(
+    qs, rows_sharded, k: int, k_local: int, mode: str, n_total: int,
+    mesh: Mesh, use_fused: bool,
+):
     single = qs.ndim == 1
     if single:
         qs = qs[None, :]
+    if mode == "cosine":
+        from innr_tpu.kernels.knn import _unit_queries
+
+        qs = _unit_queries(qs)
     local = jax.shard_map(
-        partial(_local_topk, n_total=n_total, k=k, l2=l2),
+        partial(
+            _local_topk, n_total=n_total, k=k_local, mode=mode,
+            use_fused=use_fused,
+        ),
         mesh=mesh,
         in_specs=(P(), P(AXIS, None)),
         out_specs=(P(None, AXIS), P(None, AXIS)),
+        check_vma=False,  # Pallas calls inside the body have no vma info
     )
-    keys, gidx = local(qs, rows_sharded)  # (Q, num_devices * k) each
+    keys, gidx = local(qs, rows_sharded)  # (Q, num_devices * k_local) each
     # Final merge over the gathered candidates (tiny).
     merged_keys, pos = jax.lax.top_k(keys, k)
-    if l2:
+    idx = jnp.take_along_axis(gidx, pos, axis=1)
+    if mode == "l2":
         merged_keys = ~merged_keys
     vals = _invert_total_key(merged_keys)
-    idx = jnp.take_along_axis(gidx, pos, axis=1)
+    if mode == "l2" and use_fused:
+        # Fused L2 scores come from the MXU decomposition without the
+        # per-query ||q||^2 shift (monotone; cannot change selection).
+        # Add it back and clamp at zero like the single-chip path.
+        qq = jnp.sum(qs * qs, axis=1, keepdims=True)
+        vals = jnp.maximum(vals + qq, 0.0)
     if single:
         return vals[0], idx[0]
     return vals, idx
@@ -117,6 +174,7 @@ class ShardedCorpus:
         n_devices = self.mesh.devices.size
         self.n_true = int(rows.shape[0])
         n_pad = round_up(max(self.n_true, n_devices), n_devices)
+        self.n_pad = n_pad
         rows = pad_axis_to(rows, 0, n_pad)
         sharding = NamedSharding(self.mesh, P(AXIS, None))
         self.rows = jax.device_put(rows, sharding)
@@ -129,15 +187,27 @@ class ShardedCorpus:
     def dimension(self) -> int:
         return int(self.rows.shape[1])
 
+    @property
+    def shard_rows(self) -> int:
+        return self.n_pad // int(self.mesh.devices.size)
+
+    def memory_bytes(self) -> int:
+        return int(self.rows.size) * 4
+
     def knn_dot(self, query, k: int):
         """Distributed MIPS top-k: returns (scores, global indices),
         scores descending (total order)."""
         return sharded_knn_dot(query, self, k)
 
     def knn_l2(self, query, k: int):
-        """Distributed L2 top-k: returns (distances, global indices),
+        """Distributed L2^2 top-k: returns (distances, global indices),
         ascending."""
         return sharded_knn_l2(query, self, k)
+
+    def knn_cosine(self, query, k: int):
+        """Distributed cosine top-k: returns (similarities, global
+        indices), descending. Zero-norm rows/queries score 0.0."""
+        return sharded_knn_cosine(query, self, k)
 
 
 def _check(query, corpus: ShardedCorpus, k: int, op: str):
@@ -152,22 +222,60 @@ def _check(query, corpus: ShardedCorpus, k: int, op: str):
     return q, min(int(k), corpus.num_vectors)
 
 
+def _empty(q):
+    if q.ndim == 2:
+        n_q = int(q.shape[0])
+        return (jnp.zeros((n_q, 0), jnp.float32), jnp.zeros((n_q, 0), jnp.int32))
+    return jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32)
+
+
+def _plan_local_k(corpus: ShardedCorpus, k: int) -> tuple[int, bool]:
+    """Decide (k_local, use_fused) for a distributed scan.
+
+    The fused path must over-fetch by the pad-row count (the kernel cannot
+    distinguish padded rows; extra candidates guarantee k valid ones
+    survive the post-mask). Both paths clamp to the shard height.
+    """
+    from innr_tpu import config
+
+    pad = corpus.n_pad - corpus.n_true
+    shard_rows = corpus.shard_rows
+    use_fused = (
+        not config.reference_forced()
+        and shard_rows >= config.MIN_ROWS_PALLAS
+        and k + pad <= 512
+    )
+    k_local = min(k + pad, shard_rows) if use_fused else min(k, shard_rows)
+    return k_local, use_fused
+
+
+def _run(query, corpus: ShardedCorpus, k: int, mode: str, op: str):
+    q, k = _check(query, corpus, k, op)
+    if k == 0:
+        return _empty(q)
+    k_local, use_fused = _plan_local_k(corpus, k)
+    return _sharded_knn(
+        q, corpus.rows, k, k_local, mode, corpus.n_true, corpus.mesh, use_fused
+    )
+
+
 def sharded_knn_dot(query, corpus: ShardedCorpus, k: int):
     """Distributed batch_knn_dot over a :class:`ShardedCorpus`.
 
     ``query`` may be (D,) or a (Q, D) batch — all queries share the
     per-shard scan and one collective merge.
     """
-    q, k = _check(query, corpus, k, "sharded_knn_dot")
-    if k == 0:
-        return jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32)
-    return _sharded_knn(q, corpus.rows, k, False, corpus.n_true, corpus.mesh)
+    return _run(query, corpus, k, "dot", "sharded_knn_dot")
 
 
 def sharded_knn_l2(query, corpus: ShardedCorpus, k: int):
     """Distributed batch_knn (L2^2) over a :class:`ShardedCorpus`.
     Accepts (D,) or (Q, D) queries."""
-    q, k = _check(query, corpus, k, "sharded_knn_l2")
-    if k == 0:
-        return jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32)
-    return _sharded_knn(q, corpus.rows, k, True, corpus.n_true, corpus.mesh)
+    return _run(query, corpus, k, "l2", "sharded_knn_l2")
+
+
+def sharded_knn_cosine(query, corpus: ShardedCorpus, k: int):
+    """Distributed batch_knn_cosine over a :class:`ShardedCorpus`.
+    Accepts (D,) or (Q, D) queries; zero-norm semantics match the
+    single-chip fused path (queries pre-normalize on device)."""
+    return _run(query, corpus, k, "cosine", "sharded_knn_cosine")

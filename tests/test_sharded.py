@@ -84,3 +84,129 @@ class TestShardedMultiQuery:
         vals, idx = sc.knn_l2(rows[[3, 9]], 2)
         assert int(np.asarray(idx)[0, 0]) == 3
         assert int(np.asarray(idx)[1, 0]) == 9
+
+
+class TestShardedFamilyRound2:
+    """Round-2 coverage: the full op family distributed (VERDICT r1 item 4),
+    fused local scans, and multi-query forms."""
+
+    def test_cosine_matches_single_chip(self, rng, devices_ok):
+        rows = rng.standard_normal((500, 48)).astype(np.float32)
+        rows[11] = 0.0  # zero-norm row scores 0.0
+        qs = rng.standard_normal((5, 48)).astype(np.float32)
+        sc = ShardedCorpus(rows)
+        vals, idx = sc.knn_cosine(qs, 6)
+        vb = it.VerticalBatch.from_rows(rows)
+        want = it.batch_knn_cosine(qs, vb, 6)
+        np.testing.assert_array_equal(np.asarray(idx), want.indices)
+        np.testing.assert_allclose(np.asarray(vals), want.scores, rtol=1e-4, atol=1e-5)
+
+    def test_fused_local_scan_matches_jnp_path(self, rng, devices_ok, monkeypatch):
+        # Force the fused per-shard kernel (interpret mode on CPU) and
+        # check bit-identical indices vs the jnp shard path.
+        from innr_tpu import config
+
+        rows = rng.standard_normal((800, 32)).astype(np.float32)
+        qs = rng.standard_normal((3, 32)).astype(np.float32)
+        sc = ShardedCorpus(rows)
+        vals_j, idx_j = sc.knn_dot(qs, 5)
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        vals_f, idx_f = sc.knn_dot(qs, 5)
+        np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx_j))
+        np.testing.assert_allclose(np.asarray(vals_f), np.asarray(vals_j), rtol=1e-5)
+        # L2 and cosine through the fused shard path as well.
+        vl, il = sc.knn_l2(qs[0], 4)
+        vb = it.VerticalBatch.from_rows(rows)
+        want = it.batch_knn(qs[0], vb, 4)
+        np.testing.assert_array_equal(np.asarray(il), want.indices)
+        np.testing.assert_allclose(np.asarray(vl), want.scores, rtol=1e-4, atol=1e-4)
+        vc, ic = sc.knn_cosine(qs[0], 4)
+        wantc = it.batch_knn_cosine(qs[0], vb, 4)
+        np.testing.assert_array_equal(np.asarray(ic), wantc.indices)
+        np.testing.assert_allclose(np.asarray(vc), wantc.scores, rtol=1e-4, atol=1e-5)
+
+    def test_sharded_ternary_matches_single_chip(self, rng, devices_ok):
+        from innr_tpu.ops import ternary as t
+        from innr_tpu.parallel import ShardedPackedTernary
+
+        rows = rng.standard_normal((300, 96)).astype(np.float32)
+        st = ShardedPackedTernary.encode(rows, 0.3)
+        corpus = t.PackedTernaryBatch.encode(rows, 0.3)
+        q = t.encode_ternary(rows[17], 0.3)
+        vals, idx = st.knn(q, 5)
+        want_v, want_i = t.ternary_knn(q, corpus, 5)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_i))
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(want_v))
+        # multi-query
+        planes = t.encode_ternary_batch(rows[:4], 0.3)
+        mv, mi = st.knn_batch(planes, 5)
+        wv, wi = t.ternary_knn_batch(planes, corpus, 5)
+        np.testing.assert_array_equal(np.asarray(mi), np.asarray(wi))
+
+    def test_sharded_binary_batch_matches_single_chip(self, rng, devices_ok):
+        from innr_tpu.ops import binary as b
+        from innr_tpu.parallel import ShardedPackedBinary
+
+        rows = rng.standard_normal((300, 64)).astype(np.float32)
+        sb = ShardedPackedBinary.encode(rows, 0.0)
+        corpus = b.PackedBinaryBatch.encode(rows, 0.0)
+        q_words = b.encode_binary_batch(rows[:4], 0.0)
+        mv, mi = sb.knn_batch(q_words, 6)
+        wv, wi = b.binary_knn_batch(q_words, corpus, 6)
+        np.testing.assert_array_equal(np.asarray(mi), np.asarray(wi))
+        np.testing.assert_array_equal(np.asarray(mv), np.asarray(wv))
+
+    def test_sharded_u8_matches_single_chip(self, rng, devices_ok):
+        from innr_tpu.ops import scalar as sc_ops
+        from innr_tpu.parallel import ShardedQuantizedU8
+
+        rows = rng.standard_normal((400, 32)).astype(np.float32)
+        params = sc_ops.QuantizationParams.fit(rows)
+        squant = ShardedQuantizedU8.quantize(rows, params)
+        corpus = sc_ops.QuantizedU8Batch.quantize(rows, params)
+        qs = rng.standard_normal((3, 32)).astype(np.float32)
+        vals, idx = squant.knn(qs, 6)
+        want_v, want_i = sc_ops.batch_knn_u8_multi(qs, corpus, params, 6)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_i))
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(want_v), rtol=1e-5, atol=1e-5
+        )
+
+    def test_sharded_maxsim_matches_single_chip(self, rng, devices_ok):
+        from innr_tpu.ops.maxsim import maxsim_knn
+        from innr_tpu.parallel import ShardedMaxSimCorpus
+
+        docs = rng.standard_normal((120, 12, 16)).astype(np.float32)
+        mask = rng.random((120, 12)) > 0.2
+        mask[:, 0] = True
+        q = rng.standard_normal((5, 16)).astype(np.float32)
+        sm = ShardedMaxSimCorpus(docs, mask)
+        vals, idx = sm.knn(q, 7)
+        want_v, want_i = maxsim_knn(q, docs, 7, doc_mask=mask)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_i))
+        np.testing.assert_allclose(np.asarray(vals), want_v, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("kind", ["binary", "ternary", "u8", "matryoshka"])
+    def test_sharded_two_stage_recalls_planted(self, rng, devices_ok, kind):
+        from innr_tpu.parallel import ShardedTwoStageIndex
+
+        rows = rng.standard_normal((400, 64)).astype(np.float32)
+        idx = ShardedTwoStageIndex(rows, kind, rerank_factor=4)
+        qs = rows[:5] + 0.01 * rng.standard_normal((5, 64)).astype(np.float32)
+        vals, got = idx.search_batch(qs, 3)
+        assert np.asarray(got).shape == (5, 3)
+        for i in range(5):
+            assert int(np.asarray(got)[i, 0]) == i  # planted neighbor found
+        # single-query form agrees with the batch
+        v1, i1 = idx.search(qs[0], 3)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(got)[0])
+
+    def test_sharded_two_stage_scores_exact(self, rng, devices_ok):
+        from innr_tpu.parallel import ShardedTwoStageIndex
+
+        rows = rng.standard_normal((200, 32)).astype(np.float32)
+        idx = ShardedTwoStageIndex(rows, "binary", rerank_factor=4)
+        q = rng.standard_normal(32).astype(np.float32)
+        vals, got = idx.search(q, 4)
+        exact = rows[np.asarray(got)].astype(np.float64) @ q.astype(np.float64)
+        np.testing.assert_allclose(np.asarray(vals), exact, rtol=1e-5)
