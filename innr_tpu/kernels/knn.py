@@ -248,10 +248,14 @@ def _fused_knn(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str = "dot"):
 def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str):
     n_q, d = qs.shape
     n, _ = rows.shape
-    # u8 corpora: 1 byte/element in VMEM and a (32, 128) min tile.
+    # u8 corpora: 1 byte/element in VMEM and a (32, 128) min tile — but the
+    # in-kernel widen (u8 -> i32 -> f32) materializes ~8 more bytes/element
+    # of scoped VMEM, so budget 9 bytes/element for u8 tiles (measured
+    # scoped-VMEM OOM at d=768 with multi-query batches otherwise).
     sublane = 32 if rows.dtype == jnp.uint8 else 8
     elem = 1 if rows.dtype == jnp.uint8 else 4
-    tile_n = round_up(_pick_tile_n(n, max(d * elem // 4, 1)), sublane)
+    bytes_per_row = d * (elem + 8 if elem == 1 else elem)
+    tile_n = round_up(_pick_tile_n(n, max(bytes_per_row // 4, 1)), sublane)
     n_pad = round_up(n, tile_n)
     d_pad = round_up(d, 128)
     q_pad = round_up(n_q, _Q_TILE)

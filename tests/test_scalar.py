@@ -132,3 +132,26 @@ class TestBatchKnnU8:
         params = it.QuantizationParams.fit(rows)
         batch = it.QuantizedU8Batch.quantize(rows, params)
         assert batch.memory_bytes() == rows.nbytes // 4
+
+
+class TestBatchKnnU8ScoreContract:
+    """Mutation-derived gap (scripts/mutation_check.py): the jnp-path
+    batch_knn_u8 scores must carry the full affine correction, verified
+    against asymmetric_dot_u8 on data with a nonzero offset."""
+
+    def test_scores_equal_asymmetric_dot(self, rng):
+        import innr_tpu as it
+
+        rows = (rng.standard_normal((50, 16)) + 3.0).astype(np.float32)
+        params = it.QuantizationParams.fit(rows)
+        assert params.offset != 0.0
+        corpus = it.QuantizedU8Batch.quantize(rows, params)
+        q = rng.standard_normal(16).astype(np.float32)
+        res = it.batch_knn_u8(q, corpus, params, 5)
+        for i, score in res:
+            want = float(
+                it.asymmetric_dot_u8(
+                    q, it.QuantizedU8(corpus.codes[i]), params
+                )
+            )
+            np.testing.assert_allclose(score, want, rtol=1e-5, atol=1e-5)
