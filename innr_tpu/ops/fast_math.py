@@ -30,14 +30,16 @@ __all__ = [
     "fast_cosine_dispatch",
 ]
 
-_MAGIC = jnp.int32(0x5F375A86)
+# Quake III magic constant; kept a Python int so importing the module
+# cannot initialize a JAX backend (multi-host needs import-before-init).
+_MAGIC = 0x5F375A86
 
 
 def _rsqrt_bithack(x: jax.Array, nr_iterations: int) -> jax.Array:
     x = jnp.asarray(x, dtype=jnp.float32)
     i = jax.lax.bitcast_convert_type(x, jnp.int32)
     y = jax.lax.bitcast_convert_type(
-        _MAGIC - jax.lax.shift_right_arithmetic(i, 1), jnp.float32
+        jnp.int32(_MAGIC) - jax.lax.shift_right_arithmetic(i, 1), jnp.float32
     )
     for _ in range(nr_iterations):
         y = y * (1.5 - 0.5 * x * y * y)

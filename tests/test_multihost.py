@@ -1,0 +1,101 @@
+"""Multi-host smoke test: two local CPU processes, four virtual devices
+each, one global 8-device mesh (survey §5.8 — DCN across slices is the
+same code path; only the transport differs, and XLA owns the transport).
+
+Each worker holds HALF the corpus (no process materializes the full
+array), assembles a global ShardedCorpus via
+``corpus_from_process_local_rows``, and runs the distributed kNN; process
+0 checks parity against a NumPy brute force of the full corpus.
+"""
+
+import socket
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = textwrap.dedent(
+    """
+    import os, sys
+    import numpy as np
+
+    pid, port = int(sys.argv[1]), sys.argv[2]
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    # distributed.initialize must precede ANY backend touch, so it comes
+    # before importing innr_tpu (multihost.initialize wraps the same call
+    # for production use; the env vars route through it below).
+    os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    os.environ["JAX_NUM_PROCESSES"] = "2"
+    os.environ["JAX_PROCESS_ID"] = str(pid)
+    from innr_tpu.parallel.multihost import (
+        corpus_from_process_local_rows, initialize, is_multiprocess,
+    )
+
+    initialize()
+    assert is_multiprocess()
+    assert jax.process_count() == 2
+    assert jax.device_count() == 8, jax.device_count()
+
+    rng = np.random.default_rng(0)
+    full = rng.standard_normal((64, 16)).astype(np.float32)
+    local = full[pid * 32 : (pid + 1) * 32]  # half the corpus per process
+    corpus = corpus_from_process_local_rows(local, n_total=64)
+    assert corpus.num_vectors == 64
+
+    q = full[5]
+    vals, idx = corpus.knn_dot(q, 3)
+    got = list(np.asarray(idx))
+    vals_l2, idx_l2 = corpus.knn_l2(q, 3)
+    got_l2 = list(np.asarray(idx_l2))
+
+    if pid == 0:
+        dots = full.astype(np.float64) @ q.astype(np.float64)
+        expect = list(np.argsort(-dots, kind="stable")[:3])
+        assert got == expect, (got, expect)
+        assert got_l2[0] == 5, got_l2
+        print("MULTIHOST OK")
+    """
+)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_knn(tmp_path):
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER, str(pid), str(port)],
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env={
+                **__import__("os").environ,
+                "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            },
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process smoke test timed out")
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    assert "MULTIHOST OK" in outs[0], outs[0][-3000:]
