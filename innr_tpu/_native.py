@@ -29,7 +29,7 @@ def _try_build() -> bool:
         _LIB_DIR.mkdir(exist_ok=True)
         subprocess.run(
             [
-                "cc", "-O3", "-std=c99", "-shared", "-fPIC",
+                "cc", "-O3", "-std=c99", "-shared", "-fPIC", "-pthread",
                 "-o", str(_LIB_PATH), str(_SRC),
             ],
             check=True,
@@ -51,7 +51,7 @@ def _load():
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
         return None
-    if lib.innr_native_abi_version() != 1:
+    if lib.innr_native_abi_version() != 2:
         return None
 
     u32p = ctypes.POINTER(ctypes.c_uint32)
@@ -67,6 +67,16 @@ def _load():
     lib.innr_pack_ternary.argtypes = [f32p, i64, ctypes.c_float, u32p, u32p]
     lib.innr_quantize_u8_rows.argtypes = [
         f32p, i64, i64, ctypes.c_float, ctypes.c_float, u8p,
+    ]
+    i32 = ctypes.c_int32
+    lib.innr_pack_binary_rows_mt.argtypes = [
+        f32p, i64, i64, ctypes.c_float, u32p, i32,
+    ]
+    lib.innr_pack_ternary_rows_mt.argtypes = [
+        f32p, i64, i64, ctypes.c_float, u32p, u32p, i32,
+    ]
+    lib.innr_quantize_u8_rows_mt.argtypes = [
+        f32p, i64, i64, ctypes.c_float, ctypes.c_float, u8p, i32,
     ]
     lib.innr_hamming_scan.argtypes = [u32p, u32p, i64, i64, u32p]
     lib.innr_hamming_words.restype = ctypes.c_uint64
@@ -107,6 +117,16 @@ def topk_insert_batch(dists, ids, k, buf_d, buf_i, count) -> int | None:
     return int(c.value)
 
 
+def _n_threads(r: int) -> int:
+    """Encoder thread count: parallel only when the row count pays for it
+    (results are bit-identical at any thread count — rows independent)."""
+    if r < 16_384:
+        return 1
+    import os
+
+    return min(os.cpu_count() or 1, 16)
+
+
 def pack_binary_rows(rows: np.ndarray, threshold: float) -> np.ndarray | None:
     """Encode (R, D) f32 rows to (R, ceil(D/32)) uint32 words on the host."""
     lib = _load()
@@ -115,10 +135,28 @@ def pack_binary_rows(rows: np.ndarray, threshold: float) -> np.ndarray | None:
     rows = np.ascontiguousarray(rows, dtype=np.float32)
     r, d = rows.shape
     out = np.zeros((r, (d + 31) // 32), dtype=np.uint32)
-    lib.innr_pack_binary_rows(
-        _ptr(rows, ctypes.c_float), r, d, threshold, _ptr(out, ctypes.c_uint32)
+    lib.innr_pack_binary_rows_mt(
+        _ptr(rows, ctypes.c_float), r, d, threshold, _ptr(out, ctypes.c_uint32),
+        _n_threads(r),
     )
     return out
+
+
+def pack_ternary_rows(rows: np.ndarray, threshold: float):
+    """Encode (R, D) f32 rows into ((R, W) pos, (R, W) neg) bitplanes."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.float32)
+    r, d = rows.shape
+    w = (d + 31) // 32
+    pos = np.zeros((r, w), dtype=np.uint32)
+    neg = np.zeros((r, w), dtype=np.uint32)
+    lib.innr_pack_ternary_rows_mt(
+        _ptr(rows, ctypes.c_float), r, d, threshold,
+        _ptr(pos, ctypes.c_uint32), _ptr(neg, ctypes.c_uint32), _n_threads(r),
+    )
+    return pos, neg
 
 
 def pack_ternary(v: np.ndarray, threshold: float):
@@ -144,8 +182,9 @@ def quantize_u8_rows(rows: np.ndarray, alpha: float, offset: float) -> np.ndarra
     rows = np.ascontiguousarray(rows, dtype=np.float32)
     r, d = rows.shape
     out = np.zeros((r, d), dtype=np.uint8)
-    lib.innr_quantize_u8_rows(
-        _ptr(rows, ctypes.c_float), r, d, alpha, offset, _ptr(out, ctypes.c_uint8)
+    lib.innr_quantize_u8_rows_mt(
+        _ptr(rows, ctypes.c_float), r, d, alpha, offset,
+        _ptr(out, ctypes.c_uint8), _n_threads(r),
     )
     return out
 

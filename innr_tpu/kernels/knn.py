@@ -256,13 +256,17 @@ def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str):
     elem = 1 if rows.dtype == jnp.uint8 else 4
     bytes_per_row = d * (elem + 8 if elem == 1 else elem)
     tile_n = round_up(_pick_tile_n(n, max(bytes_per_row // 4, 1)), sublane)
-    n_pad = round_up(n, tile_n)
     d_pad = round_up(d, 128)
     q_pad = round_up(n_q, _Q_TILE)
     k_pad = round_up(k, _K_LANE)
-    rows_p = pad_axis_to(pad_axis_to(rows, 0, n_pad), 1, d_pad)
+    # Do NOT pad the corpus row axis: an XLA pad of an (N, D) array is a
+    # full HBM copy (read + write of the whole corpus — measured ~40% of
+    # total scan time at 10M x 128). Pallas handles the ragged final block;
+    # its out-of-range lanes produce garbage scores that masked_global_idx
+    # pins to INT_MIN before selection, so results are unaffected.
+    rows_p = pad_axis_to(rows, 1, d_pad)
     qs_p = pad_axis_to(pad_axis_to(qs, 0, q_pad), 1, d_pad)
-    grid = (n_pad // tile_n,)
+    grid = ((n + tile_n - 1) // tile_n,)
 
     in_specs = [
         pl.BlockSpec((q_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -270,11 +274,10 @@ def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str):
     ]
     inputs = [qs_p, rows_p]
     if mode != "dot":
-        aux_p = pad_axis_to(aux[None, :], 1, n_pad)
         in_specs.append(
             pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM)
         )
-        inputs.append(aux_p)
+        inputs.append(aux[None, :])
 
     kernel = functools.partial(_knn_kernel, n, k, mode)
     keys, idx = pl.pallas_call(

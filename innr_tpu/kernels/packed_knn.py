@@ -31,13 +31,25 @@ from innr_tpu.kernels.knn import (
     masked_global_idx,
     update_topk,
 )
-from innr_tpu.utils.padding import pad_axis_to, round_up
+from innr_tpu.utils.padding import round_up
 
 
 def _pick_tile_n(n: int, w: int) -> int:
     budget = 4 * 1024 * 1024
     tile = budget // max(w * 4, 1)
     tile = max(512, min(16384, tile))
+    return round_up(min(tile, max(n, 128)), 128)
+
+
+def _pick_tile_n_mq(n: int, w: int, n_q: int) -> int:
+    """Corpus tile for the multi-query kernels. Live scoped VMEM per corpus
+    lane is the word column (4w bytes) plus the (Q, W, T) broadcast-XOR
+    tile and its popcount (2 * 4 * w * n_q) — unbudgeted, this OOMs the
+    16 MB scoped-VMEM limit at Q=32 (measured on v5e)."""
+    budget = 8 * 1024 * 1024
+    per_lane = 4 * w * (2 * n_q + 1)
+    tile = budget // max(per_lane, 1)
+    tile = max(256, min(2048, tile))
     return round_up(min(tile, max(n, 128)), 128)
 
 
@@ -71,9 +83,8 @@ def fused_binary_knn(q_words: jax.Array, corpus_words_t: jax.Array, k: int):
     w, n = corpus_words_t.shape
     tile_n = _pick_tile_n(n, w)
     k_pad = round_up(k, _K_LANE)
-    n_pad = round_up(n, tile_n)
-    corpus_p = pad_axis_to(corpus_words_t, 1, n_pad)
-    grid = (n_pad // tile_n,)
+    grid = ((n + tile_n - 1) // tile_n,)
+    corpus_p = corpus_words_t
 
     keys, idx = pl.pallas_call(
         functools.partial(_binary_kernel, n, k),
@@ -127,11 +138,10 @@ def fused_binary_knn_batch(q_words: jax.Array, corpus_words_t: jax.Array, k: int
     """
     n_q, w = q_words.shape
     _, n = corpus_words_t.shape
-    tile_n = _pick_tile_n(n, w * max(n_q // 4, 1))
+    tile_n = _pick_tile_n_mq(n, w, n_q)
     k_pad = round_up(k, _K_LANE)
-    n_pad = round_up(n, tile_n)
-    corpus_p = pad_axis_to(corpus_words_t, 1, n_pad)
-    grid = (n_pad // tile_n,)
+    grid = ((n + tile_n - 1) // tile_n,)
+    corpus_p = corpus_words_t
 
     keys, idx = pl.pallas_call(
         functools.partial(_binary_kernel_mq, n, k),
@@ -192,10 +202,8 @@ def fused_ternary_knn(
     w, n = pos_t.shape
     tile_n = _pick_tile_n(n, 2 * w)
     k_pad = round_up(k, _K_LANE)
-    n_pad = round_up(n, tile_n)
-    pos_p = pad_axis_to(pos_t, 1, n_pad)
-    neg_p = pad_axis_to(neg_t, 1, n_pad)
-    grid = (n_pad // tile_n,)
+    grid = ((n + tile_n - 1) // tile_n,)
+    pos_p, neg_p = pos_t, neg_t
 
     keys, idx = pl.pallas_call(
         functools.partial(_ternary_kernel, n, k),
@@ -259,12 +267,10 @@ def fused_ternary_knn_batch(
     """
     n_q, w = qpos.shape
     _, n = pos_t.shape
-    tile_n = _pick_tile_n(n, 2 * w * max(n_q // 4, 1))
+    tile_n = _pick_tile_n_mq(n, 2 * w, n_q)
     k_pad = round_up(k, _K_LANE)
-    n_pad = round_up(n, tile_n)
-    pos_p = pad_axis_to(pos_t, 1, n_pad)
-    neg_p = pad_axis_to(neg_t, 1, n_pad)
-    grid = (n_pad // tile_n,)
+    grid = ((n + tile_n - 1) // tile_n,)
+    pos_p, neg_p = pos_t, neg_t
 
     keys, idx = pl.pallas_call(
         functools.partial(_ternary_kernel_mq, n, k),

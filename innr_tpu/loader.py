@@ -47,14 +47,9 @@ def encode_ternary_host(rows, threshold: float) -> PackedTernaryBatch:
     """Encode an (R, D) f32 corpus to ternary bitplanes on the host CPU."""
     rows = np.ascontiguousarray(rows, dtype=np.float32)
     t = np.float32(threshold)
-    if _native.available():
-        pos_rows, neg_rows = [], []
-        for r in rows:
-            p, n = _native.pack_ternary(r, float(threshold))
-            pos_rows.append(p)
-            neg_rows.append(n)
-        pos = np.stack(pos_rows)
-        neg = np.stack(neg_rows)
+    planes = _native.pack_ternary_rows(rows, float(threshold))
+    if planes is not None:
+        pos, neg = planes
     else:
         pos = _pack_rows_numpy(rows > t)
         neg = _pack_rows_numpy(rows < -t)

@@ -18,7 +18,13 @@ import jax.numpy as jnp
 
 from innr_tpu.utils.asserts import check_same_length
 
-__all__ = ["dot_u8", "hamming_distance", "batch_hamming", "batch_dot_u8"]
+__all__ = [
+    "dot_u8",
+    "hamming_distance",
+    "batch_hamming",
+    "batch_dot_u8",
+    "batch_dot_u8_s8",
+]
 
 
 def dot_u8(a, b) -> jax.Array:
@@ -77,3 +83,34 @@ def batch_dot_u8(query, corpus) -> jax.Array:
         query.astype(jnp.int32),
         preferred_element_type=jnp.int32,
     ).astype(jnp.uint32)
+
+
+def batch_dot_u8_s8(query, corpus) -> jax.Array:
+    """u8 dot via the zero-point-shifted s8xs8 MXU decomposition — exact.
+
+    The MXU multiplies int8 natively; u8 values don't fit int8, so shift
+    both sides by the zero point 128 (``s = u - 128`` is a bijection
+    u8 <-> s8) and correct:
+
+        dot(a, b) = dot(as, bs) + 128*sum(as) + 128*sum(bs) + 128^2 * D
+
+    All terms are exact int32 (|dot(as,bs)| <= 128^2 * D). The survey §2.4
+    "int8 MXU for u8 paths" experiment (reference dot_u8_avx512,
+    src/arch/x86_64.rs:1102); `scripts/bench_int8.py` A/Bs this against
+    the int32-widen path on hardware — results in PERF.md.
+    """
+    query = jnp.asarray(query, dtype=jnp.uint8)
+    corpus = jnp.asarray(corpus, dtype=jnp.uint8)
+    check_same_length(query, corpus, "batch_dot_u8_s8")
+    d = corpus.shape[-1]
+    qs = (query ^ jnp.uint8(0x80)).view(jnp.int8)
+    cs = (corpus ^ jnp.uint8(0x80)).view(jnp.int8)
+    main = jax.lax.dot_general(
+        cs, qs,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    row_sums = jnp.sum(cs.astype(jnp.int32), axis=1)
+    q_sum = jnp.sum(qs.astype(jnp.int32))
+    out = main + 128 * row_sums + 128 * q_sum + 128 * 128 * d
+    return out.astype(jnp.uint32)

@@ -179,6 +179,55 @@ class ShardedCorpus:
         sharding = NamedSharding(self.mesh, P(AXIS, None))
         self.rows = jax.device_put(rows, sharding)
 
+    @classmethod
+    def from_row_source(cls, get_rows, num_vectors: int, dimension: int,
+                        mesh: Mesh | None = None) -> "ShardedCorpus":
+        """Build a sharded corpus WITHOUT materializing it on the host.
+
+        ``get_rows(start, stop)`` returns rows ``[start, stop)`` as a
+        ``(stop - start, dimension)`` f32 array — e.g. a ``np.memmap``
+        slice over a raw corpus file, or a decoder. Each device's shard is
+        fetched independently (disk -> that device's HBM), so a 10M-row
+        corpus streams in per-shard pieces. Padding rows (zeros) are
+        appended to the final shard and can never win a scan.
+        """
+        self = cls.__new__(cls)
+        self.mesh = mesh if mesh is not None else default_mesh()
+        n_devices = int(self.mesh.devices.size)
+        self.n_true = int(num_vectors)
+        self.n_pad = round_up(max(self.n_true, n_devices), n_devices)
+        sharding = NamedSharding(self.mesh, P(AXIS, None))
+
+        n_true, n_pad = self.n_true, self.n_pad
+
+        def fetch(index):
+            sl = index[0]
+            start = sl.start or 0
+            stop = sl.stop if sl.stop is not None else n_pad
+            real_stop = min(stop, n_true)
+            if real_stop > start:
+                block = np.asarray(
+                    get_rows(start, real_stop), dtype=np.float32
+                )
+            else:
+                block = np.zeros((0, dimension), np.float32)
+            if block.shape != (real_stop - start, dimension):
+                raise ContractError(
+                    f"from_row_source: get_rows({start}, {real_stop}) "
+                    f"returned shape {block.shape}"
+                )
+            pad = (stop - start) - block.shape[0]
+            if pad:
+                block = np.concatenate(
+                    [block, np.zeros((pad, dimension), np.float32)]
+                )
+            return block
+
+        self.rows = jax.make_array_from_callback(
+            (n_pad, int(dimension)), sharding, fetch
+        )
+        return self
+
     @property
     def num_vectors(self) -> int:
         return self.n_true

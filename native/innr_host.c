@@ -14,6 +14,7 @@
  * Build: scripts/build_native.sh (cc -O3 -shared -fPIC).
  */
 
+#include <pthread.h>
 #include <stdint.h>
 #include <string.h>
 
@@ -120,6 +121,104 @@ void innr_quantize_u8_rows(const float *v, int64_t rows, int64_t n,
     innr_quantize_u8(v + r * n, n, alpha, offset, out + r * n);
 }
 
+void innr_pack_ternary_rows(const float *v, int64_t rows, int64_t n,
+                            float threshold, uint32_t *pos, uint32_t *neg) {
+  int64_t words = (n + 31) / 32;
+  for (int64_t r = 0; r < rows; ++r)
+    innr_pack_ternary(v + r * n, n, threshold, pos + r * words,
+                      neg + r * words);
+}
+
+/* ------------------------------------------------- parallel row encoders --
+ * Rows are independent, so splitting the row range across threads is
+ * deterministic: output is bit-identical to the serial encoders for any
+ * thread count. This is the host-side throughput path for 10M-row corpus
+ * preparation (the reference is single-core by design; the runtime around
+ * the TPU is not).
+ */
+
+typedef struct {
+  const float *v;
+  int64_t rows, n;
+  float threshold, alpha, offset;
+  uint32_t *words, *pos, *neg;
+  uint8_t *codes;
+  int kind; /* 0 = binary, 1 = ternary, 2 = u8 */
+} enc_job;
+
+static void *enc_worker(void *arg) {
+  const enc_job *j = (const enc_job *)arg;
+  switch (j->kind) {
+    case 0:
+      innr_pack_binary_rows(j->v, j->rows, j->n, j->threshold, j->words);
+      break;
+    case 1:
+      innr_pack_ternary_rows(j->v, j->rows, j->n, j->threshold, j->pos,
+                             j->neg);
+      break;
+    default:
+      innr_quantize_u8_rows(j->v, j->rows, j->n, j->alpha, j->offset,
+                            j->codes);
+  }
+  return 0;
+}
+
+#define INNR_MAX_THREADS 64
+
+static void enc_parallel(enc_job base, int32_t n_threads) {
+  if (n_threads > INNR_MAX_THREADS) n_threads = INNR_MAX_THREADS;
+  if (n_threads < 1 || base.rows < n_threads * 4) { /* serial cutoff */
+    enc_worker(&base);
+    return;
+  }
+  pthread_t tids[INNR_MAX_THREADS];
+  enc_job jobs[INNR_MAX_THREADS];
+  int64_t words = (base.n + 31) / 32;
+  int64_t chunk = (base.rows + n_threads - 1) / n_threads;
+  int started = 0;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t r0 = (int64_t)t * chunk;
+    if (r0 >= base.rows) break;
+    int64_t r1 = r0 + chunk < base.rows ? r0 + chunk : base.rows;
+    jobs[t] = base;
+    jobs[t].rows = r1 - r0;
+    jobs[t].v = base.v + r0 * base.n;
+    if (base.words) jobs[t].words = base.words + r0 * words;
+    if (base.pos) jobs[t].pos = base.pos + r0 * words;
+    if (base.neg) jobs[t].neg = base.neg + r0 * words;
+    if (base.codes) jobs[t].codes = base.codes + r0 * base.n;
+    if (pthread_create(&tids[t], 0, enc_worker, &jobs[t]) != 0) {
+      /* thread creation failed: run this chunk inline */
+      enc_worker(&jobs[t]);
+      tids[t] = 0;
+    }
+    started = t + 1;
+  }
+  for (int t = 0; t < started; ++t)
+    if (tids[t]) pthread_join(tids[t], 0);
+}
+
+void innr_pack_binary_rows_mt(const float *v, int64_t rows, int64_t n,
+                              float threshold, uint32_t *out,
+                              int32_t n_threads) {
+  enc_job j = {v, rows, n, threshold, 0, 0, out, 0, 0, 0, 0};
+  enc_parallel(j, n_threads);
+}
+
+void innr_pack_ternary_rows_mt(const float *v, int64_t rows, int64_t n,
+                               float threshold, uint32_t *pos, uint32_t *neg,
+                               int32_t n_threads) {
+  enc_job j = {v, rows, n, threshold, 0, 0, 0, pos, neg, 0, 1};
+  enc_parallel(j, n_threads);
+}
+
+void innr_quantize_u8_rows_mt(const float *v, int64_t rows, int64_t n,
+                              float alpha, float offset, uint8_t *out,
+                              int32_t n_threads) {
+  enc_job j = {v, rows, n, 0, alpha, offset, 0, 0, 0, out, 2};
+  enc_parallel(j, n_threads);
+}
+
 /* ------------------------------------------------------------- hamming --
  * Packed-word Hamming for host-side verification / small scans.
  */
@@ -141,5 +240,6 @@ void innr_hamming_scan(const uint32_t *query, const uint32_t *corpus,
   }
 }
 
-/* ABI version for the ctypes loader. */
-int32_t innr_native_abi_version(void) { return 1; }
+/* ABI version for the ctypes loader. v2: +pack_ternary_rows, +_mt
+ * parallel row encoders. */
+int32_t innr_native_abi_version(void) { return 2; }

@@ -92,3 +92,52 @@ class TestNativeDirect:
         for i, row in enumerate(corpus):
             want[i] = sum(bin(int(a) ^ int(b)).count("1") for a, b in zip(row, q))
         np.testing.assert_array_equal(got, want)
+
+
+class TestParallelEncoders:
+    """The pthread row encoders (ABI v2) must be bit-identical to serial
+    at any thread count (rows are independent)."""
+
+    def test_mt_binary_identical(self, rng):
+        from innr_tpu import _native
+
+        if not _native.available():
+            pytest.skip("native unavailable")
+        rows = rng.standard_normal((20_000, 96)).astype(np.float32)
+        got = _native.pack_binary_rows(rows, 0.0)  # > threshold triggers mt
+        want = _pack_rows_numpy_ref(rows > 0.0)
+        np.testing.assert_array_equal(got, want)
+
+    def test_mt_ternary_identical(self, rng):
+        from innr_tpu import _native
+
+        if not _native.available():
+            pytest.skip("native unavailable")
+        rows = rng.standard_normal((20_000, 96)).astype(np.float32)
+        pos, neg = _native.pack_ternary_rows(rows, 0.4)
+        np.testing.assert_array_equal(pos, _pack_rows_numpy_ref(rows > 0.4))
+        np.testing.assert_array_equal(neg, _pack_rows_numpy_ref(rows < -0.4))
+
+    def test_mt_u8_identical(self, rng):
+        from innr_tpu import _native
+
+        if not _native.available():
+            pytest.skip("native unavailable")
+        rows = rng.standard_normal((20_000, 64)).astype(np.float32)
+        got = _native.quantize_u8_rows(rows, 4.0, -2.0)
+        x = (rows - np.float32(-2.0)) * np.float32(255.0 / 4.0)
+        want = np.clip(np.floor(x + 0.5), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(got, want)
+
+
+def _pack_rows_numpy_ref(bits: np.ndarray) -> np.ndarray:
+    d = bits.shape[-1]
+    w = -(-d // 32)
+    pad = w * 32 - d
+    if pad:
+        bits = np.concatenate(
+            [bits, np.zeros(bits.shape[:-1] + (pad,), dtype=bool)], axis=-1
+        )
+    grouped = bits.reshape(bits.shape[:-1] + (w, 32)).astype(np.uint32)
+    shifts = np.arange(32, dtype=np.uint32)
+    return (grouped << shifts).sum(axis=-1).astype(np.uint32)

@@ -108,3 +108,32 @@ class TestFastCosine:
         a = rng.standard_normal(64).astype(np.float32)
         b = rng.standard_normal(64).astype(np.float32)
         assert float(it.fast_cosine_dispatch(a, b)) == float(it.fast_cosine(a, b))
+
+
+class TestInt8MXUDecomposition:
+    """batch_dot_u8_s8 (zero-point-shifted s8xs8 MXU) must equal the
+    int32-widen path EXACTLY for all u8 inputs (survey §2.4 experiment)."""
+
+    def test_exact_equality_random(self, rng):
+        from innr_tpu.ops.quant import batch_dot_u8, batch_dot_u8_s8
+
+        corpus = rng.integers(0, 256, (97, 133), dtype=np.uint8)
+        q = rng.integers(0, 256, 133, dtype=np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(batch_dot_u8_s8(q, corpus)),
+            np.asarray(batch_dot_u8(q, corpus)),
+        )
+
+    def test_exact_equality_extremes(self):
+        from innr_tpu.ops.quant import batch_dot_u8, batch_dot_u8_s8
+
+        corpus = np.array(
+            [[0, 255, 128], [255, 255, 255], [0, 0, 0], [127, 129, 1]],
+            dtype=np.uint8,
+        )
+        for q in ([0, 0, 0], [255, 255, 255], [128, 1, 254]):
+            q = np.asarray(q, dtype=np.uint8)
+            np.testing.assert_array_equal(
+                np.asarray(batch_dot_u8_s8(q, corpus)),
+                np.asarray(batch_dot_u8(q, corpus)),
+            )

@@ -210,3 +210,24 @@ class TestShardedFamilyRound2:
         vals, got = idx.search(q, 4)
         exact = rows[np.asarray(got)].astype(np.float64) @ q.astype(np.float64)
         np.testing.assert_allclose(np.asarray(vals), exact, rtol=1e-5)
+
+    def test_from_row_source_memmap(self, rng, devices_ok, tmp_path):
+        # Stream a corpus from disk per-shard (np.memmap source): results
+        # identical to the materialized constructor.
+        rows = rng.standard_normal((333, 24)).astype(np.float32)
+        path = tmp_path / "corpus.f32"
+        rows.tofile(path)
+        mm = np.memmap(path, dtype=np.float32, mode="r", shape=(333, 24))
+        fetches = []
+
+        def get_rows(start, stop):
+            fetches.append((start, stop))
+            return mm[start:stop]
+
+        sc = ShardedCorpus.from_row_source(get_rows, 333, 24)
+        assert len(fetches) >= 2, "shards must fetch independently"
+        q = rng.standard_normal(24).astype(np.float32)
+        vals, idx = sc.knn_dot(q, 5)
+        want_v, want_i = ShardedCorpus(rows).knn_dot(q, 5)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_i))
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(want_v))
