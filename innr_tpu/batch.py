@@ -76,7 +76,7 @@ class VerticalBatch:
     (``src/batch.rs:212-214``).
     """
 
-    __slots__ = ("rows",)
+    __slots__ = ("rows", "_norms2", "_inv_norms")
 
     def __init__(self, rows: jax.Array):
         rows = jnp.asarray(rows, dtype=jnp.float32)
@@ -85,6 +85,25 @@ class VerticalBatch:
                 f"VerticalBatch: rows must be 2-D (N, D), got {rows.shape}"
             )
         self.rows = rows
+        # Lazy per-row norm caches (rows are immutable jax arrays): the
+        # reference's batch_norms precompute — computing them inside each
+        # L2/cosine scan would cost a second full corpus read per call.
+        self._norms2 = None
+        self._inv_norms = None
+
+    def norms2(self) -> jax.Array:
+        """Per-row squared L2 norms, computed once and cached."""
+        if self._norms2 is None:
+            self._norms2 = jnp.sum(self.rows * self.rows, axis=1)
+        return self._norms2
+
+    def inv_norms(self) -> jax.Array:
+        """Per-row guarded inverse norms (zero-norm -> 0.0), cached."""
+        if self._inv_norms is None:
+            from innr_tpu.kernels.knn import inv_norms as _inv
+
+            self._inv_norms = _inv(self.rows)
+        return self._inv_norms
 
     # -- constructors (reference src/batch.rs:103/138/167) ------------------
 
@@ -419,9 +438,13 @@ def batch_knn(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
         from innr_tpu.kernels import knn as _kernels
 
         if q.ndim == 2:
-            vals, idx = _kernels.fused_knn_l2_batch(q, batch.rows, k)
+            vals, idx = _kernels.fused_knn_l2_batch(
+                q, batch.rows, k, norms2=batch.norms2()
+            )
         else:
-            vals, idx = _kernels.fused_knn_l2(q, batch.rows, k)
+            vals, idx = _kernels.fused_knn_l2(
+                q, batch.rows, k, norms2=batch.norms2()
+            )
     elif q.ndim == 2:
         vals, idx = _knn_l2_multi(q, batch.rows, k)
     else:
@@ -475,10 +498,16 @@ def batch_knn_cosine(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
     if _use_fused(batch.num_vectors, k):
         from innr_tpu.kernels import knn as _kernels
 
-        if q.ndim == 2:
-            vals, idx = _kernels.fused_knn_cosine_batch(q, batch.rows, k)
+        if q.ndim == 1:
+            q = q[None, :]
+            vals, idx = _kernels.fused_knn_cosine_batch(
+                q, batch.rows, k, inv=batch.inv_norms()
+            )
+            vals, idx = vals[0], idx[0]
         else:
-            vals, idx = _kernels.fused_knn_cosine(q, batch.rows, k)
+            vals, idx = _kernels.fused_knn_cosine_batch(
+                q, batch.rows, k, inv=batch.inv_norms()
+            )
     elif q.ndim == 2:
         vals, idx = _knn_cosine_multi(q, batch.rows, k)
     else:

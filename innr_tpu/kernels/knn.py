@@ -318,15 +318,17 @@ def fused_knn_dot(q: jax.Array, rows: jax.Array, k: int):
     return vals[0], idx[0]
 
 
-def fused_knn_l2(q: jax.Array, rows: jax.Array, k: int):
+def fused_knn_l2(q: jax.Array, rows: jax.Array, k: int, norms2=None):
     """Top-k smallest squared L2 distances of one query — fused scan.
 
     Scores use the MXU decomposition with ``||q||^2`` added back afterwards
     and are clamped at zero (the direct form is non-negative by
-    construction).
+    construction). Pass precomputed ``norms2`` (per-row squared norms) to
+    avoid the extra corpus read — the reference's batch_norms precompute.
     """
     _check_k(k)
-    norms2 = jnp.sum(rows * rows, axis=1)
+    if norms2 is None:
+        norms2 = jnp.sum(rows * rows, axis=1)
     vals, idx = _fused_knn(q[None, :], rows, norms2, k, mode="l2")
     qq = jnp.sum(q * q)
     return jnp.maximum(vals[0] + qq, 0.0), idx[0]
@@ -343,10 +345,11 @@ def fused_knn_dot_batch(qs: jax.Array, rows: jax.Array, k: int):
     return _fused_knn(qs, rows, None, k, mode="dot")
 
 
-def fused_knn_l2_batch(qs: jax.Array, rows: jax.Array, k: int):
+def fused_knn_l2_batch(qs: jax.Array, rows: jax.Array, k: int, norms2=None):
     """Top-k L2^2 for a (Q, D) query batch in one kernel launch."""
     _check_k(k)
-    norms2 = jnp.sum(rows * rows, axis=1)
+    if norms2 is None:
+        norms2 = jnp.sum(rows * rows, axis=1)
     vals, idx = _fused_knn(qs, rows, norms2, k, mode="l2")
     qq = jnp.sum(qs * qs, axis=1, keepdims=True)
     return jnp.maximum(vals + qq, 0.0), idx
@@ -390,15 +393,25 @@ def fused_knn_cosine(q: jax.Array, rows: jax.Array, k: int):
     return vals[0], idx[0]
 
 
-def fused_knn_cosine_batch(qs: jax.Array, rows: jax.Array, k: int):
-    """Top-k by cosine for a (Q, D) query batch in one kernel launch.
-
-    Queries pre-normalize on-device; per-row inverse norms stream alongside
-    the corpus tiles. Returns ``(scores (Q, k), indices (Q, k))``.
-    """
-    _check_k(k)
+def inv_norms(rows: jax.Array) -> jax.Array:
+    """Per-row guarded inverse norms (zero/tiny-norm rows -> 0.0), the
+    cosine kernel's aux stream. Precompute once per corpus."""
     from innr_tpu.config import NORM_EPSILON
 
     norms = jnp.sqrt(jnp.sum(rows * rows, axis=1))
-    inv = jnp.where(norms > NORM_EPSILON, 1.0 / jnp.where(norms > 0, norms, 1.0), 0.0)
+    return jnp.where(
+        norms > NORM_EPSILON, 1.0 / jnp.where(norms > 0, norms, 1.0), 0.0
+    )
+
+
+def fused_knn_cosine_batch(qs: jax.Array, rows: jax.Array, k: int, inv=None):
+    """Top-k by cosine for a (Q, D) query batch in one kernel launch.
+
+    Queries pre-normalize on-device; per-row inverse norms stream alongside
+    the corpus tiles (pass precomputed ``inv`` to skip the extra corpus
+    read). Returns ``(scores (Q, k), indices (Q, k))``.
+    """
+    _check_k(k)
+    if inv is None:
+        inv = inv_norms(rows)
     return _fused_knn(_unit_queries(qs), rows, inv, k, mode="cosine")

@@ -125,4 +125,6 @@ def corpus_from_process_local_rows(
     corpus.n_true = int(n_total)
     corpus.n_pad = n_pad
     corpus.rows = rows
+    corpus._norms2 = None
+    corpus._inv_norms = None
     return corpus

@@ -61,32 +61,19 @@ def _invert_total_key(keys: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(keys ^ mask, jnp.float32)
 
 
-def _row_inv_norms(rows: jax.Array) -> jax.Array:
-    from innr_tpu.config import NORM_EPSILON
-
-    norms = jnp.sqrt(jnp.sum(rows * rows, axis=1))
-    return jnp.where(
-        norms > NORM_EPSILON, 1.0 / jnp.where(norms > 0, norms, 1.0), 0.0
-    )
-
-
-def _local_topk(qs, rows_shard, n_total, k, mode, use_fused):
+def _local_topk(qs, rows_shard, aux_shard, n_total, k, mode, use_fused):
     """Per-shard body under shard_map: (Q, shard) local scores -> per-query
     local top-k raw total-order keys (larger = better, every mode) with
-    global indices; padded rows masked out."""
+    global indices; padded rows masked out. ``aux_shard``: per-row squared
+    norms (l2) / guarded inverse norms (cosine), precomputed once per
+    corpus and sharded alongside the rows."""
     shard_rows = rows_shard.shape[0]
     base = jax.lax.axis_index(AXIS) * shard_rows
 
     if use_fused:
         from innr_tpu.kernels.knn import fused_knn_keys_batch
 
-        if mode == "l2":
-            aux = jnp.sum(rows_shard * rows_shard, axis=1)
-        elif mode == "cosine":
-            aux = _row_inv_norms(rows_shard)
-        else:
-            aux = None
-        keys, lidx = fused_knn_keys_batch(qs, rows_shard, aux, k, mode)
+        keys, lidx = fused_knn_keys_batch(qs, rows_shard, aux_shard, k, mode)
         gidx = base + lidx
         keys = jnp.where(gidx < n_total, keys, _INT_MIN)
         return keys, gidx
@@ -105,7 +92,7 @@ def _local_topk(qs, rows_shard, n_total, k, mode, use_fused):
         if mode == "cosine":
             # Queries arrive pre-normalized; scale by per-row inverse norms
             # (zero-norm rows score exactly 0.0, the reference guard).
-            scores = scores * _row_inv_norms(rows_shard)[None, :]
+            scores = scores * aux_shard[None, :]
     keys = total_order_key_f32(scores)  # (Q, shard)
     if mode == "l2":
         keys = ~keys  # smaller distance = better
@@ -119,8 +106,8 @@ def _local_topk(qs, rows_shard, n_total, k, mode, use_fused):
     jax.jit, static_argnames=("k", "k_local", "mode", "n_total", "mesh", "use_fused")
 )
 def _sharded_knn(
-    qs, rows_sharded, k: int, k_local: int, mode: str, n_total: int,
-    mesh: Mesh, use_fused: bool,
+    qs, rows_sharded, aux_sharded, k: int, k_local: int, mode: str,
+    n_total: int, mesh: Mesh, use_fused: bool,
 ):
     single = qs.ndim == 1
     if single:
@@ -129,17 +116,22 @@ def _sharded_knn(
         from innr_tpu.kernels.knn import _unit_queries
 
         qs = _unit_queries(qs)
+    has_aux = mode != "dot"
+    body = partial(
+        _local_topk, n_total=n_total, k=k_local, mode=mode,
+        use_fused=use_fused,
+    )
+    if not has_aux:
+        body = partial(lambda q_, r_, f_: f_(q_, r_, None), f_=body)
     local = jax.shard_map(
-        partial(
-            _local_topk, n_total=n_total, k=k_local, mode=mode,
-            use_fused=use_fused,
-        ),
+        body,
         mesh=mesh,
-        in_specs=(P(), P(AXIS, None)),
+        in_specs=(P(), P(AXIS, None)) + ((P(AXIS),) if has_aux else ()),
         out_specs=(P(None, AXIS), P(None, AXIS)),
         check_vma=False,  # Pallas calls inside the body have no vma info
     )
-    keys, gidx = local(qs, rows_sharded)  # (Q, num_devices * k_local) each
+    args = (qs, rows_sharded) + ((aux_sharded,) if has_aux else ())
+    keys, gidx = local(*args)  # (Q, num_devices * k_local) each
     # Final merge over the gathered candidates (tiny).
     merged_keys, pos = jax.lax.top_k(keys, k)
     idx = jnp.take_along_axis(gidx, pos, axis=1)
@@ -178,6 +170,25 @@ class ShardedCorpus:
         rows = pad_axis_to(rows, 0, n_pad)
         sharding = NamedSharding(self.mesh, P(AXIS, None))
         self.rows = jax.device_put(rows, sharding)
+        self._norms2 = None
+        self._inv_norms = None
+
+    def _aux(self, mode: str):
+        """Cached per-row norm streams, computed once, sharded with the
+        rows (each device reduces its own shard — no gather)."""
+        if mode == "l2":
+            if self._norms2 is None:
+                self._norms2 = jax.jit(lambda r: jnp.sum(r * r, axis=1))(
+                    self.rows
+                )
+            return self._norms2
+        if mode == "cosine":
+            if self._inv_norms is None:
+                from innr_tpu.kernels.knn import inv_norms
+
+                self._inv_norms = jax.jit(inv_norms)(self.rows)
+            return self._inv_norms
+        return None
 
     @classmethod
     def from_row_source(cls, get_rows, num_vectors: int, dimension: int,
@@ -226,6 +237,8 @@ class ShardedCorpus:
         self.rows = jax.make_array_from_callback(
             (n_pad, int(dimension)), sharding, fetch
         )
+        self._norms2 = None
+        self._inv_norms = None
         return self
 
     @property
@@ -304,7 +317,8 @@ def _run(query, corpus: ShardedCorpus, k: int, mode: str, op: str):
         return _empty(q)
     k_local, use_fused = _plan_local_k(corpus, k)
     return _sharded_knn(
-        q, corpus.rows, k, k_local, mode, corpus.n_true, corpus.mesh, use_fused
+        q, corpus.rows, corpus._aux(mode), k, k_local, mode, corpus.n_true,
+        corpus.mesh, use_fused,
     )
 
 

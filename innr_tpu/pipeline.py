@@ -35,6 +35,26 @@ from innr_tpu.utils.order import top_k_total
 __all__ = ["TwoStageIndex", "CoarseConfig"]
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("k",))
+def _rerank_jit(rows, queries, cand, k):
+    """Exact rerank of per-query shortlists in ONE launch: gather + batched
+    matvec + total-order top-k (the fine stage fused into a single
+    dispatch; per-dispatch latency dominates small reranks)."""
+    from innr_tpu import config as _cfg
+
+    shortlists = rows[cand]  # (Q, n_cand, D)
+    fine = jnp.einsum(
+        "qcd,qd->qc", shortlists, queries,
+        preferred_element_type=jnp.float32,
+        precision=_cfg.matmul_precision(),
+    )
+    vals, pos = top_k_total(fine, k, largest=True)
+    return vals, jnp.take_along_axis(cand, pos, axis=1)
+
+
 @dataclass(frozen=True)
 class CoarseConfig:
     """Coarse-stage configuration.
@@ -159,19 +179,10 @@ class TwoStageIndex:
         k = min(int(k), self.num_vectors)
         n_cand = min(k * self.rerank_factor, self.num_vectors)
         cand = self._coarse_candidates(query, n_cand)
-
-        from innr_tpu import config as _cfg
-
-        shortlist = self.rows[cand]
-        fine = jnp.matmul(
-            shortlist, query,
-            preferred_element_type=jnp.float32,
-            precision=_cfg.matmul_precision(),
-        )
-        vals, pos = top_k_total(fine, k, largest=True)
+        vals, idx = _rerank_jit(self.rows, query[None, :], cand[None, :], k)
         return BatchKnnResult(
-            indices=np.asarray(cand)[np.asarray(pos)].astype(np.int64),
-            scores=np.asarray(vals, dtype=np.float32),
+            indices=np.asarray(idx[0], dtype=np.int64),
+            scores=np.asarray(vals[0], dtype=np.float32),
         )
 
     def _coarse_candidates_batch(self, queries: jax.Array, n_cand: int) -> jax.Array:
@@ -236,19 +247,9 @@ class TwoStageIndex:
         k = min(int(k), self.num_vectors)
         n_cand = min(k * self.rerank_factor, self.num_vectors)
         cand = self._coarse_candidates_batch(queries, n_cand)
-
-        from innr_tpu import config as _cfg
-
-        shortlists = self.rows[cand]  # (Q, n_cand, D)
-        fine = jnp.einsum(
-            "qcd,qd->qc", shortlists, queries,
-            preferred_element_type=jnp.float32,
-            precision=_cfg.matmul_precision(),
-        )
-        vals, pos = top_k_total(fine, k, largest=True)
-        gathered = np.take_along_axis(np.asarray(cand), np.asarray(pos), axis=1)
+        vals, idx = _rerank_jit(self.rows, queries, cand, k)
         return BatchKnnResult(
-            indices=gathered.astype(np.int64),
+            indices=np.asarray(idx, dtype=np.int64),
             scores=np.asarray(vals, dtype=np.float32),
         )
 
