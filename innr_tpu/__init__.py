@@ -82,7 +82,13 @@ from innr_tpu.ops.fast_math import (
     fast_rsqrt,
     fast_rsqrt_precise,
 )
-from innr_tpu.ops.maxsim import batch_maxsim, maxsim, maxsim_cosine, maxsim_knn
+from innr_tpu.ops.maxsim import (
+    batch_maxsim,
+    maxsim,
+    maxsim_cosine,
+    maxsim_knn,
+    maxsim_knn_batch,
+)
 from innr_tpu.ops.quant import batch_dot_u8, batch_hamming, dot_u8, hamming_distance
 from innr_tpu.ops.scalar import (
     QuantizationParams,

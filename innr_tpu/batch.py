@@ -265,14 +265,16 @@ def _knn_cosine_multi(qs: jax.Array, rows: jax.Array, k: int):
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _knn_l2_masked(q: jax.Array, rows: jax.Array, mask: jax.Array, k: int):
-    """Top-k smallest L2^2 among rows where ``mask``; non-passing rows get
-    the maximal int32 key so they sort strictly last."""
-    dists = _l2sq_scores(q, rows)
+def _knn_l2_masked(qs: jax.Array, rows: jax.Array, mask: jax.Array, k: int):
+    """Top-k smallest L2^2 among rows where ``mask`` for a (Q, D) query
+    batch; non-passing rows get the maximal int32 key so they sort
+    strictly last."""
+    d = rows[None, :, :] - qs[:, None, :]
+    dists = jnp.sum(d * d, axis=2)
     keys = total_order_key_f32(dists)
-    keys = jnp.where(mask, keys, jnp.iinfo(jnp.int32).max)
+    keys = jnp.where(mask[None, :], keys, jnp.iinfo(jnp.int32).max)
     _, idx = jax.lax.top_k(~keys, k)
-    return dists[idx], idx
+    return jnp.take_along_axis(dists, idx, axis=1), idx
 
 
 @partial(jax.jit, static_argnames=("k", "warmup_dims"))
@@ -523,10 +525,14 @@ def batch_knn_filtered(query, batch: VerticalBatch, k: int, predicate) -> BatchK
     ``num_vectors`` — the TPU-native form, since a mask is what the fused
     kernel consumes. Indices refer to the original batch. Returns at most
     ``min(k, num_passing)`` results.
+
+    TPU-native extensions: ``query`` may be a (Q, D) batch (result arrays
+    (Q, k)); large corpora run the fused streaming scan with the predicate
+    pushed down into the kernel.
     """
-    q = _check_query(query, batch, "batch_knn_filtered")
+    q = _check_query(query, batch, "batch_knn_filtered", allow_multi=True)
     if batch.num_vectors == 0 or k == 0:
-        return _empty_result()
+        return _empty_result(q)
 
     if callable(predicate):
         mask = np.fromiter(
@@ -543,12 +549,23 @@ def batch_knn_filtered(query, batch: VerticalBatch, k: int, predicate) -> BatchK
             )
     num_passing = int(mask.sum())
     if num_passing == 0:
-        return _empty_result()
+        return _empty_result(q)
+    # k <= num_passing guarantees every selected row passes (non-passing
+    # rows sort strictly after ANY passing row, NaN included).
     k = min(int(k), num_passing)
-    vals, idx = _knn_l2_masked(q, batch.rows, jnp.asarray(mask), k)
-    vals, idx = np.asarray(vals), np.asarray(idx)
-    passing = mask[idx]
-    return _result(vals[passing], idx[passing])
+    multi = q.ndim == 2
+    qs = q if multi else q[None, :]
+    if _use_fused(batch.num_vectors, k):
+        from innr_tpu.kernels import knn as _kernels
+
+        vals, idx = _kernels.fused_knn_l2_masked_batch(
+            qs, batch.rows, jnp.asarray(mask), k, norms2=batch.norms2()
+        )
+    else:
+        vals, idx = _knn_l2_masked(qs, batch.rows, jnp.asarray(mask), k)
+    if not multi:
+        vals, idx = vals[0], idx[0]
+    return _result(vals, idx)
 
 
 def batch_knn_reordered(query, batch: VerticalBatch, k: int) -> BatchKnnResult:

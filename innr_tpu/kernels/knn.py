@@ -209,14 +209,21 @@ def _knn_kernel(n_rows, k, mode, q_ref, rows_ref, *rest):
     if mode == "l2":
         # L2 decomposition: norms2 - 2 * dot (||q||^2 added on host).
         scores = norms_ref[:] - 2.0 * scores
+    elif mode == "l2m":
+        # Masked L2: aux row 0 = norms2, row 1 = predicate (0/1).
+        scores = norms_ref[0:1, :] - 2.0 * scores
     elif mode == "cosine":
         # dot * (1/||r||); the 1/||q|| factor is a per-query monotone
         # scale applied on the host.
         scores = scores * norms_ref[:]
 
     keys = f32_keys(scores)
-    if mode == "l2":
+    if mode in ("l2", "l2m"):
         keys = ~keys  # L2: smaller distance = better
+    if mode == "l2m":
+        # Predicate pushdown: non-passing rows can never win
+        # (reference src/batch.rs:842-845 pins them to f32::MAX).
+        keys = jnp.where(norms_ref[1:2, :] > 0.0, keys, _INT_MIN)
 
     keys, global_idx = masked_global_idx(step, n_q, tile_n, n_rows, keys)
     update_topk(keys, global_idx, best_keys, best_idx, k)
@@ -238,7 +245,7 @@ def fused_knn_keys_batch(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str)
 @functools.partial(jax.jit, static_argnames=("k", "mode"))
 def _fused_knn(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str = "dot"):
     keys, idx = _fused_knn_raw(qs, rows, aux, k, mode)
-    if mode == "l2":
+    if mode in ("l2", "l2m"):
         keys = ~keys
     vals = _invert_total_key(keys)
     return vals, idx
@@ -274,10 +281,14 @@ def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str):
     ]
     inputs = [qs_p, rows_p]
     if mode != "dot":
+        aux2 = aux if aux.ndim == 2 else aux[None, :]
+        n_aux = aux2.shape[0]
         in_specs.append(
-            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (n_aux, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
         )
-        inputs.append(aux[None, :])
+        inputs.append(aux2)
 
     kernel = functools.partial(_knn_kernel, n, k, mode)
     keys, idx = pl.pallas_call(
@@ -332,6 +343,25 @@ def fused_knn_l2(q: jax.Array, rows: jax.Array, k: int, norms2=None):
     vals, idx = _fused_knn(q[None, :], rows, norms2, k, mode="l2")
     qq = jnp.sum(q * q)
     return jnp.maximum(vals[0] + qq, 0.0), idx[0]
+
+
+def fused_knn_l2_masked_batch(
+    qs: jax.Array, rows: jax.Array, mask: jax.Array, k: int, norms2=None
+):
+    """Top-k smallest L2^2 among predicate-passing rows for a (Q, D) query
+    batch — predicate pushdown fused into the streaming scan (reference
+    batch_knn_filtered, src/batch.rs:809). ``mask``: (N,) boolean; rows
+    where it is False can never win. Returns ``(distances (Q, k) ascending
+    within the passing set, indices (Q, k))``; when fewer than k rows pass,
+    the tail entries are garbage — callers trim to the passing count.
+    """
+    _check_k(k)
+    if norms2 is None:
+        norms2 = jnp.sum(rows * rows, axis=1)
+    aux = jnp.stack([norms2, mask.astype(jnp.float32)])
+    vals, idx = _fused_knn(qs, rows, aux, k, mode="l2m")
+    qq = jnp.sum(qs * qs, axis=1, keepdims=True)
+    return jnp.maximum(vals + qq, 0.0), idx
 
 
 def fused_knn_dot_batch(qs: jax.Array, rows: jax.Array, k: int):

@@ -82,12 +82,14 @@ def fused_maxsim_scores(q_tokens: jax.Array, docs: jax.Array, doc_mask=None):
     n, td, _ = docs.shape
 
     tile_docs = _pick_tile_docs(n, td, d)
+    # No doc-axis padding: an XLA pad of the corpus is a full HBM copy;
+    # Pallas runs a ragged final block and rows past n are sliced away.
     n_pad = round_up(n, tile_docs)
     d_pad = round_up(d, 128)
     tq_pad = round_up(tq, 8)
     td_pad = round_up(td, 8)
 
-    docs_p = pad_axis_to(pad_axis_to(pad_axis_to(docs, 0, n_pad), 1, td_pad), 2, d_pad)
+    docs_p = pad_axis_to(pad_axis_to(docs, 1, td_pad), 2, d_pad)
     q_p = pad_axis_to(pad_axis_to(q_tokens, 0, tq_pad), 1, d_pad)
     use_mask = doc_mask is not None
     inputs = [q_p, docs_p]
@@ -99,7 +101,7 @@ def fused_maxsim_scores(q_tokens: jax.Array, docs: jax.Array, doc_mask=None):
     ]
     if use_mask:
         mask = jnp.asarray(doc_mask, dtype=bool)
-        mask_p = pad_axis_to(pad_axis_to(mask, 0, n_pad), 1, td_pad)
+        mask_p = pad_axis_to(mask, 1, td_pad)
         inputs.append(mask_p)
         in_specs.append(
             pl.BlockSpec((tile_docs, td_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -109,7 +111,7 @@ def fused_maxsim_scores(q_tokens: jax.Array, docs: jax.Array, doc_mask=None):
         # 0, which can only win a max when all real scores are negative.
         # Supply an implicit mask in that case for exactness.
         mask = jnp.ones((n, td), dtype=bool)
-        mask_p = pad_axis_to(pad_axis_to(mask, 0, n_pad), 1, td_pad)
+        mask_p = pad_axis_to(mask, 1, td_pad)
         inputs.append(mask_p)
         in_specs.append(
             pl.BlockSpec((tile_docs, td_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -133,4 +135,130 @@ def fused_maxsim_knn(q_tokens: jax.Array, docs: jax.Array, k: int, doc_mask=None
     """Top-k docs by MaxSim against a token-matrix query — fused scoring
     plus total-order selection. Returns (scores descending, indices)."""
     scores = fused_maxsim_scores(q_tokens, docs, doc_mask)
+    return top_k_total(scores, k, largest=True)
+
+
+def _pick_tile_docs_mq(n: int, td: int, d: int, b: int, tq: int) -> int:
+    # live VMEM per doc: the (Td, D) token tile plus the (Td, B, Tq)
+    # interaction block and its (B, Tq) row-max.
+    budget = 4 * 1024 * 1024
+    per_doc = 4 * td * (d + b * tq)
+    tile = budget // max(per_doc, 1)
+    tile = max(8, min(256, tile))
+    return round_up(min(tile, max(n, 8)), 8)
+
+
+def _maxsim_kernel_mq(tq_true, tq_pad, n_b, use_mask, q_ref, docs_ref, *rest):
+    """Multi-query step with a FLATTENED (B*Tq, D) query-token matrix —
+    the interaction tensor stays 3-D ((TILE, Td, B*Tq); Mosaic rejects 4-D
+    dot_general outputs) and the per-query sum is an MXU matmul against a
+    group-indicator matrix built from iotas."""
+    if use_mask:
+        mask_ref, out_ref = rest
+    else:
+        mask_ref = None
+        out_ref = rest[0]
+
+    from innr_tpu import config
+
+    docs = docs_ref[:]  # (TILE_DOCS, Td, D)
+    pair = jax.lax.dot_general(
+        docs,
+        q_ref[:],  # (B*Tq_pad, D)
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=config.matmul_precision(),
+    )  # (TILE_DOCS, Td, B*Tq_pad)
+    if use_mask:
+        pair = jnp.where(mask_ref[:][:, :, None], pair, -jnp.inf)
+    best = jnp.max(pair, axis=1)  # (TILE_DOCS, B*Tq_pad)
+    btq = best.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, btq), 1)
+    best = jnp.where(col % tq_pad < tq_true, best, 0.0)
+    best = jnp.where(best == -jnp.inf, 0.0, best)
+    # Per-query sum as (TILE, B*Tq) @ (B*Tq, B) group-indicator matmul.
+    r = jax.lax.broadcasted_iota(jnp.int32, (btq, n_b), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (btq, n_b), 1)
+    sel = (r // tq_pad == c).astype(jnp.float32)
+    out_ref[:] = jax.lax.dot_general(
+        best, sel,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=config.matmul_precision(),
+    )  # (TILE_DOCS, B)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def fused_maxsim_scores_batch(q_batch: jax.Array, docs: jax.Array, doc_mask=None):
+    """MaxSim scores of a (B, Tq, D) query batch against an (N, Td, D) doc
+    corpus -> (B, N) f32 in ONE streamed corpus pass (all queries share the
+    doc-token HBM read — the multi-query serving shape).
+
+    All queries must share one true token count Tq (pad queries to a
+    rectangle; padded all-zero token rows contribute max(0, ...) >= 0 to
+    the sum exactly as zero rows do in ``batch_maxsim`` without a query
+    mask — pass pre-trimmed queries or equal-length queries for exactness).
+    """
+    q_batch = jnp.asarray(q_batch, dtype=jnp.float32)
+    docs = jnp.asarray(docs, dtype=jnp.float32)
+    b, tq, d = q_batch.shape
+    n, td, _ = docs.shape
+
+    tile_docs = _pick_tile_docs_mq(n, td, d, b, tq)
+    d_pad = round_up(d, 128)
+    tq_pad = round_up(tq, 8)
+    td_pad = round_up(td, 8)
+
+    docs_p = pad_axis_to(pad_axis_to(docs, 1, td_pad), 2, d_pad)
+    # Flatten the query batch into one (B*Tq_pad, D) token matrix so the
+    # in-kernel interaction tensor stays 3-D (Mosaic constraint).
+    q_p = pad_axis_to(pad_axis_to(q_batch, 1, tq_pad), 2, d_pad).reshape(
+        b * tq_pad, d_pad
+    )
+    use_mask = doc_mask is not None or td_pad != td
+    inputs = [q_p, docs_p]
+    in_specs = [
+        pl.BlockSpec(
+            (b * tq_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (tile_docs, td_pad, d_pad), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if use_mask:
+        if doc_mask is None:
+            mask = jnp.ones((n, td), dtype=bool)
+        else:
+            mask = jnp.asarray(doc_mask, dtype=bool)
+        mask_p = pad_axis_to(mask, 1, td_pad)
+        inputs.append(mask_p)
+        in_specs.append(
+            pl.BlockSpec(
+                (tile_docs, td_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+        )
+
+    grid = ((n + tile_docs - 1) // tile_docs,)
+    out = pl.pallas_call(
+        functools.partial(_maxsim_kernel_mq, tq, tq_pad, b, use_mask),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tile_docs, b), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (round_up(n, tile_docs), b), jnp.float32
+        ),
+        interpret=should_interpret(),
+    )(*inputs)
+    return out[:n, :].T
+
+
+def fused_maxsim_knn_batch(
+    q_batch: jax.Array, docs: jax.Array, k: int, doc_mask=None
+):
+    """Top-k docs by MaxSim for a (B, Tq, D) query batch — one corpus pass,
+    one launch. Returns ``(scores (B, k) descending, indices (B, k))``."""
+    scores = fused_maxsim_scores_batch(q_batch, docs, doc_mask)
     return top_k_total(scores, k, largest=True)

@@ -21,7 +21,13 @@ import numpy as np
 from innr_tpu.config import NORM_EPSILON
 from innr_tpu.utils.asserts import ContractError
 
-__all__ = ["maxsim", "maxsim_cosine", "batch_maxsim", "maxsim_knn"]
+__all__ = [
+    "maxsim",
+    "maxsim_cosine",
+    "batch_maxsim",
+    "maxsim_knn",
+    "maxsim_knn_batch",
+]
 
 
 def _tokens_2d(tokens, name: str) -> jax.Array:
@@ -168,5 +174,38 @@ def maxsim_knn(query_tokens, doc_corpus, k: int, doc_mask=None):
         vals, idx = _kern.fused_maxsim_knn(q, docs, k, doc_mask)
     else:
         scores = batch_maxsim(q[None], docs, doc_mask=doc_mask)[0]
+        vals, idx = top_k_total(scores, k, largest=True)
+    return np.asarray(vals), np.asarray(idx, dtype=np.int64)
+
+
+def maxsim_knn_batch(query_batch, doc_corpus, k: int, doc_mask=None):
+    """Top-k documents by MaxSim for a (B, Tq, D) query batch — all B
+    queries share ONE streamed pass over the (N, Td, D) corpus (the
+    multi-query serving shape; one launch, one corpus HBM read).
+
+    Ragged queries zero-pad to the Tq rectangle exactly: a zero query
+    token's best interaction is 0, contributing nothing to the sum.
+    Returns ``(scores (B, k) descending, indices (B, k))`` numpy arrays.
+    """
+    qs = jnp.asarray(query_batch, dtype=jnp.float32)
+    docs = jnp.asarray(doc_corpus, dtype=jnp.float32)
+    if qs.ndim != 3 or docs.ndim != 3 or docs.shape[2] != qs.shape[2]:
+        raise ContractError(
+            f"innr_tpu::maxsim_knn_batch: query batch {qs.shape} incompatible "
+            f"with corpus {docs.shape}"
+        )
+    b, n = int(qs.shape[0]), int(docs.shape[0])
+    if n == 0 or k == 0 or qs.shape[1] == 0 or b == 0:
+        return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int64)
+    k = min(int(k), n)
+    from innr_tpu import config
+    from innr_tpu.utils.order import top_k_total
+
+    if n >= max(config.MIN_ROWS_PALLAS // 16, 64) and not config.reference_forced():
+        from innr_tpu.kernels import maxsim_kernel as _kern
+
+        vals, idx = _kern.fused_maxsim_knn_batch(qs, docs, k, doc_mask)
+    else:
+        scores = batch_maxsim(qs, docs, doc_mask=doc_mask)
         vals, idx = top_k_total(scores, k, largest=True)
     return np.asarray(vals), np.asarray(idx, dtype=np.int64)

@@ -27,19 +27,21 @@ _INT_MIN = jnp.iinfo(jnp.int32).min
 
 
 def _local_maxsim_topk(q_tokens, docs_shard, mask_shard, n_total, k, use_fused):
+    """Per-shard body. ``q_tokens``: (B, Tq, D) query batch — all queries
+    share the shard's doc-token read."""
     shard_rows = docs_shard.shape[0]
     base = jax.lax.axis_index(AXIS) * shard_rows
     if use_fused:
-        from innr_tpu.kernels.maxsim_kernel import fused_maxsim_scores
+        from innr_tpu.kernels.maxsim_kernel import fused_maxsim_scores_batch
 
-        scores = fused_maxsim_scores(q_tokens, docs_shard, mask_shard)
+        scores = fused_maxsim_scores_batch(q_tokens, docs_shard, mask_shard)
     else:
         from innr_tpu.ops.maxsim import batch_maxsim
 
-        scores = batch_maxsim(q_tokens[None], docs_shard, doc_mask=mask_shard)[0]
-    keys = total_order_key_f32(scores)  # (shard,)
+        scores = batch_maxsim(q_tokens, docs_shard, doc_mask=mask_shard)
+    keys = total_order_key_f32(scores)  # (B, shard)
     gidx_row = base + jnp.arange(shard_rows, dtype=jnp.int32)
-    keys = jnp.where(gidx_row < n_total, keys, _INT_MIN)
+    keys = jnp.where(gidx_row[None, :] < n_total, keys, _INT_MIN)
     top_keys, tidx = jax.lax.top_k(keys, k)
     return top_keys, gidx_row[tidx]
 
@@ -49,18 +51,25 @@ def _sharded_maxsim_knn(
     q_tokens, docs_sharded, mask_sharded, k: int, k_local: int, n_total: int,
     mesh: Mesh, use_fused: bool,
 ):
+    single = q_tokens.ndim == 2
+    if single:
+        q_tokens = q_tokens[None]
     local = jax.shard_map(
         partial(
             _local_maxsim_topk, n_total=n_total, k=k_local, use_fused=use_fused
         ),
         mesh=mesh,
         in_specs=(P(), P(AXIS, None, None), P(AXIS, None)),
-        out_specs=(P(AXIS), P(AXIS)),
+        out_specs=(P(None, AXIS), P(None, AXIS)),
         check_vma=False,  # Pallas calls inside the body have no vma info
     )
     keys, gidx = local(q_tokens, docs_sharded, mask_sharded)
     merged_keys, pos = jax.lax.top_k(keys, k)
-    return _invert_total_key(merged_keys), gidx[pos]
+    vals = _invert_total_key(merged_keys)
+    idx = jnp.take_along_axis(gidx, pos, axis=1)
+    if single:
+        return vals[0], idx[0]
+    return vals, idx
 
 
 class ShardedMaxSimCorpus:
@@ -110,15 +119,22 @@ class ShardedMaxSimCorpus:
         return int(self.docs.size) * 4 + int(self.doc_mask.size)
 
     def knn(self, query_tokens, k: int):
-        """Distributed top-k docs by MaxSim for one (Tq, D) token-matrix
-        query. Returns ``(scores descending, global indices)``."""
+        """Distributed top-k docs by MaxSim. ``query_tokens``: one (Tq, D)
+        token matrix or a (B, Tq, D) batch (all queries share each shard's
+        doc-token read). Returns ``(scores descending, global indices)``."""
         q = jnp.asarray(query_tokens, dtype=jnp.float32)
-        if q.ndim != 2 or q.shape[1] != self.dimension:
+        if q.ndim not in (2, 3) or q.shape[-1] != self.dimension:
             raise ContractError(
                 f"ShardedMaxSimCorpus.knn: query shape {q.shape} incompatible "
                 f"with dimension {self.dimension}"
             )
-        if k <= 0 or self.n_true == 0 or q.shape[0] == 0:
+        if k <= 0 or self.n_true == 0 or q.shape[-2] == 0:
+            if q.ndim == 3:
+                b = int(q.shape[0])
+                return (
+                    jnp.zeros((b, 0), jnp.float32),
+                    jnp.zeros((b, 0), jnp.int32),
+                )
             return jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32)
         k = min(int(k), self.n_true)
         from innr_tpu import config

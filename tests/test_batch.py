@@ -324,3 +324,47 @@ class TestMultiQueryCosineAndEmptyShapes:
         q = rng.standard_normal(16).astype(np.float32)
         res = it.batch_knn_adaptive(q, vb, 40, 16)
         assert 7 in res.indices.tolist()
+
+
+class TestFilteredFusedAndMulti:
+    """Round-2: batch_knn_filtered fused pushdown + multi-query."""
+
+    def test_filtered_multi_matches_single(self, rng):
+        rows = _corpus(rng, 300, 16)
+        qs = rng.standard_normal((4, 16)).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        mask = rng.random(300) > 0.5
+        multi = it.batch_knn_filtered(qs, vb, 5, mask)
+        assert multi.indices.shape == (4, 5)
+        for i in range(4):
+            single = it.batch_knn_filtered(qs[i], vb, 5, mask)
+            np.testing.assert_array_equal(multi.indices[i], single.indices)
+            np.testing.assert_allclose(multi.scores[i], single.scores, rtol=1e-5)
+        assert mask[multi.indices].all()
+
+    def test_filtered_fused_matches_jnp(self, rng, monkeypatch):
+        from innr_tpu import config
+
+        rows = _corpus(rng, 500, 24)
+        q = rng.standard_normal(24).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        mask = rng.random(500) > 0.7
+        want = it.batch_knn_filtered(q, vb, 6, mask)
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        got = it.batch_knn_filtered(q, vb, 6, mask)
+        np.testing.assert_array_equal(got.indices, want.indices)
+        np.testing.assert_allclose(got.scores, want.scores, rtol=1e-4, atol=1e-5)
+
+    def test_filtered_fused_fewer_passing_than_k(self, rng, monkeypatch):
+        from innr_tpu import config
+
+        rows = _corpus(rng, 200, 8)
+        q = rng.standard_normal(8).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        mask = np.zeros(200, bool)
+        mask[[3, 77, 150]] = True
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        res = it.batch_knn_filtered(q, vb, 10, mask)
+        assert len(res.indices) == 3
+        assert set(res.indices.tolist()) == {3, 77, 150}
+        assert np.isfinite(res.scores).all()

@@ -158,3 +158,46 @@ class TestMaxsimKnn:
         assert len(idx) == 0
         with pytest.raises(it.ContractError):
             it.maxsim_knn(np.ones((2, 9), np.float32), docs, 3)
+
+
+class TestMaxSimKnnBatch:
+    """Round-2 multi-query MaxSim retrieval: one corpus pass for a
+    (B, Tq, D) query batch, parity with single-query maxsim_knn."""
+
+    def test_batch_matches_single(self, rng):
+        from innr_tpu.ops.maxsim import maxsim_knn, maxsim_knn_batch
+
+        docs = rng.standard_normal((150, 10, 16)).astype(np.float32)
+        qs = rng.standard_normal((5, 6, 16)).astype(np.float32)
+        vals, idx = maxsim_knn_batch(qs, docs, 4)
+        assert vals.shape == (5, 4)
+        for b in range(5):
+            v1, i1 = maxsim_knn(qs[b], docs, 4)
+            np.testing.assert_array_equal(idx[b], i1)
+            np.testing.assert_allclose(vals[b], v1, rtol=1e-5, atol=1e-5)
+
+    def test_batch_fused_matches_einsum(self, rng, monkeypatch):
+        from innr_tpu import config
+        from innr_tpu.ops.maxsim import maxsim_knn_batch
+
+        docs = rng.standard_normal((200, 8, 16)).astype(np.float32)
+        mask = rng.random((200, 8)) > 0.25
+        mask[:, 0] = True
+        qs = rng.standard_normal((3, 5, 16)).astype(np.float32)
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 10 ** 9)
+        want_v, want_i = maxsim_knn_batch(qs, docs, 6, doc_mask=mask)
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 16)
+        got_v, got_i = maxsim_knn_batch(qs, docs, 6, doc_mask=mask)
+        np.testing.assert_array_equal(got_i, want_i)
+        np.testing.assert_allclose(got_v, want_v, rtol=1e-4, atol=1e-5)
+
+    def test_zero_padded_ragged_queries_exact(self, rng):
+        from innr_tpu.ops.maxsim import maxsim, maxsim_knn_batch
+
+        docs = rng.standard_normal((120, 6, 8)).astype(np.float32)
+        q_short = rng.standard_normal((3, 8)).astype(np.float32)
+        q_padded = np.zeros((1, 7, 8), np.float32)
+        q_padded[0, :3] = q_short
+        vals, idx = maxsim_knn_batch(q_padded, docs, 3)
+        want = float(maxsim(q_short, docs[int(idx[0, 0])]))
+        np.testing.assert_allclose(vals[0, 0], want, rtol=1e-5)

@@ -231,3 +231,15 @@ class TestShardedFamilyRound2:
         want_v, want_i = ShardedCorpus(rows).knn_dot(q, 5)
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_i))
         np.testing.assert_array_equal(np.asarray(vals), np.asarray(want_v))
+
+    def test_sharded_maxsim_batch_queries(self, rng, devices_ok):
+        from innr_tpu.ops.maxsim import maxsim_knn_batch
+        from innr_tpu.parallel import ShardedMaxSimCorpus
+
+        docs = rng.standard_normal((96, 6, 16)).astype(np.float32)
+        qs = rng.standard_normal((4, 5, 16)).astype(np.float32)
+        sm = ShardedMaxSimCorpus(docs)
+        vals, idx = sm.knn(qs, 3)
+        want_v, want_i = maxsim_knn_batch(qs, docs, 3)
+        np.testing.assert_array_equal(np.asarray(idx), want_i)
+        np.testing.assert_allclose(np.asarray(vals), want_v, rtol=1e-5, atol=1e-5)
