@@ -22,6 +22,15 @@ empty reductions return 0.0 (``minhash_jaccard`` of empties returns 1.0).
 """
 
 from innr_tpu import backend, batch, config, distance, io, loader, parallel, pipeline
+from innr_tpu.distance import (
+    Distance,
+    DistCosine,
+    DistDot,
+    DistHamming,
+    DistL1,
+    DistL2,
+    DistSlotU32,
+)
 from innr_tpu.pipeline import CoarseConfig, TwoStageIndex
 from innr_tpu.batch import (
     BatchKnnResult,

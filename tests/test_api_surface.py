@@ -130,3 +130,84 @@ def test_tpu_native_additions_present():
     assert hasattr(it, "minhash_knn")
     assert hasattr(it, "binary_knn")
     assert hasattr(it, "ternary_knn")
+
+
+class TestReferenceApiParity:
+    """Every public symbol of the reference crate (pub fn/struct/enum/trait
+    across src/*.rs, v0.6.3) must be reachable in innr_tpu — at the package
+    root or in its documented module home. Renames are explicit below with
+    their rationale; anything else missing fails the gate."""
+
+    # Reference symbol -> (module, name) when not at the package root.
+    RELOCATED = {
+        # Portable fallbacks live in the oracle module (ops/reference.py).
+        "cosine_portable": ("innr_tpu.ops.reference", "cosine_portable"),
+        "dot_portable": ("innr_tpu.ops.reference", "dot_portable"),
+        "dot_u8_portable": ("innr_tpu.ops.reference", "dot_u8_portable"),
+        "hamming_portable": ("innr_tpu.ops.reference", "hamming_portable"),
+        "l1_distance_portable": ("innr_tpu.ops.reference", "l1_distance_portable"),
+        "l2_distance_squared_portable": (
+            "innr_tpu.ops.reference", "l2_distance_squared_portable",
+        ),
+        "sparse_dot_portable": ("innr_tpu.ops.reference", "sparse_dot_portable"),
+        # One portable covers all slot widths (no per-ISA paths on TPU).
+        "slot_hamming_u32_portable": (
+            "innr_tpu.ops.reference", "slot_hamming_portable",
+        ),
+        # Backend introspection module (reference src/backend.rs).
+        "Backend": ("innr_tpu.backend", "Backend"),
+        "dense_backend": ("innr_tpu.backend", "dense_backend"),
+        "slot_backend": ("innr_tpu.backend", "slot_backend"),
+        # Tuple sparse API (reference feature "sparse" -> src/sparse_ext.rs).
+        "sparse_dense_dot": ("innr_tpu.ops.sparse_ext", "sparse_dense_dot"),
+        "sparse_l2_norm": ("innr_tpu.ops.sparse_ext", "sparse_l2_norm"),
+        "sparse_max_weight": ("innr_tpu.ops.sparse_ext", "sparse_max_weight"),
+        "sparse_normalize": ("innr_tpu.ops.sparse_ext", "sparse_normalize"),
+        "sparse_top_k": ("innr_tpu.ops.sparse_ext", "sparse_top_k"),
+    }
+
+    REFERENCE_PUBLIC = [
+        "Backend", "BatchKnnResult", "DistCosine", "DistDot", "DistHamming",
+        "DistL1", "DistL2", "DistSlotU32", "Distance", "PackedBinary",
+        "PackedTernary", "QuantizationParams", "QuantizedU8", "QueryContext",
+        "SlotCounts", "TopK", "VerticalBatch", "angular_distance",
+        "asymmetric_dot", "asymmetric_dot_u8", "asymmetric_dot_u8_precomputed",
+        "batch_cosine", "batch_cosine_into", "batch_dimension_variance",
+        "batch_dot", "batch_dot_into", "batch_knn", "batch_knn_adaptive",
+        "batch_knn_cosine", "batch_knn_dot", "batch_knn_filtered",
+        "batch_knn_reordered", "batch_knn_u8", "batch_l2_squared",
+        "batch_l2_squared_into", "batch_l2_squared_pruning", "batch_norms",
+        "batch_norms_into", "binary_dot", "binary_hamming", "binary_jaccard",
+        "cosine", "cosine_f64", "cosine_portable", "dense_backend", "dot",
+        "dot_f64", "dot_portable", "dot_u8", "dot_u8_portable",
+        "encode_binary", "encode_ternary", "fast_cosine",
+        "fast_cosine_dispatch", "fast_rsqrt", "fast_rsqrt_precise",
+        "hamming_distance", "hamming_portable", "jaccard_distance",
+        "l1_distance", "l1_distance_f64", "l1_distance_portable",
+        "l2_distance", "l2_distance_f64", "l2_distance_squared",
+        "l2_distance_squared_f64", "l2_distance_squared_portable",
+        "matryoshka_cosine", "matryoshka_dot", "maxsim", "maxsim_cosine",
+        "minhash_jaccard", "mixed_dot_u8_f32", "norm", "norm_f64",
+        "normalize", "normalize_f64", "normalize_with_norm", "quantize_u8",
+        "query_context", "slot_backend", "slot_compare_counts",
+        "slot_hamming", "slot_hamming_u16", "slot_hamming_u32",
+        "slot_hamming_u32_portable", "slot_hamming_u64", "sparse_dense_dot",
+        "sparse_dot", "sparse_dot_portable", "sparse_l2_norm",
+        "sparse_max_weight", "sparse_maxsim", "sparse_normalize",
+        "sparse_top_k", "sparsity", "ternary_dot", "ternary_hamming",
+    ]
+
+    def test_every_reference_symbol_reachable(self):
+        import importlib
+
+        import innr_tpu
+
+        missing = []
+        for name in self.REFERENCE_PUBLIC:
+            if name in self.RELOCATED:
+                mod, attr = self.RELOCATED[name]
+                if not hasattr(importlib.import_module(mod), attr):
+                    missing.append(f"{name} (expected {mod}.{attr})")
+            elif not hasattr(innr_tpu, name):
+                missing.append(name)
+        assert not missing, f"reference symbols unreachable: {missing}"
