@@ -174,6 +174,36 @@ def bench_full():
     )
     del sketches
 
+    # 5b. kNN recall@10 (BASELINE.json north-star metric): two-stage
+    #     coarse->rerank over a clustered 100K x 256d corpus (256 centers +
+    #     noise — the realistic embedding regime; uniform gaussian is the
+    #     degenerate worst case for 1-bit sketches), 64 queries, vs exact.
+    n_r, d_r = 100_000, 256
+    centers = rng.standard_normal((256, d_r)).astype(np.float32)
+    rows_r = (
+        centers[rng.integers(0, 256, n_r)]
+        + 0.3 * rng.standard_normal((n_r, d_r)).astype(np.float32)
+    )
+    qs_r = rows_r[:64] + 0.05 * rng.standard_normal((64, d_r)).astype(np.float32)
+    vb_r = it.VerticalBatch.from_rows(rows_r)
+    exact = it.batch_knn_dot(jnp.asarray(qs_r), vb_r, 10).indices
+    # Rerank budgets sized to the coarse stage's information content:
+    # 1-2 bit sketches keep more candidates (still only 0.64% of the
+    # corpus), 8-bit and f32-prefix stages need fewer.
+    for kind, rf in (("binary", 64), ("ternary", 64), ("u8", 8), ("matryoshka", 8)):
+        idx2 = it.TwoStageIndex(rows_r, kind, rerank_factor=rf)
+        got = idx2.search_batch(jnp.asarray(qs_r), 10).indices
+        recall = float(
+            np.mean(
+                [
+                    len(set(got[i].tolist()) & set(exact[i].tolist())) / 10
+                    for i in range(64)
+                ]
+            )
+        )
+        out[f"two_stage_recall_at_10_{kind}_rf{rf}"] = (recall, None)
+    del rows_r, vb_r
+
     # 6. matryoshka prefix kNN: 128d coarse over 1M x 768d corpus + 768d
     #    rerank of top-100.
     rows768 = jnp.asarray(rng.standard_normal((n_b, 768)).astype(np.float32) * 0.05)

@@ -59,10 +59,9 @@ def _invert_total_key(keys: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(keys ^ mask, jnp.float32)
 
 
-def _pick_tile_n(n: int, d: int) -> int:
+def _pick_tile_n(n: int, d: int, budget: int = 4 * 1024 * 1024) -> int:
     """Corpus tile height: big enough to amortize the merge check, small
     enough that the (TILE_N, D) f32 tile + scores fit in VMEM."""
-    budget = 4 * 1024 * 1024  # bytes of VMEM for the corpus tile
     tile = budget // max(d * 4, 1)
     tile = max(512, min(8192, tile))
     tile = round_up(min(tile, max(n, 8)), 8)
@@ -262,7 +261,11 @@ def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str):
     sublane = 32 if rows.dtype == jnp.uint8 else 8
     elem = 1 if rows.dtype == jnp.uint8 else 4
     bytes_per_row = d * (elem + 8 if elem == 1 else elem)
-    tile_n = round_up(_pick_tile_n(n, max(bytes_per_row // 4, 1)), sublane)
+    # u8 gets a bigger budget: the 9-byte/element widen model leaves slack
+    # against the 16 MB scoped-VMEM limit, and measured throughput peaks at
+    # ~1024-row tiles (0.96 roofline vs 0.93 at the 4 MB default; PERF.md).
+    budget = (8 if elem == 1 else 4) * 1024 * 1024
+    tile_n = round_up(_pick_tile_n(n, max(bytes_per_row // 4, 1), budget), sublane)
     d_pad = round_up(d, 128)
     q_pad = round_up(n_q, _Q_TILE)
     k_pad = round_up(k, _K_LANE)
