@@ -205,19 +205,20 @@ def bench_full():
     del rows_r, vb_r
 
     # 6. matryoshka prefix kNN: 128d coarse over 1M x 768d corpus + 768d
-    #    rerank of top-100.
-    rows768 = jnp.asarray(rng.standard_normal((n_b, 768)).astype(np.float32) * 0.05)
-    prefix = rows768[:, :128] * 1.0
-    q768 = jnp.asarray(rng.standard_normal((1, 768)).astype(np.float32))
-
-    def matryoshka():
-        _, cand = kknn.fused_knn_dot_batch(q768[:, :128], prefix, 100)
-        shortlist = rows768[cand[0]]
-        fine = jnp.matmul(shortlist, q768[0], preferred_element_type=jnp.float32)
-        return np.asarray(jax.lax.top_k(fine, 10)[1])
-
-    dt = _time_best(matryoshka)
-    out["matryoshka_coarse128_fine768_qps"] = (1 / dt, _read_time(prefix) / dt)
+    #    rerank of top-100 — through the product pipeline (TwoStageIndex:
+    #    one fused coarse launch + one fused rerank launch), 32 queries
+    #    amortizing the per-launch latency.
+    rows768 = rng.standard_normal((n_b, 768)).astype(np.float32) * 0.05
+    idx_m = it.TwoStageIndex(
+        rows768, it.CoarseConfig(kind="matryoshka", prefix_dims=128),
+        rerank_factor=10,
+    )
+    q768 = jnp.asarray(rng.standard_normal((32, 768)).astype(np.float32))
+    dt = _time_best(lambda: idx_m.search_batch(q768, 10).indices)
+    out["matryoshka_coarse128_fine768_qps"] = (
+        32 / dt,
+        _read_time(idx_m._coarse) / dt,
+    )
 
     return out
 

@@ -278,16 +278,17 @@ def _knn_l2_masked(qs: jax.Array, rows: jax.Array, mask: jax.Array, k: int):
 
 
 @partial(jax.jit, static_argnames=("k", "warmup_dims"))
-def _knn_adaptive(q: jax.Array, rows: jax.Array, k: int, warmup_dims: int):
-    """Two-phase adaptive kNN (see :func:`batch_knn_adaptive`)."""
+def _knn_adaptive(qs: jax.Array, rows: jax.Array, k: int, warmup_dims: int):
+    """Two-phase adaptive kNN for a (Q, D) query batch
+    (see :func:`batch_knn_adaptive`)."""
     dim = rows.shape[1]
     scale = jnp.float32(dim) / jnp.float32(warmup_dims)
 
     # Phase 1: warmup over the first warmup_dims dimensions (one MXU pass).
-    dw = rows[:, :warmup_dims] - q[None, :warmup_dims]
-    partial_d = jnp.sum(dw * dw, axis=1)
+    dw = rows[None, :, :warmup_dims] - qs[:, None, :warmup_dims]
+    partial_d = jnp.sum(dw * dw, axis=2)  # (Q, N)
     kth_vals, _ = top_k_total(partial_d, k, largest=False)
-    threshold = kth_vals[-1] * scale
+    threshold = kth_vals[:, -1:] * scale  # (Q, 1)
     # Inverted gate so NaN warmup partials stay alive, matching the
     # reference's "estimated > threshold * 1.5 -> prune" (false for NaN,
     # src/batch.rs:474-488).
@@ -296,13 +297,14 @@ def _knn_adaptive(q: jax.Array, rows: jax.Array, k: int, warmup_dims: int):
     # Phase 2: exact distances; the static-threshold prune
     # (full <= threshold) is exactly the reference's per-dimension
     # monotone-accumulation prune before re-tightening.
-    full = _l2sq_scores(q, rows)
+    d = rows[None, :, :] - qs[:, None, :]
+    full = jnp.sum(d * d, axis=2)  # (Q, N)
     alive = alive & ~(full > threshold)
 
     keys = total_order_key_f32(full)
     keys = jnp.where(alive, keys, jnp.iinfo(jnp.int32).max)
     _, idx = jax.lax.top_k(~keys, k)
-    return full[idx], idx, alive
+    return jnp.take_along_axis(full, idx, axis=1), idx, alive
 
 
 # ---------------------------------------------------------------------------
@@ -576,14 +578,19 @@ def batch_knn_reordered(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
     tightens pruning bounds; under XLA the reduction order is the compiler's
     choice, so the permutation is applied for semantic parity (identical
     results up to float association) and the scan itself is one fused pass.
+
+    TPU-native extension: ``query`` may be a (Q, D) batch.
     """
-    q = _check_query(query, batch, "batch_knn_reordered")
+    q = _check_query(query, batch, "batch_knn_reordered", allow_multi=True)
     if batch.num_vectors == 0 or k == 0:
-        return _empty_result()
+        return _empty_result(q)
     k = min(int(k), batch.num_vectors)
     variances = batch_dimension_variance(batch)
     order = jnp.argsort(~total_order_key_f32(variances), stable=True)
-    vals, idx = _knn_l2(q[order], batch.rows[:, order], k)
+    if q.ndim == 2:
+        vals, idx = _knn_l2_multi(q[:, order], batch.rows[:, order], k)
+    else:
+        vals, idx = _knn_l2(q[order], batch.rows[:, order], k)
     return _result(vals, idx)
 
 
@@ -608,18 +615,30 @@ def batch_knn_adaptive(
     like the reference. The reference's periodic threshold re-tightening
     only removes additional candidates; we skip it, so this version is
     never less accurate.
+
+    TPU-native extension: ``query`` may be a (Q, D) batch. Result arrays
+    are rectangular (Q, k); when a query has fewer than k survivors its
+    tail entries carry index ``-1`` and score NaN (per-query trimming
+    would be ragged).
     """
-    q = _check_query(query, batch, "batch_knn_adaptive")
+    q = _check_query(query, batch, "batch_knn_adaptive", allow_multi=True)
     if warmup_dims <= 0:
         raise ContractError("innr_tpu::batch_knn_adaptive: warmup_dims must be > 0")
     if batch.num_vectors == 0 or k == 0:
-        return _empty_result()
+        return _empty_result(q)
     k = min(int(k), batch.num_vectors)
     warmup_dims = min(int(warmup_dims), batch.dimension)
-    vals, idx, alive = _knn_adaptive(q, batch.rows, k, warmup_dims)
+    multi = q.ndim == 2
+    qs = q if multi else q[None, :]
+    vals, idx, alive = _knn_adaptive(qs, batch.rows, k, warmup_dims)
     vals, idx = np.asarray(vals), np.asarray(idx)
-    keep = np.asarray(alive)[idx]
-    return _result(vals[keep], idx[keep])
+    keep = np.take_along_axis(np.asarray(alive), idx, axis=1)
+    if not multi:
+        return _result(vals[0][keep[0]], idx[0][keep[0]])
+    return BatchKnnResult(
+        indices=np.where(keep, idx, -1).astype(np.int64),
+        scores=np.where(keep, vals, np.nan).astype(np.float32),
+    )
 
 
 def _use_fused(num_rows: int, k: int = 1) -> bool:

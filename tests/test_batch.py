@@ -368,3 +368,31 @@ class TestFilteredFusedAndMulti:
         assert len(res.indices) == 3
         assert set(res.indices.tolist()) == {3, 77, 150}
         assert np.isfinite(res.scores).all()
+
+
+class TestAdaptiveReorderedMulti:
+    """Round-2: multi-query adaptive / reordered parity."""
+
+    def test_reordered_multi_matches_single(self, rng):
+        rows = _corpus(rng, 200, 24)
+        qs = rng.standard_normal((4, 24)).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        multi = it.batch_knn_reordered(qs, vb, 5)
+        assert multi.indices.shape == (4, 5)
+        for i in range(4):
+            single = it.batch_knn_reordered(qs[i], vb, 5)
+            np.testing.assert_array_equal(multi.indices[i], single.indices)
+
+    def test_adaptive_multi_matches_single(self, rng):
+        rows = _corpus(rng, 300, 32)
+        qs = rng.standard_normal((4, 32)).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        multi = it.batch_knn_adaptive(qs, vb, 6, 16)
+        assert multi.indices.shape == (4, 6)
+        for i in range(4):
+            single = it.batch_knn_adaptive(qs[i], vb, 6, 16)
+            n = len(single.indices)
+            np.testing.assert_array_equal(multi.indices[i][:n], single.indices)
+            # pruned tail marked -1/NaN
+            assert (multi.indices[i][n:] == -1).all()
+            assert np.isnan(multi.scores[i][n:]).all()

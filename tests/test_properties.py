@@ -157,3 +157,71 @@ class TestQuantizedProperties:
         q = it.quantize_u8(v, params)
         deq = params.alpha * (np.asarray(q.data()).astype(np.float64) / 255.0) + params.offset
         assert np.max(np.abs(deq - v)) <= params.alpha / 255.0 / 2 + 1e-5
+
+
+class TestRound2Properties:
+    """Properties for the round-2 surfaces: filtered pushdown and
+    multi-query MaxSim retrieval."""
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(2, 40), st.integers(1, 12), st.integers(1, 20), st.data())
+    def test_filtered_invariants(self, n, d, k, data):
+        rows = np.asarray(
+            data.draw(
+                st.lists(
+                    st.lists(st.floats(-50.0, 50.0, width=32), min_size=d, max_size=d),
+                    min_size=n,
+                    max_size=n,
+                )
+            ),
+            np.float32,
+        )
+        mask = np.asarray(
+            data.draw(st.lists(st.booleans(), min_size=n, max_size=n)), bool
+        )
+        vb = it.VerticalBatch.from_rows(rows)
+        q = rows[0]
+        res = it.batch_knn_filtered(q, vb, k, mask)
+        num_passing = int(mask.sum())
+        assert len(res.indices) == min(k, num_passing)
+        assert mask[res.indices].all() if len(res.indices) else True
+        # scores ascending, exact L2^2 of the selected rows
+        for j, i in enumerate(res.indices):
+            want = float(np.sum((rows[i].astype(np.float64) - q) ** 2))
+            assert abs(res.scores[j] - want) <= 1e-3 + 1e-5 * abs(want)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(1, 12), st.integers(1, 4), st.integers(1, 3), st.data())
+    def test_maxsim_batch_equals_pairwise(self, n, td, tq, data):
+        d = data.draw(st.integers(1, 8))
+        docs = np.asarray(
+            data.draw(
+                st.lists(
+                    st.lists(
+                        st.lists(st.floats(-10.0, 10.0, width=32), min_size=d, max_size=d),
+                        min_size=td, max_size=td,
+                    ),
+                    min_size=n, max_size=n,
+                )
+            ),
+            np.float32,
+        )
+        qs = np.asarray(
+            data.draw(
+                st.lists(
+                    st.lists(
+                        st.lists(st.floats(-10.0, 10.0, width=32), min_size=d, max_size=d),
+                        min_size=tq, max_size=tq,
+                    ),
+                    min_size=2, max_size=2,
+                )
+            ),
+            np.float32,
+        )
+        from innr_tpu.ops.maxsim import maxsim_knn_batch
+
+        vals, idx = maxsim_knn_batch(qs, docs, min(3, n))
+        for b in range(2):
+            for j, i in enumerate(idx[b]):
+                want = float(it.maxsim(qs[b], docs[int(i)]))
+                assert abs(vals[b][j] - want) <= 1e-3 + 1e-4 * abs(want)
