@@ -114,6 +114,21 @@ def main():
     t = timed(lambda: np.asarray(it.batch_maxsim(Q, D)))
     print(f"{'maxsim(32x128,d=128)':24s} {128:>6} {t/256*1e9:>10.2f} {'':>9}")
 
+    # fused streaming kNN at the serving shape (32 queries, k=10)
+    from innr_tpu.kernels import knn as kknn, packed_knn as kpacked
+
+    big = jnp.asarray(rng.standard_normal((max(n * 16, 131072), 128)).astype(np.float32))
+    qs32 = jnp.asarray(rng.standard_normal((32, 128)).astype(np.float32))
+    nn = int(big.shape[0])
+    t = timed(lambda: np.asarray(kknn.fused_knn_dot_batch(qs32, big, 10)[0]))
+    per = t / (nn * 32)
+    print(f"{'fused_knn_dot(32q)':24s} {128:>6} {per*1e9:>10.2f} {128/per/1e9:>9.2f}")
+
+    wt = jnp.asarray(rng.integers(0, 2**32, (24, nn), dtype=np.uint32))
+    qw1 = jnp.asarray(rng.integers(0, 2**32, 24, dtype=np.uint32))
+    t = timed(lambda: np.asarray(kpacked.fused_binary_knn(qw1, wt, 10)[0]))
+    print(f"{'fused_binary_knn':24s} {768:>6} {t/nn*1e9:>10.2f} {768/(t/nn)/1e9:>9.2f}")
+
 
 if __name__ == "__main__":
     main()

@@ -28,7 +28,11 @@ from innr_tpu.utils.padding import pad_axis_to, round_up
 
 
 def _pick_tile_docs(n: int, td: int, d: int) -> int:
-    budget = 4 * 1024 * 1024
+    """Doc-tile height. ``td``/``d`` are the PADDED token/dim counts; the
+    kernel's live scoped VMEM is ~6x the raw doc tile (tile + pipelining
+    copy + the (T, Td, Tq) interaction block and its masked copy — 24.8 MB
+    measured at a 4 MB raw tile on v5e), so budget 2 MB of raw tile."""
+    budget = 2 * 1024 * 1024
     tile = budget // max(td * d * 4, 1)
     tile = max(8, min(512, tile))
     return round_up(min(tile, max(n, 8)), 8)
@@ -53,7 +57,9 @@ def _maxsim_kernel(tq_true, use_mask, q_ref, docs_ref, *rest):
         precision=config.matmul_precision(),
     )
     if use_mask:
-        pair = jnp.where(mask_ref[:][:, :, None], pair, -jnp.inf)
+        # Mask streams as f32: Mosaic cannot reshape i1 vectors
+        # (measured on v5e: 'unsupported shape cast' for (T, Td) bool).
+        pair = jnp.where(mask_ref[:][:, :, None] > 0.0, pair, -jnp.inf)
     best = jnp.max(pair, axis=1)  # (TILE_DOCS, Tq): per query token best doc token
     # Zero out padded query tokens (q rows beyond tq_true are zero anyway,
     # but a fully-masked doc would give -inf; clamp those to 0 like the
@@ -81,7 +87,7 @@ def fused_maxsim_scores(q_tokens: jax.Array, docs: jax.Array, doc_mask=None):
     tq, d = q_tokens.shape
     n, td, _ = docs.shape
 
-    tile_docs = _pick_tile_docs(n, td, d)
+    tile_docs = _pick_tile_docs(n, round_up(td, 8), round_up(d, 128))
     # No doc-axis padding: an XLA pad of the corpus is a full HBM copy;
     # Pallas runs a ragged final block and rows past n are sliced away.
     n_pad = round_up(n, tile_docs)
@@ -101,7 +107,7 @@ def fused_maxsim_scores(q_tokens: jax.Array, docs: jax.Array, doc_mask=None):
     ]
     if use_mask:
         mask = jnp.asarray(doc_mask, dtype=bool)
-        mask_p = pad_axis_to(mask, 1, td_pad)
+        mask_p = pad_axis_to(mask, 1, td_pad).astype(jnp.float32)
         inputs.append(mask_p)
         in_specs.append(
             pl.BlockSpec((tile_docs, td_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -111,7 +117,7 @@ def fused_maxsim_scores(q_tokens: jax.Array, docs: jax.Array, doc_mask=None):
         # 0, which can only win a max when all real scores are negative.
         # Supply an implicit mask in that case for exactness.
         mask = jnp.ones((n, td), dtype=bool)
-        mask_p = pad_axis_to(mask, 1, td_pad)
+        mask_p = pad_axis_to(mask, 1, td_pad).astype(jnp.float32)
         inputs.append(mask_p)
         in_specs.append(
             pl.BlockSpec((tile_docs, td_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -139,9 +145,10 @@ def fused_maxsim_knn(q_tokens: jax.Array, docs: jax.Array, k: int, doc_mask=None
 
 
 def _pick_tile_docs_mq(n: int, td: int, d: int, b: int, tq: int) -> int:
-    # live VMEM per doc: the (Td, D) token tile plus the (Td, B, Tq)
-    # interaction block and its (B, Tq) row-max.
-    budget = 4 * 1024 * 1024
+    # Live VMEM per doc (PADDED dims): the (Td, D) token tile plus the
+    # (Td, B*Tq) interaction block, each with ~2-3 live copies in the
+    # pipeline — same 6x discipline as _pick_tile_docs.
+    budget = 2 * 1024 * 1024
     per_doc = 4 * td * (d + b * tq)
     tile = budget // max(per_doc, 1)
     tile = max(8, min(256, tile))
@@ -170,7 +177,7 @@ def _maxsim_kernel_mq(tq_true, tq_pad, n_b, use_mask, q_ref, docs_ref, *rest):
         precision=config.matmul_precision(),
     )  # (TILE_DOCS, Td, B*Tq_pad)
     if use_mask:
-        pair = jnp.where(mask_ref[:][:, :, None], pair, -jnp.inf)
+        pair = jnp.where(mask_ref[:][:, :, None] > 0.0, pair, -jnp.inf)
     best = jnp.max(pair, axis=1)  # (TILE_DOCS, B*Tq_pad)
     btq = best.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, btq), 1)
@@ -204,7 +211,9 @@ def fused_maxsim_scores_batch(q_batch: jax.Array, docs: jax.Array, doc_mask=None
     b, tq, d = q_batch.shape
     n, td, _ = docs.shape
 
-    tile_docs = _pick_tile_docs_mq(n, td, d, b, tq)
+    tile_docs = _pick_tile_docs_mq(
+        n, round_up(td, 8), round_up(d, 128), b, round_up(tq, 8)
+    )
     d_pad = round_up(d, 128)
     tq_pad = round_up(tq, 8)
     td_pad = round_up(td, 8)
@@ -231,7 +240,7 @@ def fused_maxsim_scores_batch(q_batch: jax.Array, docs: jax.Array, doc_mask=None
             mask = jnp.ones((n, td), dtype=bool)
         else:
             mask = jnp.asarray(doc_mask, dtype=bool)
-        mask_p = pad_axis_to(mask, 1, td_pad)
+        mask_p = pad_axis_to(mask, 1, td_pad).astype(jnp.float32)
         inputs.append(mask_p)
         in_specs.append(
             pl.BlockSpec(

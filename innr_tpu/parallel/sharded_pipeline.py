@@ -38,11 +38,18 @@ __all__ = ["ShardedTwoStageIndex"]
 _INT_MIN = jnp.iinfo(jnp.int32).min
 
 
-def _coarse_local_candidates(qs_enc, coarse_local, kind, n_cand):
-    """Local coarse shortlist: (Q, n_cand) LOCAL row indices."""
+def _coarse_local_candidates(qs_enc, coarse_local, kind, n_cand, use_fused):
+    """Local coarse shortlist: (Q, n_cand) LOCAL row indices. Above the
+    Pallas threshold the fused streaming kernels do the scan (one shard
+    read, no (Q, shard) score materialization)."""
     if kind == "binary":
         (q_words,) = qs_enc
         (words_t,) = coarse_local
+        if use_fused:
+            from innr_tpu.kernels.packed_knn import fused_binary_knn_batch
+
+            _, lidx = fused_binary_knn_batch(q_words, words_t, n_cand)
+            return lidx
         counts = jnp.sum(
             jax.lax.population_count(
                 words_t[None, :, :] ^ q_words[:, :, None]
@@ -54,6 +61,11 @@ def _coarse_local_candidates(qs_enc, coarse_local, kind, n_cand):
     if kind == "ternary":
         qp, qn = qs_enc
         pos_t, neg_t = coarse_local
+        if use_fused:
+            from innr_tpu.kernels.packed_knn import fused_ternary_knn_batch
+
+            _, lidx = fused_ternary_knn_batch(qp, qn, pos_t, neg_t, n_cand)
+            return lidx
         same = (pos_t[None] & qp[:, :, None]) | (neg_t[None] & qn[:, :, None])
         diff = (pos_t[None] & qn[:, :, None]) | (neg_t[None] & qp[:, :, None])
         dots = jnp.sum(
@@ -68,6 +80,11 @@ def _coarse_local_candidates(qs_enc, coarse_local, kind, n_cand):
 
     (qs,) = qs_enc
     (rep,) = coarse_local
+    if use_fused:
+        from innr_tpu.kernels.knn import fused_knn_keys_batch
+
+        _, lidx = fused_knn_keys_batch(qs, rep, None, n_cand, "dot")
+        return lidx
     rep = rep.astype(jnp.float32) if rep.dtype != jnp.float32 else rep
     scores = jnp.matmul(
         qs, rep.T,
@@ -78,7 +95,7 @@ def _coarse_local_candidates(qs_enc, coarse_local, kind, n_cand):
     return lidx
 
 
-def _local_two_stage(qs, rows_shard, *coarse_and_enc, n_total, n_cand, k, kind):
+def _local_two_stage(qs, rows_shard, *coarse_and_enc, n_total, n_cand, k, kind, use_fused):
     """Per-shard body: coarse shortlist -> exact rerank -> local top-k
     (raw f32 total-order keys + global indices)."""
     n_coarse = {"binary": 1, "ternary": 2, "u8": 1, "matryoshka": 0}[kind]
@@ -89,7 +106,7 @@ def _local_two_stage(qs, rows_shard, *coarse_and_enc, n_total, n_cand, k, kind):
 
     shard_rows = rows_shard.shape[0]
     base = jax.lax.axis_index(AXIS) * shard_rows
-    lidx_c = _coarse_local_candidates(qs_enc, coarse_local, kind, n_cand)
+    lidx_c = _coarse_local_candidates(qs_enc, coarse_local, kind, n_cand, use_fused)
 
     from innr_tpu import config
 
@@ -110,16 +127,17 @@ def _local_two_stage(qs, rows_shard, *coarse_and_enc, n_total, n_cand, k, kind):
     jax.jit,
     static_argnames=(
         "n_total", "n_cand", "k", "k_local", "kind", "mesh", "n_coarse",
+        "use_fused",
     ),
 )
 def _sharded_two_stage(
     qs, rows_sharded, coarse_arrays, qs_enc, n_total, n_cand, k, k_local,
-    kind, mesh, n_coarse,
+    kind, mesh, n_coarse, use_fused,
 ):
     local = jax.shard_map(
         partial(
             _local_two_stage, n_total=n_total, n_cand=n_cand, k=k_local,
-            kind=kind,
+            kind=kind, use_fused=use_fused,
         ),
         mesh=mesh,
         in_specs=(
@@ -247,7 +265,15 @@ class ShardedTwoStageIndex:
         n_cand = min(max(k * self.rerank_factor, k), shard_rows)
         k_local = min(k, n_cand)
         qs_enc = self._encode_queries(qs)
+        from innr_tpu import config as _cfg
+
+        use_fused = (
+            not _cfg.reference_forced()
+            and shard_rows >= _cfg.MIN_ROWS_PALLAS
+            and n_cand <= 512
+        )
         return _sharded_two_stage(
             qs, self.rows, self._coarse, qs_enc, self.n_true, n_cand, k,
             k_local, self.config.kind, self.mesh, len(self._coarse),
+            use_fused,
         )

@@ -243,3 +243,22 @@ class TestShardedFamilyRound2:
         want_v, want_i = maxsim_knn_batch(qs, docs, 3)
         np.testing.assert_array_equal(np.asarray(idx), want_i)
         np.testing.assert_allclose(np.asarray(vals), want_v, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("kind", ["binary", "ternary", "u8", "matryoshka"])
+    def test_sharded_two_stage_fused_coarse(self, rng, devices_ok, monkeypatch, kind):
+        from innr_tpu import config
+        from innr_tpu.parallel import ShardedTwoStageIndex
+
+        rows = rng.standard_normal((400, 64)).astype(np.float32)
+        qs = rows[:3] + 0.01 * rng.standard_normal((3, 64)).astype(np.float32)
+        idx = ShardedTwoStageIndex(rows, kind, rerank_factor=4)
+        want_v, want_i = idx.search_batch(qs, 3)
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        idx_f = ShardedTwoStageIndex(rows, kind, rerank_factor=4)
+        got_v, got_i = idx_f.search_batch(qs, 3)
+        # Both paths rerank exactly; the coarse shortlists may order ties
+        # differently, but the planted neighbor must win either way.
+        np.testing.assert_array_equal(np.asarray(got_i)[:, 0], [0, 1, 2])
+        np.testing.assert_allclose(
+            np.asarray(got_v)[:, 0], np.asarray(want_v)[:, 0], rtol=1e-5
+        )
