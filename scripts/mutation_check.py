@@ -88,8 +88,8 @@ MUTANTS = [
     Mutant(
         "fused-knn-l2-loses-key-flip",
         "innr_tpu/kernels/knn.py",
-        "    if mode == \"l2\":\n        keys = ~keys  # L2: smaller distance = better\n",
-        "    if mode == \"l2\" and False:\n        keys = ~keys  # L2: smaller distance = better\n",
+        "    if mode in (\"l2\", \"l2m\"):\n        keys = ~keys  # L2: smaller distance = better\n",
+        "    if mode in ():\n        keys = ~keys  # L2: smaller distance = better\n",
         ("tests/test_kernels.py",),
     ),
     Mutant(
