@@ -183,3 +183,49 @@ class TestFusedCosine:
         vb = it.VerticalBatch.from_rows(rows)
         res = it.batch_knn_cosine(np.zeros(8, np.float32), vb, 3)
         np.testing.assert_array_equal(res.scores, np.zeros(3, np.float32))
+
+
+class TestRaggedBlockBoundaries:
+    """The fused kernels run ragged final corpus blocks (no row padding —
+    an XLA pad is a full corpus copy). Sweep n across tile boundaries and
+    d across lane boundaries to pin the masking."""
+
+    @pytest.mark.parametrize("n", [8191, 8192, 8193, 8200])
+    def test_dot_across_tile_boundary(self, rng, n):
+        rows = rng.standard_normal((n, 16)).astype(np.float32)
+        qs = rng.standard_normal((3, 16)).astype(np.float32)
+        vals, idx = kknn.fused_knn_dot_batch(jnp.asarray(qs), jnp.asarray(rows), 5)
+        dots = rows.astype(np.float64) @ qs.T.astype(np.float64)
+        for i in range(3):
+            want = np.argsort(-dots[:, i], kind="stable")[:5]
+            np.testing.assert_array_equal(np.asarray(idx)[i], want)
+
+    @pytest.mark.parametrize("d", [1, 3, 127, 129, 255, 640])
+    def test_l2_odd_dims(self, rng, d):
+        rows = rng.standard_normal((600, d)).astype(np.float32)
+        q = rng.standard_normal(d).astype(np.float32)
+        vals, idx = kknn.fused_knn_l2(jnp.asarray(q), jnp.asarray(rows), 4)
+        dist = np.sum((rows.astype(np.float64) - q) ** 2, axis=1)
+        want = np.argsort(dist, kind="stable")[:4]
+        np.testing.assert_array_equal(np.asarray(idx), want)
+
+    def test_last_block_rows_can_win(self, rng):
+        # Plant the best row in the ragged tail: it must not be masked.
+        n = 8193  # one row beyond a tile boundary at default tiles
+        rows = rng.standard_normal((n, 32)).astype(np.float32)
+        q = rng.standard_normal(32).astype(np.float32)
+        rows[-1] = q * 10  # overwhelming dot winner, in the ragged block
+        vals, idx = kknn.fused_knn_dot(jnp.asarray(q), jnp.asarray(rows), 3)
+        assert int(np.asarray(idx)[0]) == n - 1
+
+    def test_packed_ragged_tail(self, rng):
+        from innr_tpu.kernels import packed_knn as kp
+
+        n = 16400  # not a multiple of any packed tile
+        words_t = jnp.asarray(rng.integers(0, 2**32, (4, n), dtype=np.uint32))
+        q = jnp.asarray(rng.integers(0, 2**32, 4, dtype=np.uint32))
+        counts, idx = kp.fused_binary_knn(q, words_t, 7)
+        xor = np.ascontiguousarray(np.asarray(words_t).T ^ np.asarray(q)[None, :])
+        brute = np.unpackbits(xor.view(np.uint8), axis=1).sum(axis=1)
+        want = np.argsort(brute, kind="stable")[:7]
+        np.testing.assert_array_equal(np.asarray(idx), want)
