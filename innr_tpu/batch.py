@@ -41,7 +41,7 @@ import numpy as np
 
 from innr_tpu import config
 from innr_tpu.config import NORM_EPSILON
-from innr_tpu.utils.asserts import ContractError, check_same_length
+from innr_tpu.utils.asserts import ContractError
 from innr_tpu.utils.order import top_k_total, total_order_key_f32
 
 __all__ = [

@@ -12,7 +12,6 @@ packed corpus, no intermediate arrays.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
