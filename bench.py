@@ -77,19 +77,21 @@ def bench_knn_dot(n=10_000_000, d=128, k=10, queries=32, repeats=5):
     of the results each repeat, so asynchronous dispatch cannot flatter the
     number. Returns (evals/s/chip, launch seconds, roofline fraction).
     """
+    import jax
     import jax.numpy as jnp
 
     from innr_tpu.kernels import knn as kknn
 
     rng = np.random.default_rng(42)
-    # One random 1M-row block tiled to n: generating 1.3B gaussians on this
-    # host costs minutes, while scan timing is data-independent (duplicate
-    # rows only add ties, which the selection handles anyway).
-    block = rng.standard_normal((min(n, 1_000_000), d)).astype(np.float32)
-    reps_needed = -(-n // block.shape[0])
-    host = np.tile(block, (reps_needed, 1))[:n] if reps_needed > 1 else block
-    rows = jnp.asarray(host)
-    del host, block
+    # Generate the corpus ON DEVICE: host-generating 1.3B gaussians and
+    # pushing 5 GB through the transfer path costs minutes and measures
+    # nothing (scan timing is data-independent).
+    rows = jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(42), (n, d), dtype=jnp.float32
+        )
+    )()
+    jax.block_until_ready(rows)
     qs = jnp.asarray(rng.standard_normal((queries, d)).astype(np.float32))
 
     launch = _time_best(
