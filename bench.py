@@ -130,9 +130,14 @@ def bench_full():
     out["maxsim_scored_docs_per_s"] = (256 / dt, _read_time(docs) / dt)
 
     # 3. u8 asymmetric: 1M x 768d with precomputed query context,
-    #    32-query batch (the serving shape).
+    #    32-query batch (the serving shape). Corpora generate on device —
+    #    host transfer costs minutes through a relay and measures nothing.
     n_u8 = 1_000_000
-    codes = jnp.asarray(rng.integers(0, 256, (n_u8, 768), dtype=np.uint8))
+    key = jax.random.PRNGKey(0)
+    codes = jax.jit(
+        lambda: jax.random.randint(key, (n_u8, 768), 0, 256, dtype=jnp.int32
+        ).astype(jnp.uint8)
+    )()
     qv = jnp.asarray(rng.standard_normal((32, 768)).astype(np.float32))
     dt = _time_best(lambda: np.asarray(kknn.fused_knn_u8_batch(qv, codes, 10)[0]))
     out["u8_1M_768d_evals_per_s"] = (32 * n_u8 / dt, _read_time(codes) / dt)
@@ -141,13 +146,17 @@ def bench_full():
     # 4. binary + ternary coarse scans over 1M x 768d.
     n_b = 1_000_000
     corpus_f = rng.standard_normal((100, 768)).astype(np.float32)  # encode sample
-    words_t = jnp.asarray(rng.integers(0, 2**32, (24, n_b), dtype=np.uint32))
+    words_t = jax.jit(
+        lambda: jax.random.bits(jax.random.PRNGKey(1), (24, n_b), jnp.uint32)
+    )()
     q_words = jnp.asarray(rng.integers(0, 2**32, 24, dtype=np.uint32))
     dt = _time_best(lambda: np.asarray(kpacked.fused_binary_knn(q_words, words_t, 40)[0]))
     out["binary_1M_768d_evals_per_s"] = (n_b / dt, _read_time(words_t) / dt)
 
-    pos_t = jnp.asarray(rng.integers(0, 2**32, (24, n_b), dtype=np.uint32))
-    neg_t = jnp.asarray(np.zeros((24, n_b), dtype=np.uint32))
+    pos_t = jax.jit(
+        lambda: jax.random.bits(jax.random.PRNGKey(2), (24, n_b), jnp.uint32)
+    )()
+    neg_t = jnp.zeros((24, n_b), dtype=jnp.uint32)
     qt = it.encode_ternary(corpus_f[0], 0.5)
     dt = _time_best(
         lambda: np.asarray(kpacked.fused_ternary_knn(qt.pos, qt.neg, pos_t, neg_t, 40)[0])
@@ -161,7 +170,11 @@ def bench_full():
     # 5. slot-Hamming / MinHash over 10M 128-slot sketches (batched compare-
     #    reduce; 5 GB read as uint32).
     n_s = 10_000_000
-    sketches = jnp.asarray(rng.integers(0, 2**31, (n_s, 128), dtype=np.uint32))
+    sketches = jax.jit(
+        lambda: jax.random.bits(
+            jax.random.PRNGKey(3), (n_s, 128), jnp.uint32
+        ) >> 1
+    )()
     q_sketch = jnp.asarray(rng.integers(0, 2**31, 128, dtype=np.uint32))
 
     @jax.jit
@@ -209,7 +222,11 @@ def bench_full():
     #    rerank of top-100 — through the product pipeline (TwoStageIndex:
     #    one fused coarse launch + one fused rerank launch), 32 queries
     #    amortizing the per-launch latency.
-    rows768 = rng.standard_normal((n_b, 768)).astype(np.float32) * 0.05
+    rows768 = jax.jit(
+        lambda: 0.05 * jax.random.normal(
+            jax.random.PRNGKey(4), (n_b, 768), dtype=jnp.float32
+        )
+    )()
     idx_m = it.TwoStageIndex(
         rows768, it.CoarseConfig(kind="matryoshka", prefix_dims=128),
         rerank_factor=10,
