@@ -262,3 +262,54 @@ class TestShardedFamilyRound2:
         np.testing.assert_allclose(
             np.asarray(got_v)[:, 0], np.asarray(want_v)[:, 0], rtol=1e-5
         )
+
+
+class TestShardedEdgeCases:
+    """k=0 / empty / k>N / mismatch edges across the sharded family."""
+
+    def test_edges_f32(self, rng, devices_ok):
+        rows = rng.standard_normal((10, 8)).astype(np.float32)
+        sc = ShardedCorpus(rows)
+        for fn in (sc.knn_dot, sc.knn_l2, sc.knn_cosine):
+            vals, idx = fn(rows[0], 0)
+            assert np.asarray(vals).shape == (0,)
+            vals, idx = fn(rows[:2], 0)
+            assert np.asarray(vals).shape == (2, 0)
+            vals, idx = fn(rows[0], 99)  # k > N clamps
+            assert np.asarray(vals).shape == (10,)
+        with pytest.raises(it.ContractError):
+            sc.knn_dot(np.zeros(5, np.float32), 3)
+
+    def test_edges_packed_and_u8(self, rng, devices_ok):
+        from innr_tpu.parallel import (
+            ShardedPackedBinary, ShardedPackedTernary, ShardedQuantizedU8,
+        )
+
+        rows = rng.standard_normal((6, 64)).astype(np.float32)
+        sb = ShardedPackedBinary.encode(rows, 0.0)
+        c, i = sb.knn(it.encode_binary(rows[0], 0.0), 0)
+        assert np.asarray(c).shape == (0,)
+        tern = ShardedPackedTernary.encode(rows, 0.2)
+        d, i = tern.knn(it.encode_ternary(rows[0], 0.2), 99)
+        assert np.asarray(d).shape == (6,)
+        uq = ShardedQuantizedU8.quantize(rows)
+        v, i = uq.knn(rows[:3], 0)
+        assert np.asarray(v).shape == (3, 0)
+        with pytest.raises(it.ContractError):
+            uq.knn(np.zeros(5, np.float32), 2)
+
+    def test_edges_maxsim_twostage(self, rng, devices_ok):
+        from innr_tpu.parallel import ShardedMaxSimCorpus, ShardedTwoStageIndex
+
+        docs = rng.standard_normal((9, 3, 8)).astype(np.float32)
+        sm = ShardedMaxSimCorpus(docs)
+        v, i = sm.knn(docs[0], 0)
+        assert np.asarray(v).shape == (0,)
+        v, i = sm.knn(docs[:2], 0)
+        assert np.asarray(v).shape == (2, 0)
+        rows = rng.standard_normal((12, 16)).astype(np.float32)
+        ts = ShardedTwoStageIndex(rows, "binary")
+        v, i = ts.search_batch(rows[:2], 0)
+        assert np.asarray(v).shape == (2, 0)
+        v, i = ts.search(rows[0], 99)
+        assert np.asarray(v).shape == (12,)
