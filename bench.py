@@ -218,6 +218,25 @@ def bench_full():
         out[f"two_stage_recall_at_10_{kind}_rf{rf}"] = (recall, None)
     del rows_r, vb_r
 
+    # 5c. bf16 half-precision corpus (TPU-native extension): half the HBM
+    #     bytes per scan — 20M rows at the same byte count as 10M f32.
+    n_h = 20_000_000
+    rows16 = jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(5), (n_h, 128), dtype=jnp.bfloat16
+        )
+    )()
+    qh = jnp.asarray(rng.standard_normal((32, 128)).astype(np.float32))
+    dt = _time_best(lambda: np.asarray(kknn.fused_knn_dot_batch(qh, rows16, 10)[0]))
+
+    @jax.jit
+    def _read16(r):
+        return jnp.sum(r.astype(jnp.float32))
+
+    t_r16 = _time_best(lambda: np.asarray(_read16(rows16)))
+    out["bf16_20M_128d_evals_per_s"] = (32 * n_h / dt, t_r16 / dt)
+    del rows16
+
     # 6. matryoshka prefix kNN: 128d coarse over 1M x 768d corpus + 768d
     #    rerank of top-100 — through the product pipeline (TwoStageIndex:
     #    one fused coarse launch + one fused rerank launch), 32 queries

@@ -195,15 +195,26 @@ def _knn_kernel(n_rows, k, mode, q_ref, rows_ref, *rest):
     from innr_tpu import config
 
     rows = rows_ref[:]
-    if rows.dtype != jnp.float32:
+    qs_tile = q_ref[:]
+    precision = config.matmul_precision()
+    if rows.dtype == jnp.bfloat16:
+        # bf16 corpus: the MXU multiplies bf16 natively with f32
+        # accumulation; halving bytes/element doubles the HBM-bound scan's
+        # throughput. Queries join in bf16 (scores carry bf16 input
+        # rounding, ~1e-2 relative — the documented half-precision mode).
+        # Mosaic rejects multi-pass precision requests on bf16 inputs
+        # ("Bad lhs type"), and they would be meaningless anyway.
+        qs_tile = qs_tile.astype(jnp.bfloat16)
+        precision = jax.lax.Precision.DEFAULT
+    elif rows.dtype != jnp.float32:
         # Mosaic lacks a direct u8->f32 cast; widen to int32 first.
         rows = rows.astype(jnp.int32).astype(jnp.float32)
     scores = jax.lax.dot_general(
-        q_ref[:],
+        qs_tile,
         rows,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=config.matmul_precision(),
+        precision=precision,
     )
     if mode == "l2":
         # L2 decomposition: norms2 - 2 * dot (||q||^2 added on host).
@@ -254,17 +265,18 @@ def _fused_knn(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str = "dot"):
 def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str):
     n_q, d = qs.shape
     n, _ = rows.shape
-    # u8 corpora: 1 byte/element in VMEM and a (32, 128) min tile — but the
-    # in-kernel widen (u8 -> i32 -> f32) materializes ~8 more bytes/element
-    # of scoped VMEM, so budget 9 bytes/element for u8 tiles (measured
-    # scoped-VMEM OOM at d=768 with multi-query batches otherwise).
-    sublane = 32 if rows.dtype == jnp.uint8 else 8
-    elem = 1 if rows.dtype == jnp.uint8 else 4
-    bytes_per_row = d * (elem + 8 if elem == 1 else elem)
-    # u8 gets a bigger budget: the 9-byte/element widen model leaves slack
-    # against the 16 MB scoped-VMEM limit, and measured throughput peaks at
-    # ~1024-row tiles (0.96 roofline vs 0.93 at the 4 MB default; PERF.md).
-    budget = (8 if elem == 1 else 4) * 1024 * 1024
+    # Per-dtype tile geometry. u8: 1 byte/element in VMEM, (32, 128) min
+    # tile, and the in-kernel widen (u8 -> i32 -> f32) materializes ~8 more
+    # bytes/element of scoped VMEM — budget 9 bytes/element (measured
+    # scoped-VMEM OOM at d=768 with multi-query batches otherwise) with an
+    # 8 MB budget (throughput peaks at ~1024-row tiles; PERF.md). bf16:
+    # 2 bytes/element, (16, 128) min tile, consumed natively by the MXU.
+    if rows.dtype == jnp.uint8:
+        sublane, bytes_per_row, budget = 32, d * 9, 8 * 1024 * 1024
+    elif rows.dtype == jnp.bfloat16:
+        sublane, bytes_per_row, budget = 16, d * 2, 4 * 1024 * 1024
+    else:
+        sublane, bytes_per_row, budget = 8, d * 4, 4 * 1024 * 1024
     tile_n = round_up(_pick_tile_n(n, max(bytes_per_row // 4, 1), budget), sublane)
     d_pad = round_up(d, 128)
     q_pad = round_up(n_q, _Q_TILE)
@@ -342,7 +354,8 @@ def fused_knn_l2(q: jax.Array, rows: jax.Array, k: int, norms2=None):
     """
     _check_k(k)
     if norms2 is None:
-        norms2 = jnp.sum(rows * rows, axis=1)
+        r = rows.astype(jnp.float32)
+        norms2 = jnp.sum(r * r, axis=1)
     vals, idx = _fused_knn(q[None, :], rows, norms2, k, mode="l2")
     qq = jnp.sum(q * q)
     return jnp.maximum(vals[0] + qq, 0.0), idx[0]
@@ -360,7 +373,8 @@ def fused_knn_l2_masked_batch(
     """
     _check_k(k)
     if norms2 is None:
-        norms2 = jnp.sum(rows * rows, axis=1)
+        r = rows.astype(jnp.float32)
+        norms2 = jnp.sum(r * r, axis=1)
     aux = jnp.stack([norms2, mask.astype(jnp.float32)])
     vals, idx = _fused_knn(qs, rows, aux, k, mode="l2m")
     qq = jnp.sum(qs * qs, axis=1, keepdims=True)
@@ -382,7 +396,8 @@ def fused_knn_l2_batch(qs: jax.Array, rows: jax.Array, k: int, norms2=None):
     """Top-k L2^2 for a (Q, D) query batch in one kernel launch."""
     _check_k(k)
     if norms2 is None:
-        norms2 = jnp.sum(rows * rows, axis=1)
+        r = rows.astype(jnp.float32)
+        norms2 = jnp.sum(r * r, axis=1)
     vals, idx = _fused_knn(qs, rows, norms2, k, mode="l2")
     qq = jnp.sum(qs * qs, axis=1, keepdims=True)
     return jnp.maximum(vals + qq, 0.0), idx
@@ -431,7 +446,8 @@ def inv_norms(rows: jax.Array) -> jax.Array:
     cosine kernel's aux stream. Precompute once per corpus."""
     from innr_tpu.config import NORM_EPSILON
 
-    norms = jnp.sqrt(jnp.sum(rows * rows, axis=1))
+    r = rows.astype(jnp.float32)
+    norms = jnp.sqrt(jnp.sum(r * r, axis=1))
     return jnp.where(
         norms > NORM_EPSILON, 1.0 / jnp.where(norms > 0, norms, 1.0), 0.0
     )
