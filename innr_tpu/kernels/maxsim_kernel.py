@@ -48,13 +48,20 @@ def _maxsim_kernel(tq_true, use_mask, q_ref, docs_ref, *rest):
     from innr_tpu import config
 
     docs = docs_ref[:]  # (TILE_DOCS, Td, D)
+    qs_tile = q_ref[:]
+    precision = config.matmul_precision()
+    if docs.dtype == jnp.bfloat16:
+        # bf16 docs: native MXU bf16 with f32 accumulation (Mosaic rejects
+        # multi-pass precision on bf16 inputs).
+        qs_tile = qs_tile.astype(jnp.bfloat16)
+        precision = jax.lax.Precision.DEFAULT
     # Token interactions on the MXU: (TILE_DOCS, Td, Tq).
     pair = jax.lax.dot_general(
         docs,
-        q_ref[:],
+        qs_tile,
         dimension_numbers=(((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=config.matmul_precision(),
+        precision=precision,
     )
     if use_mask:
         # Mask streams as f32: Mosaic cannot reshape i1 vectors
@@ -83,7 +90,8 @@ def fused_maxsim_scores(q_tokens: jax.Array, docs: jax.Array, doc_mask=None):
     empty-doc contract).
     """
     q_tokens = jnp.asarray(q_tokens, dtype=jnp.float32)
-    docs = jnp.asarray(docs, dtype=jnp.float32)
+    if getattr(docs, "dtype", None) != jnp.bfloat16:
+        docs = jnp.asarray(docs, dtype=jnp.float32)
     tq, d = q_tokens.shape
     n, td, _ = docs.shape
 
@@ -169,12 +177,17 @@ def _maxsim_kernel_mq(tq_true, tq_pad, n_b, use_mask, q_ref, docs_ref, *rest):
     from innr_tpu import config
 
     docs = docs_ref[:]  # (TILE_DOCS, Td, D)
+    qs_tile = q_ref[:]  # (B*Tq_pad, D)
+    precision = config.matmul_precision()
+    if docs.dtype == jnp.bfloat16:
+        qs_tile = qs_tile.astype(jnp.bfloat16)
+        precision = jax.lax.Precision.DEFAULT
     pair = jax.lax.dot_general(
         docs,
-        q_ref[:],  # (B*Tq_pad, D)
+        qs_tile,
         dimension_numbers=(((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=config.matmul_precision(),
+        precision=precision,
     )  # (TILE_DOCS, Td, B*Tq_pad)
     if use_mask:
         pair = jnp.where(mask_ref[:][:, :, None] > 0.0, pair, -jnp.inf)
@@ -207,7 +220,8 @@ def fused_maxsim_scores_batch(q_batch: jax.Array, docs: jax.Array, doc_mask=None
     mask — pass pre-trimmed queries or equal-length queries for exactness).
     """
     q_batch = jnp.asarray(q_batch, dtype=jnp.float32)
-    docs = jnp.asarray(docs, dtype=jnp.float32)
+    if getattr(docs, "dtype", None) != jnp.bfloat16:
+        docs = jnp.asarray(docs, dtype=jnp.float32)
     b, tq, d = q_batch.shape
     n, td, _ = docs.shape
 

@@ -81,11 +81,11 @@ def _local_topk(qs, rows_shard, aux_shard, n_total, k, mode, use_fused):
     from innr_tpu import config
 
     if mode == "l2":
-        d = rows_shard[None, :, :] - qs[:, None, :]
+        d = rows_shard[None, :, :].astype(jnp.float32) - qs[:, None, :]
         scores = jnp.sum(d * d, axis=2)
     else:
         scores = jnp.matmul(
-            qs, rows_shard.T,
+            qs, rows_shard.T.astype(jnp.float32),
             preferred_element_type=jnp.float32,
             precision=config.matmul_precision(),
         )
@@ -158,8 +158,12 @@ class ShardedCorpus:
     corpus shape.
     """
 
-    def __init__(self, rows, mesh: Mesh | None = None):
-        rows = jnp.asarray(rows, dtype=jnp.float32)
+    def __init__(self, rows, mesh: Mesh | None = None, dtype=jnp.float32):
+        """``dtype=jnp.bfloat16`` stores the sharded corpus half-precision
+        (2 bytes/dim in per-device HBM; see VerticalBatch)."""
+        if dtype not in (jnp.float32, jnp.bfloat16):
+            raise ContractError("ShardedCorpus: dtype must be float32 or bfloat16")
+        rows = jnp.asarray(rows, dtype=dtype)
         if rows.ndim != 2:
             raise ContractError("ShardedCorpus: rows must be 2-D (N, D)")
         self.mesh = mesh if mesh is not None else default_mesh()
@@ -178,9 +182,11 @@ class ShardedCorpus:
         rows (each device reduces its own shard — no gather)."""
         if mode == "l2":
             if self._norms2 is None:
-                self._norms2 = jax.jit(lambda r: jnp.sum(r * r, axis=1))(
-                    self.rows
-                )
+                self._norms2 = jax.jit(
+                    lambda r: jnp.sum(
+                        r.astype(jnp.float32) * r.astype(jnp.float32), axis=1
+                    )
+                )(self.rows)
             return self._norms2
         if mode == "cosine":
             if self._inv_norms is None:

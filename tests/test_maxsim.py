@@ -201,3 +201,20 @@ class TestMaxSimKnnBatch:
         vals, idx = maxsim_knn_batch(q_padded, docs, 3)
         want = float(maxsim(q_short, docs[int(idx[0, 0])]))
         np.testing.assert_allclose(vals[0, 0], want, rtol=1e-5)
+
+
+class TestBf16MaxSim:
+    def test_fused_maxsim_bf16_docs(self, rng, monkeypatch):
+        import jax.numpy as jnp
+        from innr_tpu import config
+        from innr_tpu.kernels.maxsim_kernel import fused_maxsim_knn
+
+        docs = rng.standard_normal((200, 6, 16)).astype(np.float32)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        v32, i32 = fused_maxsim_knn(jnp.asarray(q), jnp.asarray(docs), 5)
+        v16, i16 = fused_maxsim_knn(
+            jnp.asarray(q), jnp.asarray(docs, dtype=jnp.bfloat16), 5
+        )
+        np.testing.assert_allclose(
+            np.asarray(v16), np.asarray(v32), rtol=3e-2, atol=3e-2
+        )

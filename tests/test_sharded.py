@@ -313,3 +313,17 @@ class TestShardedEdgeCases:
         assert np.asarray(v).shape == (2, 0)
         v, i = ts.search(rows[0], 99)
         assert np.asarray(v).shape == (12,)
+
+    def test_bf16_sharded_corpus(self, rng, devices_ok):
+        import jax.numpy as jnp
+
+        rows = rng.standard_normal((400, 32)).astype(np.float32)
+        sc16 = ShardedCorpus(rows, dtype=jnp.bfloat16)
+        sc32 = ShardedCorpus(rows)
+        for fn16, fn32 in ((sc16.knn_dot, sc32.knn_dot), (sc16.knn_l2, sc32.knn_l2)):
+            v16, i16 = fn16(rows[5], 5)
+            v32, i32 = fn32(rows[5], 5)
+            assert int(np.asarray(i16)[0]) == 5
+            np.testing.assert_allclose(
+                np.asarray(v16), np.asarray(v32), rtol=3e-2, atol=3e-2
+            )
