@@ -33,7 +33,14 @@ _KINDS = {
 def save_npz(path: str, obj) -> None:
     """Serialize a container to an npz archive."""
     if isinstance(obj, VerticalBatch):
-        np.savez(path, kind="VerticalBatch", rows=np.asarray(obj.rows))
+        rows = np.asarray(obj.rows)
+        if rows.dtype == np.float32:
+            np.savez(path, kind="VerticalBatch", rows=rows)
+        else:
+            # bf16 corpora: npz has no bfloat16 — store the raw bit pattern.
+            np.savez(
+                path, kind="VerticalBatch", rows_bf16=rows.view(np.uint16)
+            )
     elif isinstance(obj, PackedBinary):
         np.savez(
             path,
@@ -81,6 +88,14 @@ def load_npz(path: str):
         if kind not in _KINDS:
             raise ContractError(f"load_npz: unknown container kind {kind!r}")
         if kind == "VerticalBatch":
+            if "rows_bf16" in z:
+                import jax.numpy as jnp
+                import ml_dtypes
+
+                return VerticalBatch(
+                    z["rows_bf16"].view(ml_dtypes.bfloat16),
+                    dtype=jnp.bfloat16,
+                )
             return VerticalBatch(z["rows"])
         if kind == "PackedBinary":
             return PackedBinary(z["words"], int(z["dimension"]))

@@ -204,3 +204,19 @@ class TestSearchBatchParity:
             np.testing.assert_allclose(
                 np.asarray(vals[i]), [v for _, v in single], rtol=1e-5, atol=1e-5
             )
+
+
+class TestBf16Roundtrip:
+    def test_vertical_batch_bf16_npz(self, rng, tmp_path):
+        import jax.numpy as jnp
+
+        import innr_tpu as it
+        from innr_tpu.io import load_npz, save_npz
+
+        rows = rng.standard_normal((8, 4)).astype(np.float32)
+        vb = it.VerticalBatch(rows, dtype=jnp.bfloat16)
+        p = str(tmp_path / "vb16.npz")
+        save_npz(p, vb)
+        vb2 = load_npz(p)
+        assert vb2.rows.dtype == jnp.bfloat16
+        assert bool(jnp.all(vb2.rows == vb.rows))
