@@ -277,6 +277,11 @@ def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str):
         sublane, bytes_per_row, budget = 16, d * 2, 4 * 1024 * 1024
     else:
         sublane, bytes_per_row, budget = 8, d * 4, 4 * 1024 * 1024
+    # The (Q, T) score tile, its int32 keys, and the iota/global-idx tiles
+    # also live per corpus lane — dominant for large query batches
+    # (e.g. Q=512 at d=128: 6 KB/lane of scores vs 512 B of corpus).
+    q_pad_est = round_up(n_q, _Q_TILE)
+    bytes_per_row += 12 * q_pad_est
     tile_n = round_up(_pick_tile_n(n, max(bytes_per_row // 4, 1), budget), sublane)
     d_pad = round_up(d, 128)
     q_pad = round_up(n_q, _Q_TILE)
