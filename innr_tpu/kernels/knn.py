@@ -282,6 +282,9 @@ def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str):
     # (e.g. Q=512 at d=128: 6 KB/lane of scores vs 512 B of corpus).
     q_pad_est = round_up(n_q, _Q_TILE)
     bytes_per_row += 12 * q_pad_est
+    # tile_n must divide by 128: it is the LAST block dim of the aux
+    # streams (norms/mask), and Mosaic requires lane-dim divisibility.
+    sublane = max(sublane, 128)
     tile_n = round_up(_pick_tile_n(n, max(bytes_per_row // 4, 1), budget), sublane)
     d_pad = round_up(d, 128)
     q_pad = round_up(n_q, _Q_TILE)
