@@ -19,6 +19,7 @@ EXAMPLES = [
     "fast_math_demo",
     "sharded_search",
     "two_stage_pipeline",
+    "serving_demo",
 ]
 
 
