@@ -188,6 +188,27 @@ def bench_full():
     )
     del sketches
 
+    # 5a. fused multi-query slot kNN (MinHash retrieval): 16 sketches share
+    #     ONE corpus read + streaming top-k (slot-major layout).
+    from innr_tpu.kernels.slot_knn import fused_slot_knn_batch
+
+    slots_t = jax.jit(
+        lambda: jax.random.bits(
+            jax.random.PRNGKey(4), (128, n_s), jnp.uint32
+        ) >> 1
+    )()
+    qs_sketch = jnp.asarray(
+        rng.integers(0, 2**31, (16, 128), dtype=np.uint32)
+    )
+    dt = _time_best(
+        lambda: np.asarray(fused_slot_knn_batch(qs_sketch, slots_t, 10)[0])
+    )
+    out["slot_knn_10M_128slot_16q_evals_per_s"] = (
+        16 * n_s / dt,
+        _read_time(slots_t) / dt,
+    )
+    del slots_t
+
     # 5b. kNN recall@10 (BASELINE.json north-star metric): two-stage
     #     coarse->rerank over a clustered 100K x 256d corpus (256 centers +
     #     noise — the realistic embedding regime; uniform gaussian is the

@@ -17,6 +17,7 @@ EXAMPLES = [
     "matryoshka_search",
     "maxsim_colbert",
     "fast_math_demo",
+    "minhash_dedup",
     "sharded_search",
     "two_stage_pipeline",
     "serving_demo",

@@ -112,17 +112,20 @@ from innr_tpu.ops.scalar import (
     query_context,
 )
 from innr_tpu.ops.slot import (
+    SketchCorpus,
     SlotCounts,
     batch_slot_hamming_u32,
     jaccard_distance,
     minhash_jaccard,
     minhash_knn,
+    minhash_knn_batch,
     slot_compare_counts,
     slot_hamming,
     slot_hamming_u16,
     slot_hamming_u32,
     slot_hamming_u64,
     slot_knn_u32,
+    slot_knn_u32_batch,
 )
 from innr_tpu.ops.sparse import sparse_dot, sparse_maxsim
 from innr_tpu.ops.ternary import (

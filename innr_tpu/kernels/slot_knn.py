@@ -1,0 +1,164 @@
+"""Fused slot-sketch kNN: streaming compare-count scans with the shared
+streaming top-k merge.
+
+The MinHash retrieval analog of the packed kernels: the reference ships
+only the *pairwise* slot-Hamming primitives (``src/slot.rs:95-264``,
+SIMD cmpeq + movemask popcount); a corpus-scale sketch scan is their
+natural TPU batch form. Like the packed kernels, the corpus streams
+**slot-major** — ``(S, N)`` uint32 with one corpus sketch per VPU lane —
+so the per-sketch differing-slot count is a sublane compare-reduce, and
+the (Q, k) running-best selection (:func:`innr_tpu.kernels.knn.update_topk`)
+is fused into the same pass: one HBM read of the sketch corpus per query
+batch, no (Q, N) count matrix.
+
+Counts are small exact integers; negated counts serve directly as int32
+selection keys (smaller differing-count = better).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from innr_tpu.kernels import should_interpret
+from innr_tpu.kernels.knn import (
+    _K_LANE,
+    init_topk_state,
+    masked_global_idx,
+    update_topk,
+)
+from innr_tpu.utils.padding import round_up
+
+
+def _pick_tile_n(n: int, s: int) -> int:
+    budget = 4 * 1024 * 1024
+    tile = budget // max(s * 4, 1)
+    tile = max(512, min(16384, tile))
+    return round_up(min(tile, max(n, 128)), 128)
+
+
+def _pick_tile_n_mq(n: int, s: int, n_q: int) -> int:
+    """Corpus tile for the multi-query kernel. Live scoped VMEM per corpus
+    lane is the slot column (4s bytes) plus the (Q, S, T) broadcast compare
+    tile and its int32 widening (2 * 4 * s * n_q) — same budget model as
+    the packed kernels (which measurably OOMed unbudgeted at Q=32)."""
+    budget = 8 * 1024 * 1024
+    per_lane = 4 * s * (2 * n_q + 1)
+    tile = budget // max(per_lane, 1)
+    tile = max(256, min(2048, tile))
+    return round_up(min(tile, max(n, 128)), 128)
+
+
+def _slot_kernel(n_rows, k, q_ref, slots_ref, keys_out, idx_out, best_keys, best_idx):
+    step = pl.program_id(0)
+    tile_n = slots_ref.shape[1]
+
+    init_topk_state(best_keys, best_idx)
+
+    # (S, T) tile vs (S, 1) query -> per-sketch differing-slot counts (1, T).
+    diff = (slots_ref[:] != q_ref[:]).astype(jnp.int32)
+    counts = jnp.sum(diff, axis=0, keepdims=True)
+    keys = -counts  # fewer differing slots = better
+    keys, global_idx = masked_global_idx(step, 1, tile_n, n_rows, keys)
+    update_topk(keys, global_idx, best_keys, best_idx, k)
+
+    keys_out[:] = best_keys[:]
+    idx_out[:] = best_idx[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fused_slot_knn(q_slots: jax.Array, corpus_slots_t: jax.Array, k: int):
+    """Top-k smallest differing-slot counts of one u32 sketch against a
+    slot-major sketch corpus.
+
+    ``q_slots``: (S,) uint32; ``corpus_slots_t``: (S, N) uint32.
+    Returns ``(counts (k,) uint32 ascending, indices (k,) int32)``.
+    """
+    s, n = corpus_slots_t.shape
+    tile_n = _pick_tile_n(n, s)
+    k_pad = round_up(k, _K_LANE)
+    grid = ((n + tile_n - 1) // tile_n,)
+
+    keys, idx = pl.pallas_call(
+        functools.partial(_slot_kernel, n, k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((s, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, k_pad), jnp.int32),
+            pltpu.VMEM((1, k_pad), jnp.int32),
+        ],
+        interpret=should_interpret(),
+    )(q_slots[:, None], corpus_slots_t)
+    return (-keys[0, :k]).astype(jnp.uint32), idx[0, :k]
+
+
+def _slot_kernel_mq(n_rows, k, q_ref, slots_ref, keys_out, idx_out, best_keys, best_idx):
+    """Multi-query step: (Q, S, 1) queries x (1, S, T) tile -> (Q, T)
+    differing-slot counts via one broadcast compare, merged with the
+    shared top-k."""
+    step = pl.program_id(0)
+    n_q = q_ref.shape[0]
+    tile_n = slots_ref.shape[2]
+
+    init_topk_state(best_keys, best_idx)
+
+    diff = (slots_ref[:] != q_ref[:]).astype(jnp.int32)
+    counts = jnp.sum(diff, axis=1)  # (Q, T)
+    keys = -counts
+    keys, global_idx = masked_global_idx(step, n_q, tile_n, n_rows, keys)
+    update_topk(keys, global_idx, best_keys, best_idx, k)
+
+    keys_out[:] = best_keys[:]
+    idx_out[:] = best_idx[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fused_slot_knn_batch(q_slots: jax.Array, corpus_slots_t: jax.Array, k: int):
+    """Top-k smallest differing-slot counts for a (Q, S) sketch batch —
+    one kernel launch, one corpus read for all queries.
+
+    Returns ``(counts (Q, k) uint32 ascending, indices (Q, k) int32)``.
+    """
+    n_q, s = q_slots.shape
+    _, n = corpus_slots_t.shape
+    tile_n = _pick_tile_n_mq(n, s, n_q)
+    k_pad = round_up(k, _K_LANE)
+    grid = ((n + tile_n - 1) // tile_n,)
+
+    keys, idx = pl.pallas_call(
+        functools.partial(_slot_kernel_mq, n, k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_q, s, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, tile_n), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n_q, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_q, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_q, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((n_q, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_q, k_pad), jnp.int32),
+            pltpu.VMEM((n_q, k_pad), jnp.int32),
+        ],
+        interpret=should_interpret(),
+    )(q_slots[:, :, None], corpus_slots_t[None, :, :])
+    return (-keys[:, :k]).astype(jnp.uint32), idx[:, :k]

@@ -26,6 +26,7 @@ import numpy as np
 from innr_tpu.utils.asserts import ContractError
 
 __all__ = [
+    "SketchCorpus",
     "SlotCounts",
     "slot_hamming",
     "slot_hamming_u16",
@@ -35,6 +36,10 @@ __all__ = [
     "minhash_jaccard",
     "jaccard_distance",
     "batch_slot_hamming_u32",
+    "slot_knn_u32",
+    "slot_knn_u32_batch",
+    "minhash_knn",
+    "minhash_knn_batch",
 ]
 
 
@@ -166,22 +171,107 @@ def jaccard_distance(a, b) -> jax.Array:
     return diff.astype(jnp.float32) / jnp.float32(n)
 
 
+class SketchCorpus:
+    """An (N, S) u32 sketch corpus with a cached slot-major transpose.
+
+    The container form of a MinHash / slot-sketch collection (analog of
+    ``PackedBinaryBatch`` for word planes): the fused streaming slot-kNN
+    kernel consumes the corpus **slot-major** — ``(S, N)`` with one corpus
+    sketch per VPU lane — and caching the transpose here means a scan costs
+    exactly one corpus HBM read, never a layout copy per call. Raw-data
+    accessor preserved (``sketches``) per the reference's serialization
+    contract (``src/slot.rs`` containers expose their slots).
+    """
+
+    def __init__(self, sketches):
+        sketches = jnp.asarray(sketches, dtype=jnp.uint32)
+        if sketches.ndim != 2:
+            raise ContractError("SketchCorpus: sketches must be 2-D (N, S)")
+        self.sketches = sketches
+        self.slots_t = sketches.T  # (S, N), the fused kernel's layout
+
+    @property
+    def num_sketches(self) -> int:
+        return int(self.sketches.shape[0])
+
+    @property
+    def num_slots(self) -> int:
+        return int(self.sketches.shape[1])
+
+    def memory_bytes(self) -> int:
+        return int(self.sketches.size) * 4
+
+
+def _slot_corpus(corpus):
+    """Normalize corpus input: (SketchCorpus | (N, S) array) -> container
+    fields. A raw array stays on the jnp path (transposing it on device
+    would cost a full corpus copy per call — build a SketchCorpus once to
+    enable the fused kernel)."""
+    if isinstance(corpus, SketchCorpus):
+        return corpus.sketches, corpus.slots_t
+    return jnp.asarray(corpus, dtype=jnp.uint32), None
+
+
+def _use_fused_slot(n: int, k: int, slots_t) -> bool:
+    from innr_tpu import config
+
+    return (
+        slots_t is not None
+        and n >= config.MIN_ROWS_PALLAS
+        and k <= 512
+        and not config.reference_forced()
+    )
+
+
 def slot_knn_u32(query, corpus, k: int):
     """Top-k most similar u32 sketches: smallest differing-slot counts.
 
     TPU-native sketch retrieval (the reference provides only the pairwise
     primitive; a MinHash corpus scan is its natural batch form). ``query``:
-    (S,) uint32; ``corpus``: (N, S) uint32. Returns
+    (S,) uint32; ``corpus``: (N, S) uint32 or a :class:`SketchCorpus`
+    (which enables the fused streaming kernel for large N). Returns
     ``(counts ascending, indices)`` as jnp arrays.
     """
     query = jnp.asarray(query, dtype=jnp.uint32)
-    corpus = jnp.asarray(corpus, dtype=jnp.uint32)
-    _check_len(query, corpus, "slot_knn_u32")
-    n = int(corpus.shape[0])
+    sketches, slots_t = _slot_corpus(corpus)
+    _check_len(query, sketches, "slot_knn_u32")
+    n = int(sketches.shape[0])
     if n == 0 or k <= 0:
         return jnp.zeros((0,), jnp.uint32), jnp.zeros((0,), jnp.int32)
     k = min(int(k), n)
-    counts = jnp.sum((corpus != query[None, :]).astype(jnp.int32), axis=1)
+    if _use_fused_slot(n, k, slots_t):
+        from innr_tpu.kernels.slot_knn import fused_slot_knn
+
+        return fused_slot_knn(query, slots_t, k)
+    counts = jnp.sum((sketches != query[None, :]).astype(jnp.int32), axis=1)
+    neg, idx = jax.lax.top_k(-counts, k)
+    return (-neg).astype(jnp.uint32), idx
+
+
+def slot_knn_u32_batch(queries, corpus, k: int):
+    """Multi-query slot-sketch kNN: one fused launch for a (Q, S) sketch
+    batch (all queries share one corpus read).
+
+    ``corpus``: (N, S) uint32 or :class:`SketchCorpus`. Returns
+    ``(counts (Q, k) ascending, indices (Q, k))``.
+    """
+    queries = jnp.asarray(queries, dtype=jnp.uint32)
+    if queries.ndim != 2:
+        raise ContractError("slot_knn_u32_batch: queries must be 2-D (Q, S)")
+    sketches, slots_t = _slot_corpus(corpus)
+    _check_len(queries, sketches, "slot_knn_u32_batch")
+    n = int(sketches.shape[0])
+    n_q = int(queries.shape[0])
+    if n == 0 or k <= 0:
+        return jnp.zeros((n_q, 0), jnp.uint32), jnp.zeros((n_q, 0), jnp.int32)
+    k = min(int(k), n)
+    if _use_fused_slot(n, k, slots_t):
+        from innr_tpu.kernels.slot_knn import fused_slot_knn_batch
+
+        return fused_slot_knn_batch(queries, slots_t, k)
+    counts = jnp.sum(
+        (sketches[None, :, :] != queries[:, None, :]).astype(jnp.int32), axis=2
+    )  # (Q, N)
     neg, idx = jax.lax.top_k(-counts, k)
     return (-neg).astype(jnp.uint32), idx
 
@@ -194,6 +284,15 @@ def minhash_knn(query, corpus, k: int):
     """
     counts, idx = slot_knn_u32(query, corpus, k)
     s = jnp.asarray(query).shape[-1]
+    sims = 1.0 - counts.astype(jnp.float32) / jnp.float32(max(s, 1))
+    return sims, idx
+
+
+def minhash_knn_batch(queries, corpus, k: int):
+    """Multi-query MinHash retrieval: (Q, S) sketches -> top-k Jaccard
+    similarities (descending) per query, one corpus read for the batch."""
+    counts, idx = slot_knn_u32_batch(queries, corpus, k)
+    s = jnp.asarray(queries).shape[-1]
     sims = 1.0 - counts.astype(jnp.float32) / jnp.float32(max(s, 1))
     return sims, idx
 

@@ -11,7 +11,8 @@ transport layer.
 Every op family is covered: f32 dot/L2/cosine (:class:`ShardedCorpus`),
 1-bit Hamming (:class:`ShardedPackedBinary`), ternary
 (:class:`ShardedPackedTernary`), asymmetric u8
-(:class:`ShardedQuantizedU8`), MaxSim late interaction
+(:class:`ShardedQuantizedU8`), slot-sketch / MinHash
+(:class:`ShardedSlotCorpus`), MaxSim late interaction
 (:class:`ShardedMaxSimCorpus`), and the two-stage coarse->rerank pipeline
 (:class:`ShardedTwoStageIndex`).
 """
@@ -28,6 +29,7 @@ from innr_tpu.parallel.sharded_packed import (  # noqa: F401
     ShardedPackedTernary,
 )
 from innr_tpu.parallel.sharded_quant import ShardedQuantizedU8  # noqa: F401
+from innr_tpu.parallel.sharded_slot import ShardedSlotCorpus  # noqa: F401
 from innr_tpu.parallel.sharded_maxsim import ShardedMaxSimCorpus  # noqa: F401
 from innr_tpu.parallel.sharded_pipeline import ShardedTwoStageIndex  # noqa: F401
 
@@ -36,6 +38,7 @@ __all__ = [
     "ShardedPackedBinary",
     "ShardedPackedTernary",
     "ShardedQuantizedU8",
+    "ShardedSlotCorpus",
     "ShardedMaxSimCorpus",
     "ShardedTwoStageIndex",
     "default_mesh",

@@ -128,3 +128,38 @@ class TestDispatchArms:
         _, idx_fused = maxsim_knn(q, docs, 5)
         assert calls
         np.testing.assert_array_equal(idx_fused, idx_jnp)
+
+    def test_slot_all_three_arms(self, rng, monkeypatch):
+        """Slot-sketch family: fused vs jnp vs forced-reference arms all
+        execute and agree exactly (integer counts)."""
+        from innr_tpu.kernels import slot_knn as kslot
+
+        sketches = rng.integers(0, 8, (64, 32)).astype(np.uint32)
+        corpus = it.SketchCorpus(sketches)
+        q = sketches[11]
+        calls: list = []
+        for name in ("fused_slot_knn", "fused_slot_knn_batch"):
+            _record_calls(monkeypatch, kslot, name, calls)
+
+        def run():
+            _, i1 = it.slot_knn_u32(q, corpus, 3)
+            _, i2 = it.slot_knn_u32_batch(sketches[:2], corpus, 3)
+            return np.concatenate([np.ravel(np.asarray(i1)), np.ravel(np.asarray(i2))])
+
+        assert 64 < config.MIN_ROWS_PALLAS
+        idx_jnp = run()
+        assert calls == [], f"fused arm ran below threshold: {calls}"
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        idx_fused = run()
+        assert sorted(set(calls)) == ["fused_slot_knn", "fused_slot_knn_batch"]
+        np.testing.assert_array_equal(idx_fused, idx_jnp)
+
+        calls.clear()
+        try:
+            config.force_reference(True)
+            idx_ref = run()
+        finally:
+            config.force_reference(False)
+        assert calls == [], f"fused arm ran while reference forced: {calls}"
+        np.testing.assert_array_equal(idx_ref, idx_jnp)

@@ -327,3 +327,78 @@ class TestShardedEdgeCases:
             np.testing.assert_allclose(
                 np.asarray(v16), np.asarray(v32), rtol=3e-2, atol=3e-2
             )
+
+
+class TestShardedSlot:
+    """ShardedSlotCorpus vs single-chip slot scan: exact integer parity."""
+
+    def test_sharded_slot_matches_single_chip(self, rng, devices_ok):
+        from innr_tpu.parallel import ShardedSlotCorpus
+
+        sketches = rng.integers(0, 16, (1000, 32)).astype(np.uint32)
+        q = sketches[123]
+        sc = ShardedSlotCorpus(sketches)
+        counts, idx = sc.knn(q, 7)
+        want_counts, want_idx = it.slot_knn_u32(q, sketches, 7)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+        np.testing.assert_array_equal(np.asarray(counts), np.asarray(want_counts))
+        assert int(np.asarray(idx)[0]) == 123
+
+    def test_sharded_slot_batch_and_minhash(self, rng, devices_ok):
+        from innr_tpu.parallel import ShardedSlotCorpus
+
+        sketches = rng.integers(0, 8, (500, 64)).astype(np.uint32)
+        sc = ShardedSlotCorpus(sketches)
+        qs = sketches[[5, 250, 499]]
+        counts, idx = sc.knn_batch(qs, 4)
+        assert np.asarray(counts).shape == (3, 4)
+        np.testing.assert_array_equal(np.asarray(idx)[:, 0], [5, 250, 499])
+        for qi, q in enumerate(qs):
+            wc, wi = it.slot_knn_u32(q, sketches, 4)
+            np.testing.assert_array_equal(np.asarray(idx)[qi], np.asarray(wi))
+            np.testing.assert_array_equal(np.asarray(counts)[qi], np.asarray(wc))
+        sims, midx = sc.minhash_knn(qs[0], 3)
+        assert float(np.asarray(sims)[0]) == 1.0
+        assert int(np.asarray(midx)[0]) == 5
+
+    def test_sharded_slot_fused_local_scan(self, rng, devices_ok, monkeypatch):
+        """Above the Pallas threshold the local scan must route through the
+        fused kernel (interpret mode on CPU) and still match exactly."""
+        from innr_tpu import config
+        from innr_tpu.kernels import slot_knn as kslot
+        from innr_tpu.parallel import ShardedSlotCorpus
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        sketches = rng.integers(0, 4, (800, 32)).astype(np.uint32)
+        sc = ShardedSlotCorpus(sketches)
+        calls = []
+        real = kslot.fused_slot_knn_batch
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(kslot, "fused_slot_knn_batch", spy)
+        counts, idx = sc.knn(sketches[77], 5)
+        assert calls, "fused local scan not exercised"
+        want_counts, want_idx = it.slot_knn_u32(sketches[77], sketches, 5)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+        np.testing.assert_array_equal(np.asarray(counts), np.asarray(want_counts))
+
+    def test_sharded_slot_edges(self, rng, devices_ok):
+        from innr_tpu.parallel import ShardedSlotCorpus
+
+        sketches = rng.integers(0, 4, (10, 16)).astype(np.uint32)
+        sc = ShardedSlotCorpus(sketches)
+        counts, idx = sc.knn(sketches[0], 0)
+        assert len(np.asarray(idx)) == 0
+        counts, idx = sc.knn(sketches[0], 100)  # k clamps to N
+        assert len(np.asarray(idx)) == 10
+        counts, idx = sc.knn_batch(sketches[:2], 0)
+        assert np.asarray(counts).shape == (2, 0)
+        with pytest.raises(it.ContractError):
+            sc.knn(rng.integers(0, 4, 17).astype(np.uint32), 3)
+        with pytest.raises(it.ContractError):
+            sc.knn_batch(sketches[0], 3)
+        assert sc.num_sketches == 10 and sc.num_slots == 16
+        assert sc.memory_bytes() >= 10 * 16 * 4
