@@ -22,6 +22,7 @@ from innr_tpu.parallel.sharded import (  # noqa: F401
     default_mesh,
     sharded_knn_cosine,
     sharded_knn_dot,
+    sharded_knn_filtered,
     sharded_knn_l2,
 )
 from innr_tpu.parallel.sharded_packed import (  # noqa: F401
@@ -45,4 +46,5 @@ __all__ = [
     "sharded_knn_dot",
     "sharded_knn_l2",
     "sharded_knn_cosine",
+    "sharded_knn_filtered",
 ]

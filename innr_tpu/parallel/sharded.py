@@ -41,6 +41,7 @@ __all__ = [
     "sharded_knn_dot",
     "sharded_knn_l2",
     "sharded_knn_cosine",
+    "sharded_knn_filtered",
 ]
 
 _INT_MIN = jnp.iinfo(jnp.int32).min
@@ -142,6 +143,66 @@ def _sharded_knn(
         # Fused L2 scores come from the MXU decomposition without the
         # per-query ||q||^2 shift (monotone; cannot change selection).
         # Add it back and clamp at zero like the single-chip path.
+        qq = jnp.sum(qs * qs, axis=1, keepdims=True)
+        vals = jnp.maximum(vals + qq, 0.0)
+    if single:
+        return vals[0], idx[0]
+    return vals, idx
+
+
+def _local_topk_filtered(qs, rows_shard, norms_shard, mask_shard, n_total, k, use_fused):
+    """Per-shard body for predicate-pushdown L2 kNN: non-passing rows can
+    never win (reference src/batch.rs:842-845). ``mask_shard``: (shard,)
+    f32 0/1 predicate over this shard's rows (padded rows are 0)."""
+    shard_rows = rows_shard.shape[0]
+    base = jax.lax.axis_index(AXIS) * shard_rows
+
+    if use_fused:
+        from innr_tpu.kernels.knn import fused_knn_keys_batch
+
+        aux = jnp.stack([norms_shard, mask_shard])
+        keys, lidx = fused_knn_keys_batch(qs, rows_shard, aux, k, "l2m")
+        gidx = base + lidx
+        keys = jnp.where(gidx < n_total, keys, _INT_MIN)
+        return keys, gidx
+
+    d = rows_shard[None, :, :].astype(jnp.float32) - qs[:, None, :]
+    scores = jnp.sum(d * d, axis=2)
+    keys = ~total_order_key_f32(scores)  # smaller distance = better
+    keys = jnp.where(mask_shard[None, :] > 0.0, keys, _INT_MIN)
+    gidx_row = base + jnp.arange(shard_rows, dtype=jnp.int32)
+    keys = jnp.where(gidx_row[None, :] < n_total, keys, _INT_MIN)
+    top_keys, tidx = jax.lax.top_k(keys, k)
+    return top_keys, gidx_row[tidx]
+
+
+@partial(
+    jax.jit, static_argnames=("k", "k_local", "n_total", "mesh", "use_fused")
+)
+def _sharded_knn_filtered(
+    qs, rows_sharded, norms_sharded, mask_sharded, k: int, k_local: int,
+    n_total: int, mesh: Mesh, use_fused: bool,
+):
+    single = qs.ndim == 1
+    if single:
+        qs = qs[None, :]
+    local = jax.shard_map(
+        partial(
+            _local_topk_filtered, n_total=n_total, k=k_local,
+            use_fused=use_fused,
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(AXIS, None), P(AXIS), P(AXIS)),
+        out_specs=(P(None, AXIS), P(None, AXIS)),
+        check_vma=False,  # Pallas calls inside the body have no vma info
+    )
+    keys, gidx = local(qs, rows_sharded, norms_sharded, mask_sharded)
+    merged_keys, pos = jax.lax.top_k(keys, k)
+    idx = jnp.take_along_axis(gidx, pos, axis=1)
+    merged_keys = ~merged_keys
+    vals = _invert_total_key(merged_keys)
+    if use_fused:
+        # Fused keys come from the MXU decomposition without ||q||^2.
         qq = jnp.sum(qs * qs, axis=1, keepdims=True)
         vals = jnp.maximum(vals + qq, 0.0)
     if single:
@@ -277,6 +338,14 @@ class ShardedCorpus:
         indices), descending. Zero-norm rows/queries score 0.0."""
         return sharded_knn_cosine(query, self, k)
 
+    def knn_filtered(self, query, k: int, predicate):
+        """Distributed L2^2 kNN with predicate pushdown: returns
+        (distances ascending, global indices) among passing rows only.
+        ``predicate``: an (N,) boolean mask over global row indices, or a
+        callable ``index -> bool`` (evaluated on host, as the reference
+        does — src/batch.rs:809)."""
+        return sharded_knn_filtered(query, self, k, predicate)
+
 
 def _check(query, corpus: ShardedCorpus, k: int, op: str):
     q = jnp.asarray(query, dtype=jnp.float32)
@@ -348,3 +417,47 @@ def sharded_knn_cosine(query, corpus: ShardedCorpus, k: int):
     Accepts (D,) or (Q, D) queries; zero-norm semantics match the
     single-chip fused path (queries pre-normalize on device)."""
     return _run(query, corpus, k, "cosine", "sharded_knn_cosine")
+
+
+def sharded_knn_filtered(query, corpus: ShardedCorpus, k: int, predicate):
+    """Distributed batch_knn_filtered over a :class:`ShardedCorpus`:
+    exact L2^2 kNN restricted to predicate-passing rows, with the mask
+    pushed down into each shard's streaming scan.
+
+    ``predicate``: (N,) boolean mask over *global* row indices (the
+    TPU-native form — it shards alongside the rows), or a host callable
+    ``index -> bool``. Returns at most ``min(k, num_passing)`` results per
+    query; every returned index passes the predicate.
+    """
+    q, k = _check(query, corpus, k, "sharded_knn_filtered")
+    if k == 0:
+        return _empty(q)
+    n = corpus.num_vectors
+    if callable(predicate):
+        mask = np.fromiter(
+            (bool(predicate(i)) for i in range(n)), dtype=bool, count=n
+        )
+    else:
+        mask = np.asarray(predicate, dtype=bool)
+        if mask.shape != (n,):
+            raise ContractError(
+                f"innr_tpu::sharded_knn_filtered: mask shape {mask.shape} "
+                f"!= ({n},)"
+            )
+    num_passing = int(mask.sum())
+    if num_passing == 0:
+        return _empty(q)
+    k = min(k, num_passing)
+    mask_f = np.zeros(corpus.n_pad, np.float32)
+    mask_f[:n] = mask
+    mask_sharded = jax.device_put(
+        mask_f, NamedSharding(corpus.mesh, P(AXIS))
+    )
+    k_local, use_fused = _plan_local_k(corpus, k)
+    # Non-passing and padded rows are already masked to INT_MIN by the
+    # predicate stream, so the fused over-fetch only needs to cover ties
+    # with pad rows — keep the shared plan (it clamps to the shard height).
+    return _sharded_knn_filtered(
+        q, corpus.rows, corpus._aux("l2"), mask_sharded, k, k_local,
+        corpus.n_true, corpus.mesh, use_fused,
+    )

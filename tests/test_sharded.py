@@ -402,3 +402,75 @@ class TestShardedSlot:
             sc.knn_batch(sketches[0], 3)
         assert sc.num_sketches == 10 and sc.num_slots == 16
         assert sc.memory_bytes() >= 10 * 16 * 4
+
+
+class TestShardedFiltered:
+    """Distributed predicate-pushdown kNN vs the single-chip filtered scan."""
+
+    def test_matches_single_chip(self, rng, devices_ok):
+        from innr_tpu.parallel import sharded_knn_filtered
+
+        rows = rng.standard_normal((900, 48)).astype(np.float32)
+        mask = rng.random(900) < 0.3
+        q = rng.standard_normal(48).astype(np.float32)
+        sc = ShardedCorpus(rows)
+        vals, idx = sc.knn_filtered(q, 7, mask)
+        vb = it.VerticalBatch.from_rows(rows)
+        want = it.batch_knn_filtered(q, vb, 7, mask)
+        np.testing.assert_array_equal(np.asarray(idx), want.indices)
+        np.testing.assert_allclose(np.asarray(vals), want.scores, rtol=1e-5, atol=1e-5)
+        assert all(mask[i] for i in np.asarray(idx))
+
+    def test_multi_query_and_callable(self, rng, devices_ok):
+        rows = rng.standard_normal((600, 32)).astype(np.float32)
+        qs = rng.standard_normal((3, 32)).astype(np.float32)
+        sc = ShardedCorpus(rows)
+        vals, idx = sc.knn_filtered(qs, 5, lambda i: i % 3 == 0)
+        assert np.asarray(idx).shape == (3, 5)
+        assert np.all(np.asarray(idx) % 3 == 0)
+        vb = it.VerticalBatch.from_rows(rows)
+        mask = np.arange(600) % 3 == 0
+        for qi in range(3):
+            want = it.batch_knn_filtered(qs[qi], vb, 5, mask)
+            np.testing.assert_array_equal(np.asarray(idx)[qi], want.indices)
+
+    def test_fused_local_scan(self, rng, devices_ok, monkeypatch):
+        from innr_tpu import config
+        from innr_tpu.kernels import knn as kknn
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        rows = rng.standard_normal((640, 16)).astype(np.float32)
+        mask = rng.random(640) < 0.5
+        q = rng.standard_normal(16).astype(np.float32)
+        sc = ShardedCorpus(rows)
+        calls = []
+        real = kknn.fused_knn_keys_batch
+
+        def spy(*a, **kw):
+            calls.append(a[4] if len(a) > 4 else kw.get("mode"))
+            return real(*a, **kw)
+
+        monkeypatch.setattr(kknn, "fused_knn_keys_batch", spy)
+        vals, idx = sc.knn_filtered(q, 5, mask)
+        assert "l2m" in calls
+        vb = it.VerticalBatch.from_rows(rows)
+        want = it.batch_knn_filtered(q, vb, 5, mask)
+        np.testing.assert_array_equal(np.asarray(idx), want.indices)
+        np.testing.assert_allclose(np.asarray(vals), want.scores, rtol=1e-5, atol=1e-5)
+
+    def test_edges(self, rng, devices_ok):
+        rows = rng.standard_normal((100, 16)).astype(np.float32)
+        sc = ShardedCorpus(rows)
+        q = rows[4]
+        # nothing passes -> empty
+        vals, idx = sc.knn_filtered(q, 5, np.zeros(100, bool))
+        assert len(np.asarray(idx)) == 0
+        # fewer passing than k -> clamped to passing count, all passing
+        mask = np.zeros(100, bool)
+        mask[[4, 40, 77]] = True
+        vals, idx = sc.knn_filtered(q, 10, mask)
+        assert sorted(np.asarray(idx).tolist()) == [4, 40, 77]
+        assert int(np.asarray(idx)[0]) == 4
+        assert float(np.asarray(vals)[0]) == 0.0
+        with pytest.raises(it.ContractError):
+            sc.knn_filtered(q, 5, np.zeros(99, bool))
