@@ -189,7 +189,11 @@ def bench_full():
     del sketches
 
     # 5a. fused multi-query slot kNN (MinHash retrieval): 16 sketches share
-    #     ONE corpus read + streaming top-k (slot-major layout).
+    #     ONE corpus read + streaming top-k (slot-major layout). NOTE: at
+    #     Q=16 this op is VPU-bound (Q compares per 4 corpus bytes ~= 4
+    #     ops/byte exceeds the compute:bandwidth ratio), so its HBM-read
+    #     fraction is structurally < 1 — measured ~0.9 of VPU peak; see
+    #     PERF.md "slot multi-query physics".
     from innr_tpu.kernels.slot_knn import fused_slot_knn_batch
 
     slots_t = jax.jit(

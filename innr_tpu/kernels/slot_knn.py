@@ -41,15 +41,22 @@ def _pick_tile_n(n: int, s: int) -> int:
     return round_up(min(tile, max(n, 128)), 128)
 
 
+_S_CHUNK = 8  # sublane-aligned slot chunk for the mq accumulation
+
+
 def _pick_tile_n_mq(n: int, s: int, n_q: int) -> int:
-    """Corpus tile for the multi-query kernel. Live scoped VMEM per corpus
-    lane is the slot column (4s bytes) plus the (Q, S, T) broadcast compare
-    tile and its int32 widening (2 * 4 * s * n_q) — same budget model as
-    the packed kernels (which measurably OOMed unbudgeted at Q=32)."""
+    """Corpus tile for the multi-query kernel. The kernel accumulates
+    counts over static 8-slot sublane chunks, so the live scoped VMEM per
+    corpus lane is the slot column (4s bytes), one (Q, 8, T) chunk compare
+    (4 * 8q), and the (Q, T) running counts (4q) — independent of Q x S,
+    unlike a one-shot broadcast whose (Q, S, T) intermediate starves the
+    tile size (measured 0.70 vs ~1.0 roofline at Q=16, S=128, 10M
+    sketches). Dynamic per-query lane slicing is NOT an option: Mosaic
+    requires lane indices provably 128-aligned (found on real silicon)."""
     budget = 8 * 1024 * 1024
-    per_lane = 4 * s * (2 * n_q + 1)
+    per_lane = 4 * (s + (_S_CHUNK + 1) * n_q)
     tile = budget // max(per_lane, 1)
-    tile = max(256, min(2048, tile))
+    tile = max(256, min(8192, tile))
     return round_up(min(tile, max(n, 128)), 128)
 
 
@@ -107,18 +114,27 @@ def fused_slot_knn(q_slots: jax.Array, corpus_slots_t: jax.Array, k: int):
     return (-keys[0, :k]).astype(jnp.uint32), idx[0, :k]
 
 
-def _slot_kernel_mq(n_rows, k, q_ref, slots_ref, keys_out, idx_out, best_keys, best_idx):
+def _slot_kernel_mq(
+    n_rows, k, q_ref, slots_ref, keys_out, idx_out, best_keys, best_idx,
+):
     """Multi-query step: (Q, S, 1) queries x (1, S, T) tile -> (Q, T)
-    differing-slot counts via one broadcast compare, merged with the
-    shared top-k."""
+    differing-slot counts, accumulated over static 8-slot sublane chunks
+    so only a (Q, 8, T) compare is ever live (a one-shot (Q, S, T)
+    broadcast starves the tile size; dynamic per-query lane slicing fails
+    Mosaic's 128-aligned lane-index rule on real silicon)."""
     step = pl.program_id(0)
     n_q = q_ref.shape[0]
+    s = slots_ref.shape[1]
     tile_n = slots_ref.shape[2]
 
     init_topk_state(best_keys, best_idx)
 
-    diff = (slots_ref[:] != q_ref[:]).astype(jnp.int32)
-    counts = jnp.sum(diff, axis=1)  # (Q, T)
+    counts = None
+    for s0 in range(0, s, _S_CHUNK):
+        s1 = min(s0 + _S_CHUNK, s)
+        diff = (slots_ref[:, s0:s1, :] != q_ref[:, s0:s1, :]).astype(jnp.int32)
+        chunk = jnp.sum(diff, axis=1)  # (Q, T)
+        counts = chunk if counts is None else counts + chunk
     keys = -counts
     keys, global_idx = masked_global_idx(step, n_q, tile_n, n_rows, keys)
     update_topk(keys, global_idx, best_keys, best_idx, k)

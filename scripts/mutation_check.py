@@ -124,6 +124,29 @@ MUTANTS = [
         "    scores = (alpha / 255.0) * mixed\n",
         ("tests/test_scalar.py",),
     ),
+    Mutant(
+        "slot-knn-compare-flips-to-equal",
+        "innr_tpu/kernels/slot_knn.py",
+        "    diff = (slots_ref[:] != q_ref[:]).astype(jnp.int32)\n"
+        "    counts = jnp.sum(diff, axis=0, keepdims=True)\n",
+        "    diff = (slots_ref[:] == q_ref[:]).astype(jnp.int32)\n"
+        "    counts = jnp.sum(diff, axis=0, keepdims=True)\n",
+        ("tests/test_slot.py",),
+    ),
+    Mutant(
+        "slot-knn-key-negation-dropped",
+        "innr_tpu/kernels/slot_knn.py",
+        "    counts = jnp.sum(diff, axis=1)  # (Q, T)\n    keys = -counts\n",
+        "    counts = jnp.sum(diff, axis=1)  # (Q, T)\n    keys = counts\n",
+        ("tests/test_slot.py",),
+    ),
+    Mutant(
+        "filtered-mask-polarity-flip",
+        "innr_tpu/kernels/knn.py",
+        "        keys = jnp.where(norms_ref[1:2, :] > 0.0, keys, _INT_MIN)\n",
+        "        keys = jnp.where(norms_ref[1:2, :] <= 0.0, keys, _INT_MIN)\n",
+        ("tests/test_batch.py",),
+    ),
 ]
 
 
