@@ -31,10 +31,12 @@ from innr_tpu.parallel.sharded_packed import (  # noqa: F401
 )
 from innr_tpu.parallel.sharded_quant import ShardedQuantizedU8  # noqa: F401
 from innr_tpu.parallel.sharded_slot import ShardedSlotCorpus  # noqa: F401
+from innr_tpu.parallel.query_parallel import QueryParallelIndex  # noqa: F401
 from innr_tpu.parallel.sharded_maxsim import ShardedMaxSimCorpus  # noqa: F401
 from innr_tpu.parallel.sharded_pipeline import ShardedTwoStageIndex  # noqa: F401
 
 __all__ = [
+    "QueryParallelIndex",
     "ShardedCorpus",
     "ShardedPackedBinary",
     "ShardedPackedTernary",

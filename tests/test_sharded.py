@@ -474,3 +474,69 @@ class TestShardedFiltered:
         assert float(np.asarray(vals)[0]) == 0.0
         with pytest.raises(it.ContractError):
             sc.knn_filtered(q, 5, np.zeros(99, bool))
+
+
+class TestQueryParallel:
+    """Query-sharded data-parallel serving: replicated corpus, queries
+    split across the mesh — results must equal the single-chip scan."""
+
+    @pytest.mark.parametrize("mode", ["dot", "l2", "cosine"])
+    def test_matches_single_chip(self, rng, devices_ok, mode):
+        from innr_tpu.parallel import QueryParallelIndex
+
+        rows = rng.standard_normal((300, 32)).astype(np.float32)
+        qs = rng.standard_normal((19, 32)).astype(np.float32)  # ragged vs 8 devices
+        qp = QueryParallelIndex(rows)
+        vb = it.VerticalBatch.from_rows(rows)
+        if mode == "dot":
+            vals, idx = qp.knn_dot(qs, 5)
+            want = it.batch_knn_dot(qs, vb, 5)
+        elif mode == "l2":
+            vals, idx = qp.knn_l2(qs, 5)
+            want = it.batch_knn(qs, vb, 5)
+        else:
+            vals, idx = qp.knn_cosine(qs, 5)
+            want = it.batch_knn_cosine(qs, vb, 5)
+        np.testing.assert_array_equal(np.asarray(idx), want.indices)
+        np.testing.assert_allclose(np.asarray(vals), want.scores, rtol=1e-5, atol=1e-6)
+
+    def test_fused_local_scan(self, rng, devices_ok, monkeypatch):
+        from innr_tpu import config
+        from innr_tpu.kernels import knn as kknn
+        from innr_tpu.parallel import QueryParallelIndex
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        rows = rng.standard_normal((256, 16)).astype(np.float32)
+        qs = rng.standard_normal((16, 16)).astype(np.float32)
+        calls = []
+        real = kknn.fused_knn_keys_batch
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(kknn, "fused_knn_keys_batch", spy)
+        qp = QueryParallelIndex(rows)
+        vals, idx = qp.knn_dot(qs, 3)
+        assert calls, "fused arm not exercised"
+        want = it.batch_knn_dot(qs, it.VerticalBatch.from_rows(rows), 3)
+        np.testing.assert_array_equal(np.asarray(idx), want.indices)
+
+    def test_edges_and_bf16(self, rng, devices_ok):
+        import jax.numpy as jnp
+        from innr_tpu.parallel import QueryParallelIndex
+
+        rows = rng.standard_normal((50, 16)).astype(np.float32)
+        qp = QueryParallelIndex(rows)
+        vals, idx = qp.knn_dot(rows[:3], 0)
+        assert np.asarray(vals).shape == (3, 0)
+        vals, idx = qp.knn_dot(rows[:2], 500)  # k clamps to N
+        assert np.asarray(idx).shape == (2, 50)
+        with pytest.raises(it.ContractError):
+            qp.knn_dot(rows[0], 3)  # 1-D rejected
+        with pytest.raises(it.ContractError):
+            QueryParallelIndex(rows, dtype=jnp.int32)
+        qp16 = QueryParallelIndex(rows, dtype=jnp.bfloat16)
+        v16, i16 = qp16.knn_dot(rows[:4], 3)
+        np.testing.assert_array_equal(np.asarray(i16)[:, 0], [0, 1, 2, 3])
+        assert qp16.memory_bytes() < qp.memory_bytes()
