@@ -41,15 +41,22 @@ def _pick_tile_n(n: int, w: int) -> int:
     return round_up(min(tile, max(n, 128)), 128)
 
 
+_W_CHUNK = 8  # sublane-aligned word chunk for the mq accumulation
+
+
 def _pick_tile_n_mq(n: int, w: int, n_q: int) -> int:
-    """Corpus tile for the multi-query kernels. Live scoped VMEM per corpus
-    lane is the word column (4w bytes) plus the (Q, W, T) broadcast-XOR
-    tile and its popcount (2 * 4 * w * n_q) — unbudgeted, this OOMs the
-    16 MB scoped-VMEM limit at Q=32 (measured on v5e)."""
+    """Corpus tile for the multi-query kernels. The kernels accumulate
+    counts over static 8-word sublane chunks, so the live scoped VMEM per
+    corpus lane is the word column (4w bytes), one (Q, 8, T) chunk
+    XOR+popcount (2 * 4 * 8 * n_q), and the (Q, T) running counts (4q) —
+    independent of Q x W. (The earlier one-shot (Q, W, T) broadcast both
+    OOMed the 16 MB scoped-VMEM limit at Q=32 unbudgeted — measured on
+    v5e — and, once budgeted, starved the tile to ~1.3K rows; the tile
+    sweep showed mq throughput rising with tile size.)"""
     budget = 8 * 1024 * 1024
-    per_lane = 4 * w * (2 * n_q + 1)
+    per_lane = 4 * (w + (2 * _W_CHUNK + 1) * n_q)
     tile = budget // max(per_lane, 1)
-    tile = max(256, min(2048, tile))
+    tile = max(256, min(8192, tile))
     return round_up(min(tile, max(n, 128)), 128)
 
 
@@ -112,15 +119,21 @@ def fused_binary_knn(q_words: jax.Array, corpus_words_t: jax.Array, k: int):
 
 def _binary_kernel_mq(n_rows, k, q_ref, words_ref, keys_out, idx_out, best_keys, best_idx):
     """Multi-query step: (Q, W, 1) queries x (1, W, T) tile -> (Q, T)
-    counts via one broadcast XOR+popcount, merged with the shared top-k."""
+    counts, accumulated over static 8-word sublane chunks so only a
+    (Q, 8, T) XOR+popcount is ever live (see ``_pick_tile_n_mq``)."""
     step = pl.program_id(0)
     n_q = q_ref.shape[0]
+    w = words_ref.shape[1]
     tile_n = words_ref.shape[2]
 
     init_topk_state(best_keys, best_idx)
 
-    x = words_ref[:] ^ q_ref[:]
-    counts = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=1)
+    counts = None
+    for w0 in range(0, w, _W_CHUNK):
+        w1 = min(w0 + _W_CHUNK, w)
+        x = words_ref[:, w0:w1, :] ^ q_ref[:, w0:w1, :]
+        chunk = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=1)
+        counts = chunk if counts is None else counts + chunk
     keys = -counts  # (Q, T); smaller Hamming = better
     keys, global_idx = masked_global_idx(step, n_q, tile_n, n_rows, keys)
     update_topk(keys, global_idx, best_keys, best_idx, k)
@@ -235,20 +248,28 @@ def _ternary_kernel_mq(
     n_rows, k, qp_ref, qn_ref, pos_ref, neg_ref, keys_out, idx_out, best_keys, best_idx
 ):
     """Multi-query ternary step: (Q, W, 1) query planes x (1, W, T) corpus
-    planes -> (Q, T) sign-agreement dots via broadcast AND/OR + popcount."""
+    planes -> (Q, T) sign-agreement dots via AND/OR + popcount, accumulated
+    over static 8-word sublane chunks (see ``_pick_tile_n_mq``)."""
     step = pl.program_id(0)
     n_q = qp_ref.shape[0]
+    w = pos_ref.shape[1]
     tile_n = pos_ref.shape[2]
 
     init_topk_state(best_keys, best_idx)
 
-    same = (pos_ref[:] & qp_ref[:]) | (neg_ref[:] & qn_ref[:])
-    diff = (pos_ref[:] & qn_ref[:]) | (neg_ref[:] & qp_ref[:])
-    dots = jnp.sum(
-        jax.lax.population_count(same).astype(jnp.int32)
-        - jax.lax.population_count(diff).astype(jnp.int32),
-        axis=1,
-    )
+    dots = None
+    for w0 in range(0, w, _W_CHUNK):
+        w1 = min(w0 + _W_CHUNK, w)
+        pos_c, neg_c = pos_ref[:, w0:w1, :], neg_ref[:, w0:w1, :]
+        qp_c, qn_c = qp_ref[:, w0:w1, :], qn_ref[:, w0:w1, :]
+        same = (pos_c & qp_c) | (neg_c & qn_c)
+        diff = (pos_c & qn_c) | (neg_c & qp_c)
+        chunk = jnp.sum(
+            jax.lax.population_count(same).astype(jnp.int32)
+            - jax.lax.population_count(diff).astype(jnp.int32),
+            axis=1,
+        )
+        dots = chunk if dots is None else dots + chunk
     keys, global_idx = masked_global_idx(step, n_q, tile_n, n_rows, dots)
     update_topk(keys, global_idx, best_keys, best_idx, k)
 
