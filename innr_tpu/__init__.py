@@ -127,7 +127,14 @@ from innr_tpu.ops.slot import (
     slot_knn_u32,
     slot_knn_u32_batch,
 )
-from innr_tpu.ops.sparse import sparse_dot, sparse_maxsim
+from innr_tpu.ops.sparse import (
+    SparseCorpus,
+    pad_sparse,
+    sparse_dot,
+    sparse_knn,
+    sparse_knn_batch,
+    sparse_maxsim,
+)
 from innr_tpu.ops.ternary import (
     PackedTernary,
     PackedTernaryBatch,

@@ -20,7 +20,15 @@ import numpy as np
 
 from innr_tpu.utils.asserts import ContractError
 
-__all__ = ["sparse_dot", "sparse_maxsim", "SENTINEL_INDEX", "pad_sparse"]
+__all__ = [
+    "sparse_dot",
+    "sparse_maxsim",
+    "SENTINEL_INDEX",
+    "pad_sparse",
+    "SparseCorpus",
+    "sparse_knn",
+    "sparse_knn_batch",
+]
 
 # Index value used for padded (inactive) entries.
 SENTINEL_INDEX = np.uint32(0xFFFFFFFF)
@@ -84,6 +92,111 @@ def pad_sparse(tokens, width: int | None = None) -> tuple[jax.Array, jax.Array]:
         idx[t, : ti.size] = ti
         val[t, : ti.size] = tv
     return jnp.asarray(idx), jnp.asarray(val)
+
+
+class SparseCorpus:
+    """N sparse documents padded rectangular: (N, L) sorted uint32 indices
+    (sentinel-padded) + (N, L) f32 values.
+
+    Corpus-scale retrieval over sparse vectors (SPLADE/BM25-style learned
+    sparse embeddings). The reference ships only the pairwise primitives
+    (``src/sparse.rs``); this is their TPU batch form: ragged docs become
+    rectangular sentinel-padded arrays (``pad_sparse``), and a scan is a
+    vectorized binary-search join of the query into every document row —
+    O(N L log Lq) fully parallel VPU work, no vocabulary-sized dense
+    scatter, so 32-bit hashed index spaces work unchanged.
+    """
+
+    def __init__(self, docs, width: int | None = None):
+        """``docs``: list of ``(indices, values)`` pairs (sorted ascending,
+        unique indices) or a pre-padded ``((N, L) idx, (N, L) val)`` tuple."""
+        if isinstance(docs, tuple) and len(docs) == 2:
+            idx = jnp.asarray(docs[0], dtype=jnp.uint32)
+            val = jnp.asarray(docs[1], dtype=jnp.float32)
+            if idx.ndim != 2 or idx.shape != val.shape:
+                raise ContractError(
+                    f"SparseCorpus: padded arrays must be matching 2-D, got "
+                    f"{idx.shape} / {val.shape}"
+                )
+        else:
+            idx, val = pad_sparse(docs, width)
+        self.indices = idx
+        self.values = val
+
+    @property
+    def num_docs(self) -> int:
+        return int(self.indices.shape[0])
+
+    @property
+    def width(self) -> int:
+        return int(self.indices.shape[1])
+
+    def memory_bytes(self) -> int:
+        return int(self.indices.size) * 8  # u32 index + f32 value per entry
+
+    def knn(self, query, k: int):
+        """Top-k largest sparse dots of one ``(indices, values)`` query."""
+        return sparse_knn(query, self, k)
+
+    def knn_batch(self, queries, k: int):
+        """Multi-query: padded ``((Q, W) idx, (Q, W) val)`` pair or list of
+        ``(indices, values)`` pairs."""
+        return sparse_knn_batch(queries, self, k)
+
+
+def _corpus_scores(q_idx, q_val, c_idx, c_val) -> jax.Array:
+    """(Lq,) query joined into every (N, L) doc row -> (N,) dots."""
+    return jax.vmap(_sparse_dot_arrays, in_axes=(None, None, 0, 0))(
+        q_idx, q_val, c_idx, c_val
+    )
+
+
+def _query_pair(query, name: str):
+    if not (isinstance(query, tuple) and len(query) == 2):
+        raise ContractError(f"{name}: query must be an (indices, values) pair")
+    return _check_pair(query[0], query[1], "query")
+
+
+def sparse_knn(query, corpus: SparseCorpus, k: int):
+    """Top-k documents by sparse dot product (descending, IEEE total
+    order). ``query``: an ``(indices, values)`` pair, indices sorted
+    ascending. Returns ``(scores, indices)`` jnp arrays.
+    """
+    q_idx, q_val = _query_pair(query, "sparse_knn")
+    n = corpus.num_docs
+    if n == 0 or k <= 0:
+        return jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32)
+    k = min(int(k), n)
+    from innr_tpu.utils.order import top_k_total
+
+    scores = _corpus_scores(q_idx, q_val, corpus.indices, corpus.values)
+    return top_k_total(scores, k, largest=True)
+
+
+def sparse_knn_batch(queries, corpus: SparseCorpus, k: int):
+    """Multi-query sparse retrieval: (Q, W) padded query pair (or a list
+    of ``(indices, values)`` pairs) -> ``(scores (Q, k), indices (Q, k))``."""
+    if isinstance(queries, tuple) and len(queries) == 2:
+        q_idx = jnp.asarray(queries[0], dtype=jnp.uint32)
+        q_val = jnp.asarray(queries[1], dtype=jnp.float32)
+        if q_idx.ndim != 2 or q_idx.shape != q_val.shape:
+            raise ContractError(
+                f"sparse_knn_batch: padded queries must be matching 2-D, "
+                f"got {q_idx.shape} / {q_val.shape}"
+            )
+    else:
+        q_idx, q_val = pad_sparse(queries)
+    n = corpus.num_docs
+    n_q = int(q_idx.shape[0])
+    if n == 0 or k <= 0:
+        return jnp.zeros((n_q, 0), jnp.float32), jnp.zeros((n_q, 0), jnp.int32)
+    k = min(int(k), n)
+    from innr_tpu.utils.order import top_k_total
+
+    scores = jax.vmap(_corpus_scores, in_axes=(0, 0, None, None))(
+        q_idx, q_val, corpus.indices, corpus.values
+    )  # (Q, N)
+    return top_k_total(scores, k, largest=True)
 
 
 def sparse_maxsim(query_tokens, doc_tokens) -> jax.Array:

@@ -32,6 +32,7 @@ from innr_tpu.parallel.sharded_packed import (  # noqa: F401
 from innr_tpu.parallel.sharded_quant import ShardedQuantizedU8  # noqa: F401
 from innr_tpu.parallel.sharded_slot import ShardedSlotCorpus  # noqa: F401
 from innr_tpu.parallel.query_parallel import QueryParallelIndex  # noqa: F401
+from innr_tpu.parallel.sharded_sparse import ShardedSparseCorpus  # noqa: F401
 from innr_tpu.parallel.sharded_maxsim import ShardedMaxSimCorpus  # noqa: F401
 from innr_tpu.parallel.sharded_pipeline import ShardedTwoStageIndex  # noqa: F401
 
@@ -42,6 +43,7 @@ __all__ = [
     "ShardedPackedTernary",
     "ShardedQuantizedU8",
     "ShardedSlotCorpus",
+    "ShardedSparseCorpus",
     "ShardedMaxSimCorpus",
     "ShardedTwoStageIndex",
     "default_mesh",

@@ -1,0 +1,155 @@
+"""Distributed retrieval over a sharded sparse (SPLADE-style) corpus.
+
+Extends the distributed kNN merge to sparse documents: the padded
+``(N, L)`` index/value arrays shard row-wise; each device joins the
+(replicated, tiny) sparse query into its document rows with the
+vectorized binary-search join and selects a local top-k by f32
+total-order key; the per-shard (key, global index) pairs merge exactly
+as in the dense family. The reference has no corpus-scale sparse search
+(``src/sparse.rs`` is pairwise only) — this is the TPU-native batch form
+distributed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from innr_tpu.ops.sparse import SparseCorpus, _corpus_scores, pad_sparse
+from innr_tpu.parallel.sharded import AXIS, _invert_total_key, default_mesh
+from innr_tpu.utils.asserts import ContractError
+from innr_tpu.utils.order import total_order_key_f32
+from innr_tpu.utils.padding import pad_axis_to, round_up
+
+__all__ = ["ShardedSparseCorpus"]
+
+_INT_MIN = jnp.iinfo(jnp.int32).min
+
+
+def _local_sparse_topk(q_idx, q_val, c_idx_shard, c_val_shard, n_total, k):
+    shard_rows = c_idx_shard.shape[0]
+    base = jax.lax.axis_index(AXIS) * shard_rows
+    scores = jax.vmap(_corpus_scores, in_axes=(0, 0, None, None))(
+        q_idx, q_val, c_idx_shard, c_val_shard
+    )  # (Q, shard)
+    keys = total_order_key_f32(scores)
+    gidx_row = base + jnp.arange(shard_rows, dtype=jnp.int32)
+    keys = jnp.where(gidx_row[None, :] < n_total, keys, _INT_MIN)
+    top_keys, tidx = jax.lax.top_k(keys, k)
+    return top_keys, gidx_row[tidx]
+
+
+@partial(jax.jit, static_argnames=("k", "k_local", "n_total", "mesh"))
+def _sharded_sparse_knn(
+    q_idx, q_val, c_idx_sharded, c_val_sharded, k: int, k_local: int,
+    n_total: int, mesh: Mesh,
+):
+    single = q_idx.ndim == 1
+    if single:
+        q_idx, q_val = q_idx[None, :], q_val[None, :]
+    local = jax.shard_map(
+        partial(_local_sparse_topk, n_total=n_total, k=k_local),
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS, None), P(AXIS, None)),
+        out_specs=(P(None, AXIS), P(None, AXIS)),
+    )
+    keys, gidx = local(q_idx, q_val, c_idx_sharded, c_val_sharded)
+    merged_keys, pos = jax.lax.top_k(keys, k)
+    idx = jnp.take_along_axis(gidx, pos, axis=1)
+    vals = _invert_total_key(merged_keys)
+    if single:
+        return vals[0], idx[0]
+    return vals, idx
+
+
+class ShardedSparseCorpus:
+    """A padded sparse document corpus sharded row-wise across a mesh."""
+
+    def __init__(self, docs, mesh: Mesh | None = None, width: int | None = None):
+        """``docs``: list of ``(indices, values)`` pairs, a pre-padded
+        ``((N, L) idx, (N, L) val)`` tuple, or a :class:`SparseCorpus`."""
+        if isinstance(docs, SparseCorpus):
+            idx, val = docs.indices, docs.values
+        elif isinstance(docs, tuple) and len(docs) == 2:
+            sc = SparseCorpus(docs)
+            idx, val = sc.indices, sc.values
+        else:
+            idx, val = pad_sparse(docs, width)
+        self.mesh = mesh if mesh is not None else default_mesh()
+        n_devices = self.mesh.devices.size
+        self.n_true = int(idx.shape[0])
+        self._width = int(idx.shape[1])
+        self.n_pad = round_up(max(self.n_true, n_devices), n_devices)
+        sharding = NamedSharding(self.mesh, P(AXIS, None))
+        # Padded doc rows are all-sentinel (value 0): they score 0.0 and
+        # are additionally masked out of the merge by the n_total guard.
+        from innr_tpu.ops.sparse import SENTINEL_INDEX
+
+        idx = pad_axis_to(idx, 0, self.n_pad, value=SENTINEL_INDEX)
+        val = pad_axis_to(val, 0, self.n_pad)
+        self.indices = jax.device_put(idx, sharding)
+        self.values = jax.device_put(val, sharding)
+
+    @property
+    def num_docs(self) -> int:
+        return self.n_true
+
+    @property
+    def width(self) -> int:
+        return self._width
+
+    def memory_bytes(self) -> int:
+        return int(self.indices.size) * 8
+
+    def _check_q(self, queries):
+        if isinstance(queries, tuple) and len(queries) == 2:
+            q_idx = jnp.asarray(queries[0], dtype=jnp.uint32)
+            q_val = jnp.asarray(queries[1], dtype=jnp.float32)
+        else:
+            q_idx, q_val = pad_sparse(queries)
+        if q_idx.shape != q_val.shape:
+            raise ContractError(
+                f"ShardedSparseCorpus: query indices/values mismatch "
+                f"({q_idx.shape} vs {q_val.shape})"
+            )
+        return q_idx, q_val
+
+    def _run(self, q_idx, q_val, k: int):
+        if k <= 0 or self.n_true == 0:
+            if q_idx.ndim == 2:
+                n_q = int(q_idx.shape[0])
+                return (
+                    jnp.zeros((n_q, 0), jnp.float32),
+                    jnp.zeros((n_q, 0), jnp.int32),
+                )
+            return jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32)
+        k = min(int(k), self.n_true)
+        k_local = min(k, self.n_pad // int(self.mesh.devices.size))
+        return _sharded_sparse_knn(
+            q_idx, q_val, self.indices, self.values, k, k_local,
+            self.n_true, self.mesh,
+        )
+
+    def knn(self, query, k: int):
+        """Distributed top-k sparse dots for one ``(indices, values)``
+        query: returns ``(scores descending, global indices)``."""
+        q_idx, q_val = self._check_q(query)
+        if q_idx.ndim != 1:
+            raise ContractError(
+                "ShardedSparseCorpus.knn: query must be a 1-D pair; use "
+                "knn_batch for batches"
+            )
+        return self._run(q_idx, q_val, k)
+
+    def knn_batch(self, queries, k: int):
+        """Multi-query distributed sparse retrieval: padded (Q, W) pair or
+        list of pairs -> ``(scores (Q, k), indices (Q, k))``."""
+        q_idx, q_val = self._check_q(queries)
+        if q_idx.ndim != 2:
+            raise ContractError(
+                "ShardedSparseCorpus.knn_batch: queries must be 2-D"
+            )
+        return self._run(q_idx, q_val, k)

@@ -540,3 +540,49 @@ class TestQueryParallel:
         v16, i16 = qp16.knn_dot(rows[:4], 3)
         np.testing.assert_array_equal(np.asarray(i16)[:, 0], [0, 1, 2, 3])
         assert qp16.memory_bytes() < qp.memory_bytes()
+
+
+class TestShardedSparse:
+    """Distributed sparse retrieval vs the single-chip SparseCorpus scan."""
+
+    def _docs(self, rng, n, vocab=2000, max_nnz=16):
+        docs = []
+        for _ in range(n):
+            nnz = int(rng.integers(1, max_nnz))
+            idx = np.sort(rng.choice(vocab, nnz, replace=False)).astype(np.uint32)
+            docs.append((idx, rng.standard_normal(nnz).astype(np.float32)))
+        return docs
+
+    def test_matches_single_chip(self, rng, devices_ok):
+        from innr_tpu.parallel import ShardedSparseCorpus
+
+        docs = self._docs(rng, 333)
+        sc = ShardedSparseCorpus(docs)
+        single = it.SparseCorpus(docs)
+        q = docs[42]
+        vals, idx = sc.knn(q, 6)
+        want_vals, want_idx = it.sparse_knn(q, single, 6)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(want_vals), rtol=1e-6
+        )
+
+    def test_batch_and_edges(self, rng, devices_ok):
+        from innr_tpu.parallel import ShardedSparseCorpus
+
+        docs = self._docs(rng, 100)
+        sc = ShardedSparseCorpus(docs)
+        single = it.SparseCorpus(docs)
+        qs = [docs[0], docs[50], docs[99]]
+        vals, idx = sc.knn_batch(qs, 5)
+        assert np.asarray(vals).shape == (3, 5)
+        for qi, q in enumerate(qs):
+            wv, wi = it.sparse_knn(q, single, 5)
+            np.testing.assert_array_equal(np.asarray(idx)[qi], np.asarray(wi))
+        v0, i0 = sc.knn(docs[0], 0)
+        assert len(np.asarray(i0)) == 0
+        v, i = sc.knn(docs[0], 1000)  # clamps to N
+        assert len(np.asarray(i)) == 100
+        with pytest.raises(it.ContractError):
+            sc.knn(qs, 3)  # batch into single-query API
+        assert sc.num_docs == 100 and sc.memory_bytes() > 0

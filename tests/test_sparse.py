@@ -130,3 +130,77 @@ class TestSparseExt:
         # (src/sparse_ext.rs:183).
         v = (np.array([0, 1], np.uint32), np.array([-2.0, -1.0], np.float32))
         assert float(se.sparse_max_weight(v)) == 0.0
+
+
+class TestSparseCorpus:
+    """Corpus-scale sparse retrieval vs a scipy-free host oracle."""
+
+    def _make_docs(self, rng, n, vocab=5000, max_nnz=24):
+        docs = []
+        for _ in range(n):
+            nnz = int(rng.integers(1, max_nnz))
+            idx = np.sort(rng.choice(vocab, nnz, replace=False)).astype(np.uint32)
+            val = rng.standard_normal(nnz).astype(np.float32)
+            docs.append((idx, val))
+        return docs
+
+    def _dense(self, pair, vocab=5000):
+        d = np.zeros(vocab, np.float64)
+        d[np.asarray(pair[0], dtype=np.int64)] = np.asarray(pair[1], np.float64)
+        return d
+
+    def test_knn_matches_dense_oracle(self, rng):
+        docs = self._make_docs(rng, 300)
+        corpus = it.SparseCorpus(docs)
+        q = docs[17]
+        scores, idx = it.sparse_knn(q, corpus, 7)
+        dq = self._dense(q)
+        ref = np.array([self._dense(d) @ dq for d in docs], np.float32)
+        want = np.argsort(-ref, kind="stable")[:7]
+        np.testing.assert_array_equal(np.asarray(idx), want)
+        np.testing.assert_allclose(np.asarray(scores), ref[want], rtol=1e-5, atol=1e-6)
+
+    def test_knn_batch(self, rng):
+        docs = self._make_docs(rng, 150)
+        corpus = it.SparseCorpus(docs)
+        queries = [docs[3], docs[60], docs[149]]
+        scores, idx = it.sparse_knn_batch(queries, corpus, 4)
+        assert np.asarray(scores).shape == (3, 4)
+        for qi, q in enumerate(queries):
+            s1, i1 = it.sparse_knn(q, corpus, 4)
+            np.testing.assert_array_equal(np.asarray(idx)[qi], np.asarray(i1))
+            np.testing.assert_allclose(
+                np.asarray(scores)[qi], np.asarray(s1), rtol=1e-6
+            )
+
+    def test_container_and_edges(self, rng):
+        docs = self._make_docs(rng, 10)
+        corpus = it.SparseCorpus(docs)
+        assert corpus.num_docs == 10
+        assert corpus.memory_bytes() == corpus.indices.size * 8
+        s, i = it.sparse_knn(docs[0], corpus, 0)
+        assert len(np.asarray(i)) == 0
+        s, i = it.sparse_knn(docs[0], corpus, 100)
+        assert len(np.asarray(i)) == 10
+        with pytest.raises(it.ContractError):
+            it.sparse_knn((docs[0][0],), corpus, 3)  # not a pair
+        with pytest.raises(it.ContractError):
+            it.sparse_knn((docs[0][0], docs[0][1][:1]), corpus, 3)  # len mismatch
+        # prepadded construction roundtrip
+        corpus2 = it.SparseCorpus((corpus.indices, corpus.values))
+        s2, i2 = it.sparse_knn(docs[0], corpus2, 3)
+        s1, i1 = it.sparse_knn(docs[0], corpus, 3)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_self_query_wins_on_positive_docs(self, rng):
+        docs = self._make_docs(rng, 50)
+        # positive values so the self dot strictly dominates is not
+        # guaranteed in general; check self is top-1 for a planted doc
+        # with large values
+        big_idx = np.sort(rng.choice(5000, 10, replace=False)).astype(np.uint32)
+        big = (big_idx, np.full(10, 10.0, np.float32))
+        docs.append(big)
+        corpus = it.SparseCorpus(docs)
+        scores, idx = it.sparse_knn(big, corpus, 1)
+        assert int(np.asarray(idx)[0]) == 50
+        np.testing.assert_allclose(float(np.asarray(scores)[0]), 1000.0, rtol=1e-6)
