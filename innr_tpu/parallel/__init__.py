@@ -33,10 +33,12 @@ from innr_tpu.parallel.sharded_quant import ShardedQuantizedU8  # noqa: F401
 from innr_tpu.parallel.sharded_slot import ShardedSlotCorpus  # noqa: F401
 from innr_tpu.parallel.query_parallel import QueryParallelIndex  # noqa: F401
 from innr_tpu.parallel.sharded_sparse import ShardedSparseCorpus  # noqa: F401
+from innr_tpu.parallel.grid import GridIndex, grid_mesh  # noqa: F401
 from innr_tpu.parallel.sharded_maxsim import ShardedMaxSimCorpus  # noqa: F401
 from innr_tpu.parallel.sharded_pipeline import ShardedTwoStageIndex  # noqa: F401
 
 __all__ = [
+    "GridIndex",
     "QueryParallelIndex",
     "ShardedCorpus",
     "ShardedPackedBinary",
@@ -47,6 +49,7 @@ __all__ = [
     "ShardedMaxSimCorpus",
     "ShardedTwoStageIndex",
     "default_mesh",
+    "grid_mesh",
     "sharded_knn_dot",
     "sharded_knn_l2",
     "sharded_knn_cosine",

@@ -586,3 +586,81 @@ class TestShardedSparse:
         with pytest.raises(it.ContractError):
             sc.knn(qs, 3)  # batch into single-query API
         assert sc.num_docs == 100 and sc.memory_bytes() > 0
+
+
+class TestGridIndex:
+    """2-D mesh (queries x shards) composition vs the single-chip scan."""
+
+    @pytest.mark.parametrize("qg,cs", [(2, 4), (4, 2), (1, 8), (8, 1)])
+    def test_dot_matches_single_chip(self, rng, devices_ok, qg, cs):
+        from innr_tpu.parallel import GridIndex, grid_mesh
+
+        rows = rng.standard_normal((500, 32)).astype(np.float32)
+        qs = rng.standard_normal((13, 32)).astype(np.float32)
+        gi = GridIndex(rows, grid_mesh(cs, qg))
+        vals, idx = gi.knn_dot(qs, 6)
+        want = it.batch_knn_dot(qs, it.VerticalBatch.from_rows(rows), 6)
+        np.testing.assert_array_equal(np.asarray(idx), want.indices)
+        np.testing.assert_allclose(np.asarray(vals), want.scores, rtol=1e-5)
+
+    @pytest.mark.parametrize("mode", ["l2", "cosine"])
+    def test_l2_cosine_match(self, rng, devices_ok, mode):
+        from innr_tpu.parallel import GridIndex, grid_mesh
+
+        rows = rng.standard_normal((400, 24)).astype(np.float32)
+        qs = rng.standard_normal((7, 24)).astype(np.float32)
+        gi = GridIndex(rows, grid_mesh(2, 4))
+        vb = it.VerticalBatch.from_rows(rows)
+        if mode == "l2":
+            vals, idx = gi.knn_l2(qs, 5)
+            want = it.batch_knn(qs, vb, 5)
+            np.testing.assert_allclose(
+                np.asarray(vals), want.scores, rtol=1e-4, atol=1e-4
+            )
+        else:
+            vals, idx = gi.knn_cosine(qs, 5)
+            want = it.batch_knn_cosine(qs, vb, 5)
+            np.testing.assert_allclose(
+                np.asarray(vals), want.scores, rtol=1e-5, atol=1e-6
+            )
+        np.testing.assert_array_equal(np.asarray(idx), want.indices)
+
+    def test_fused_local_scan_on_grid(self, rng, devices_ok, monkeypatch):
+        from innr_tpu import config
+        from innr_tpu.kernels import knn as kknn
+        from innr_tpu.parallel import GridIndex, grid_mesh
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        rows = rng.standard_normal((512, 16)).astype(np.float32)
+        qs = rng.standard_normal((8, 16)).astype(np.float32)
+        calls = []
+        real = kknn.fused_knn_keys_batch
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(kknn, "fused_knn_keys_batch", spy)
+        gi = GridIndex(rows, grid_mesh(4, 2))
+        vals, idx = gi.knn_dot(qs, 3)
+        assert calls, "fused arm not exercised on the grid"
+        want = it.batch_knn_dot(qs, it.VerticalBatch.from_rows(rows), 3)
+        np.testing.assert_array_equal(np.asarray(idx), want.indices)
+
+    def test_contracts_and_edges(self, rng, devices_ok):
+        import jax
+        from jax.sharding import Mesh
+        from innr_tpu.parallel import GridIndex, grid_mesh
+
+        rows = rng.standard_normal((40, 16)).astype(np.float32)
+        with pytest.raises(it.ContractError):
+            grid_mesh(5, 5)  # 25 > 8 devices
+        with pytest.raises(it.ContractError):
+            GridIndex(rows, Mesh(np.asarray(jax.devices()), ("x",)))
+        gi = GridIndex(rows, grid_mesh(2, 2))
+        vals, idx = gi.knn_dot(rows[:3], 0)
+        assert np.asarray(vals).shape == (3, 0)
+        vals, idx = gi.knn_dot(rows[:2], 999)
+        assert np.asarray(idx).shape == (2, 40)
+        with pytest.raises(it.ContractError):
+            gi.knn_dot(rows[0], 3)
