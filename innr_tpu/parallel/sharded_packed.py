@@ -126,6 +126,40 @@ class ShardedPackedBinary:
             _pack_bits(rows > jnp.float32(threshold)), int(rows.shape[1]), mesh
         )
 
+    @classmethod
+    def from_word_source(cls, get_words, num_vectors: int, dimension: int,
+                         mesh: Mesh | None = None) -> "ShardedPackedBinary":
+        """Stream a packed corpus in per-shard pieces without host
+        materialization: ``get_words(start, stop)`` returns packed rows
+        ``[start, stop)`` as ``(stop - start, W)`` uint32 (e.g. a memmap
+        over an ``encode_binary_host`` file). Padding bits of the last
+        word are masked here; no full-corpus host array is ever built.
+        """
+        from innr_tpu.parallel._stream import streamed_array
+
+        self = cls.__new__(cls)
+        self.mesh = mesh if mesh is not None else default_mesh()
+        n_devices = int(self.mesh.devices.size)
+        self.n_true = int(num_vectors)
+        self._dimension = int(dimension)
+        self.n_pad = round_up(max(self.n_true, n_devices), n_devices)
+        w = _num_words(dimension)
+        rem = dimension % 32
+        last_mask = np.uint32((1 << rem) - 1) if rem else np.uint32(0xFFFFFFFF)
+
+        def fetch(start, stop):
+            block = np.array(get_words(start, stop), dtype=np.uint32)
+            if block.ndim == 2 and block.shape[1] == w:
+                block[:, -1] &= last_mask
+            return block
+
+        self.words_t = streamed_array(
+            fetch, self.n_true, self.n_pad, w, np.uint32,
+            NamedSharding(self.mesh, P(None, AXIS)), column_major=True,
+            name="ShardedPackedBinary.from_word_source",
+        )
+        return self
+
     @property
     def num_vectors(self) -> int:
         return self.n_true

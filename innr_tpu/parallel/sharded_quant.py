@@ -105,6 +105,30 @@ class ShardedQuantizedU8:
         batch = QuantizedU8Batch.quantize(rows, params)
         return cls(batch.codes, params, mesh)
 
+    @classmethod
+    def from_code_source(cls, get_codes, params: QuantizationParams,
+                         num_vectors: int, dimension: int,
+                         mesh: Mesh | None = None) -> "ShardedQuantizedU8":
+        """Stream a pre-quantized corpus in per-shard pieces (no host
+        materialization): ``get_codes(start, stop)`` returns code rows
+        ``[start, stop)`` as ``(stop - start, D)`` uint8 — e.g. a memmap
+        over a ``quantize_u8_host`` file."""
+        from innr_tpu.parallel._stream import streamed_array
+        import numpy as np
+
+        self = cls.__new__(cls)
+        self.params = params
+        self.mesh = mesh if mesh is not None else default_mesh()
+        n_devices = int(self.mesh.devices.size)
+        self.n_true = int(num_vectors)
+        self.n_pad = round_up(max(self.n_true, n_devices), n_devices)
+        self.codes = streamed_array(
+            get_codes, self.n_true, self.n_pad, int(dimension), np.uint8,
+            NamedSharding(self.mesh, P(AXIS, None)), column_major=False,
+            name="ShardedQuantizedU8.from_code_source",
+        )
+        return self
+
     @property
     def num_vectors(self) -> int:
         return self.n_true

@@ -103,6 +103,30 @@ class ShardedSlotCorpus:
             sketches.T, NamedSharding(self.mesh, P(None, AXIS))
         )
 
+    @classmethod
+    def from_sketch_source(cls, get_sketches, num_sketches: int,
+                           num_slots: int, mesh: Mesh | None = None
+                           ) -> "ShardedSlotCorpus":
+        """Stream a sketch corpus in per-shard pieces (no host
+        materialization): ``get_sketches(start, stop)`` returns sketches
+        ``[start, stop)`` as ``(stop - start, S)`` uint32."""
+        from innr_tpu.parallel._stream import streamed_array
+
+        self = cls.__new__(cls)
+        self.mesh = mesh if mesh is not None else default_mesh()
+        n_devices = int(self.mesh.devices.size)
+        self.n_true = int(num_sketches)
+        self._num_slots = int(num_slots)
+        self.n_pad = round_up(max(self.n_true, n_devices), n_devices)
+        import numpy as np
+
+        self.slots_t = streamed_array(
+            get_sketches, self.n_true, self.n_pad, self._num_slots,
+            np.uint32, NamedSharding(self.mesh, P(None, AXIS)),
+            column_major=True, name="ShardedSlotCorpus.from_sketch_source",
+        )
+        return self
+
     @property
     def num_sketches(self) -> int:
         return self.n_true

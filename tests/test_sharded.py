@@ -664,3 +664,84 @@ class TestGridIndex:
         assert np.asarray(idx).shape == (2, 40)
         with pytest.raises(it.ContractError):
             gi.knn_dot(rows[0], 3)
+
+
+class TestStreamedIngestion:
+    """from_*_source streaming constructors: per-shard fetch (no host
+    materialization), results identical to the materialized containers."""
+
+    def test_binary_from_word_source(self, rng, devices_ok):
+        from innr_tpu.parallel import ShardedPackedBinary
+
+        rows = rng.standard_normal((200, 70)).astype(np.float32)  # 70 % 32 != 0
+        full = ShardedPackedBinary.encode(rows, 0.0)
+        words = np.asarray(it.encode_binary_batch(rows, 0.0))
+        calls = []
+
+        def src(start, stop):
+            calls.append((start, stop))
+            return words[start:stop] | np.uint32(0)  # copy
+
+        streamed = ShardedPackedBinary.from_word_source(src, 200, 70)
+        assert len(calls) >= 1
+        q = it.encode_binary(rows[9], 0.0)
+        c1, i1 = full.knn(q, 5)
+        c2, i2 = streamed.knn(q, 5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    def test_binary_source_padding_bits_masked(self, rng, devices_ok):
+        from innr_tpu.parallel import ShardedPackedBinary
+
+        rows = rng.standard_normal((64, 40)).astype(np.float32)
+        words = np.asarray(it.encode_binary_batch(rows, 0.0))
+        dirty = words | np.uint32(0xFFFFFF00 << 0)  # garbage beyond bit 40?
+        # set high padding bits of the last word only
+        dirty = words.copy()
+        dirty[:, -1] |= np.uint32(0xFFFFFF00)  # bits 40..63 of word 1 are padding
+        streamed = ShardedPackedBinary.from_word_source(
+            lambda a, b: dirty[a:b], 64, 40
+        )
+        q = it.encode_binary(rows[3], 0.0)
+        counts, idx = streamed.knn(q, 1)
+        assert int(np.asarray(idx)[0]) == 3 and int(np.asarray(counts)[0]) == 0
+
+    def test_slot_from_sketch_source(self, rng, devices_ok):
+        from innr_tpu.parallel import ShardedSlotCorpus
+
+        sketches = rng.integers(0, 32, (150, 24)).astype(np.uint32)
+        full = ShardedSlotCorpus(sketches)
+        streamed = ShardedSlotCorpus.from_sketch_source(
+            lambda a, b: sketches[a:b], 150, 24
+        )
+        c1, i1 = full.knn(sketches[42], 4)
+        c2, i2 = streamed.knn(sketches[42], 4)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    def test_u8_from_code_source_memmap(self, rng, devices_ok, tmp_path):
+        from innr_tpu.parallel import ShardedQuantizedU8
+
+        rows = rng.standard_normal((180, 48)).astype(np.float32)
+        params = it.QuantizationParams.fit(rows)
+        batch = it.QuantizedU8Batch.quantize(rows, params)
+        codes = np.asarray(batch.codes)
+        path = tmp_path / "codes.bin"
+        codes.tofile(path)
+        mm = np.memmap(path, dtype=np.uint8, mode="r", shape=codes.shape)
+        streamed = ShardedQuantizedU8.from_code_source(
+            lambda a, b: mm[a:b], params, 180, 48
+        )
+        full = ShardedQuantizedU8(codes, params)
+        v1, i1 = full.knn(rows[:3], 5)
+        v2, i2 = streamed.knn(rows[:3], 5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+    def test_bad_source_shape_raises(self, rng, devices_ok):
+        from innr_tpu.parallel import ShardedSlotCorpus
+
+        with pytest.raises(it.ContractError):
+            ShardedSlotCorpus.from_sketch_source(
+                lambda a, b: np.zeros((b - a, 99), np.uint32), 64, 24
+            ).knn(np.zeros(24, np.uint32), 1)
