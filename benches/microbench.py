@@ -129,6 +129,30 @@ def main():
     t = timed(lambda: np.asarray(kpacked.fused_binary_knn(qw1, wt, 10)[0]))
     print(f"{'fused_binary_knn':24s} {768:>6} {t/nn*1e9:>10.2f} {768/(t/nn)/1e9:>9.2f}")
 
+    # fused slot-sketch retrieval (single + 16-query) at the sketch width
+    from innr_tpu.kernels import slot_knn as kslot
+
+    st = jnp.asarray(rng.integers(0, 2**31, (128, nn), dtype=np.uint32))
+    qs1 = jnp.asarray(rng.integers(0, 2**31, 128, dtype=np.uint32))
+    qs16 = jnp.asarray(rng.integers(0, 2**31, (16, 128), dtype=np.uint32))
+    t = timed(lambda: np.asarray(kslot.fused_slot_knn(qs1, st, 10)[0]))
+    print(f"{'fused_slot_knn':24s} {128:>6} {t/nn*1e9:>10.2f} {128/(t/nn)/1e9:>9.2f}")
+    t = timed(lambda: np.asarray(kslot.fused_slot_knn_batch(qs16, st, 10)[0]))
+    per = t / (nn * 16)
+    print(f"{'fused_slot_knn(16q)':24s} {128:>6} {per*1e9:>10.2f} {128/per/1e9:>9.2f}")
+
+    # sparse retrieval at a SPLADE-ish shape (32 nnz docs, 64 nnz query)
+    n_docs = max(n, 4096)
+    d_idx = np.sort(
+        rng.integers(0, 30000, (n_docs, 32), dtype=np.uint32), axis=1
+    )
+    d_val = rng.standard_normal((n_docs, 32)).astype(np.float32)
+    corpus = it.SparseCorpus((d_idx, d_val))
+    q_idx = np.sort(rng.choice(30000, 64, replace=False)).astype(np.uint32)
+    q_val = rng.standard_normal(64).astype(np.float32)
+    t = timed(lambda: np.asarray(it.sparse_knn((q_idx, q_val), corpus, 10)[0]))
+    print(f"{'sparse_knn(32nnz)':24s} {'-':>6} {t/n_docs*1e9:>10.2f} {'':>9}")
+
 
 if __name__ == "__main__":
     main()

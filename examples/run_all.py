@@ -18,6 +18,7 @@ EXAMPLES = [
     "maxsim_colbert",
     "fast_math_demo",
     "minhash_dedup",
+    "sparse_retrieval",
     "sharded_search",
     "two_stage_pipeline",
     "serving_demo",

@@ -15,6 +15,8 @@ import numpy as np
 from innr_tpu.batch import VerticalBatch
 from innr_tpu.ops.binary import PackedBinary, PackedBinaryBatch
 from innr_tpu.ops.scalar import QuantizationParams, QuantizedU8Batch
+from innr_tpu.ops.slot import SketchCorpus
+from innr_tpu.ops.sparse import SparseCorpus
 from innr_tpu.ops.ternary import PackedTernary, PackedTernaryBatch
 from innr_tpu.utils.asserts import ContractError
 
@@ -27,6 +29,8 @@ _KINDS = {
     "PackedTernary",
     "PackedTernaryBatch",
     "QuantizedU8Batch",
+    "SketchCorpus",
+    "SparseCorpus",
 }
 
 
@@ -73,6 +77,15 @@ def save_npz(path: str, obj) -> None:
         )
     elif isinstance(obj, QuantizedU8Batch):
         np.savez(path, kind="QuantizedU8Batch", codes=np.asarray(obj.codes))
+    elif isinstance(obj, SketchCorpus):
+        np.savez(path, kind="SketchCorpus", sketches=np.asarray(obj.sketches))
+    elif isinstance(obj, SparseCorpus):
+        np.savez(
+            path,
+            kind="SparseCorpus",
+            indices=np.asarray(obj.indices),
+            values=np.asarray(obj.values),
+        )
     else:
         raise ContractError(f"save_npz: unsupported container {type(obj).__name__}")
 
@@ -105,4 +118,8 @@ def load_npz(path: str):
             return PackedTernary(z["pos"], z["neg"], int(z["dimension"]))
         if kind == "PackedTernaryBatch":
             return PackedTernaryBatch(z["pos"], z["neg"], int(z["dimension"]))
+        if kind == "SketchCorpus":
+            return SketchCorpus(z["sketches"])
+        if kind == "SparseCorpus":
+            return SparseCorpus((z["indices"], z["values"]))
         return QuantizedU8Batch(z["codes"])

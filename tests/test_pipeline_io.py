@@ -220,3 +220,37 @@ class TestBf16Roundtrip:
         vb2 = load_npz(p)
         assert vb2.rows.dtype == jnp.bfloat16
         assert bool(jnp.all(vb2.rows == vb.rows))
+
+
+class TestNewContainerPersistence:
+    def test_sketch_corpus_roundtrip(self, rng, tmp_path):
+        from innr_tpu.io import load_npz, save_npz
+
+        sketches = rng.integers(0, 100, (40, 16)).astype(np.uint32)
+        corpus = it.SketchCorpus(sketches)
+        p = str(tmp_path / "sk.npz")
+        save_npz(p, corpus)
+        loaded = load_npz(p)
+        assert isinstance(loaded, it.SketchCorpus)
+        np.testing.assert_array_equal(np.asarray(loaded.sketches), sketches)
+        c1, i1 = it.slot_knn_u32(sketches[7], corpus, 3)
+        c2, i2 = it.slot_knn_u32(sketches[7], loaded, 3)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_sparse_corpus_roundtrip(self, rng, tmp_path):
+        from innr_tpu.io import load_npz, save_npz
+
+        docs = []
+        for _ in range(30):
+            nnz = int(rng.integers(1, 12))
+            idx = np.sort(rng.choice(500, nnz, replace=False)).astype(np.uint32)
+            docs.append((idx, rng.standard_normal(nnz).astype(np.float32)))
+        corpus = it.SparseCorpus(docs)
+        p = str(tmp_path / "sp.npz")
+        save_npz(p, corpus)
+        loaded = load_npz(p)
+        assert isinstance(loaded, it.SparseCorpus)
+        s1, i1 = it.sparse_knn(docs[3], corpus, 4)
+        s2, i2 = it.sparse_knn(docs[3], loaded, 4)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
