@@ -225,3 +225,106 @@ class TestRound2Properties:
             for j, i in enumerate(idx[b]):
                 want = float(it.maxsim(qs[b], docs[int(i)]))
                 assert abs(vals[b][j] - want) <= 1e-3 + 1e-4 * abs(want)
+
+
+class TestSlotSparseRetrievalProperties:
+    """Hypothesis properties for the round-2 retrieval families."""
+
+    @given(st.integers(1, 40), st.integers(1, 24), st.integers(1, 10), st.data())
+    @settings(max_examples=40, deadline=None)
+    def test_slot_knn_matches_stable_argsort(self, n, s, k, data):
+        sketches = np.asarray(
+            data.draw(
+                st.lists(
+                    st.lists(st.integers(0, 7), min_size=s, max_size=s),
+                    min_size=n, max_size=n,
+                )
+            ),
+            dtype=np.uint32,
+        )
+        q = sketches[data.draw(st.integers(0, n - 1))]
+        counts, idx = it.slot_knn_u32(q, it.SketchCorpus(sketches), k)
+        ref_counts = np.sum(sketches != q[None, :], axis=1)
+        want = np.argsort(ref_counts, kind="stable")[: min(k, n)]
+        np.testing.assert_array_equal(np.asarray(idx), want)
+        np.testing.assert_array_equal(np.asarray(counts), ref_counts[want])
+
+    @given(st.integers(1, 25), st.integers(0, 12), st.data())
+    @settings(max_examples=40, deadline=None)
+    def test_sparse_knn_matches_dense_scatter(self, n_docs, q_nnz, data):
+        vocab = 64
+        docs = []
+        for _ in range(n_docs):
+            nnz = data.draw(st.integers(1, 12))
+            idx = np.sort(
+                np.random.default_rng(data.draw(st.integers(0, 10**6)))
+                .choice(vocab, nnz, replace=False)
+            ).astype(np.uint32)
+            val = np.asarray(
+                data.draw(
+                    st.lists(
+                        st.floats(-8, 8, width=32), min_size=nnz, max_size=nnz
+                    )
+                ),
+                np.float32,
+            )
+            docs.append((idx, val))
+        if q_nnz == 0:
+            q = (np.zeros(0, np.uint32), np.zeros(0, np.float32))
+        else:
+            qi = np.sort(
+                np.random.default_rng(data.draw(st.integers(0, 10**6)))
+                .choice(vocab, q_nnz, replace=False)
+            ).astype(np.uint32)
+            qv = np.asarray(
+                data.draw(
+                    st.lists(
+                        st.floats(-8, 8, width=32), min_size=q_nnz,
+                        max_size=q_nnz,
+                    )
+                ),
+                np.float32,
+            )
+            q = (qi, qv)
+        corpus = it.SparseCorpus(docs)
+        scores, idx = it.sparse_knn(q, corpus, 5)
+        dq = np.zeros(vocab, np.float64)
+        if q[0].size:
+            dq[q[0].astype(np.int64)] = q[1].astype(np.float64)
+        ref_scores = np.empty(n_docs, np.float32)
+        for di, (i_, v_) in enumerate(docs):
+            dd = np.zeros(vocab, np.float64)
+            dd[i_.astype(np.int64)] = v_.astype(np.float64)
+            ref_scores[di] = np.float32(dd @ dq)
+        want = np.argsort(-ref_scores, kind="stable")[: min(5, n_docs)]
+        got = np.asarray(idx)
+        # indices may differ only where scores tie exactly
+        np.testing.assert_allclose(
+            np.asarray(scores), ref_scores[want], rtol=1e-5, atol=1e-5
+        )
+
+    @given(st.integers(2, 16), st.integers(1, 6), st.data())
+    @settings(max_examples=30, deadline=None)
+    def test_minhash_knn_batch_rows_independent(self, n, n_q, data):
+        s = 16
+        sketches = np.asarray(
+            data.draw(
+                st.lists(
+                    st.lists(st.integers(0, 3), min_size=s, max_size=s),
+                    min_size=n, max_size=n,
+                )
+            ),
+            dtype=np.uint32,
+        )
+        corpus = it.SketchCorpus(sketches)
+        q_rows = [data.draw(st.integers(0, n - 1)) for _ in range(n_q)]
+        qs = sketches[q_rows]
+        sims_b, idx_b = it.minhash_knn_batch(qs, corpus, 3)
+        for r in range(n_q):
+            sims_1, idx_1 = it.minhash_knn(qs[r], corpus, 3)
+            np.testing.assert_array_equal(
+                np.asarray(idx_b)[r], np.asarray(idx_1)
+            )
+            np.testing.assert_allclose(
+                np.asarray(sims_b)[r], np.asarray(sims_1)
+            )

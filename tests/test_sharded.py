@@ -745,3 +745,20 @@ class TestStreamedIngestion:
             ShardedSlotCorpus.from_sketch_source(
                 lambda a, b: np.zeros((b - a, 99), np.uint32), 64, 24
             ).knn(np.zeros(24, np.uint32), 1)
+
+
+class TestGridBf16:
+    def test_bf16_grid(self, rng, devices_ok):
+        import jax.numpy as jnp
+        from innr_tpu.parallel import GridIndex, grid_mesh
+
+        rows = rng.standard_normal((300, 32)).astype(np.float32)
+        gi16 = GridIndex(rows, grid_mesh(2, 4), dtype=jnp.bfloat16)
+        gi32 = GridIndex(rows, grid_mesh(2, 4))
+        v16, i16 = gi16.knn_dot(rows[:5], 4)
+        v32, i32 = gi32.knn_dot(rows[:5], 4)
+        np.testing.assert_array_equal(np.asarray(i16)[:, 0], np.arange(5))
+        np.testing.assert_allclose(
+            np.asarray(v16), np.asarray(v32), rtol=3e-2, atol=3e-2
+        )
+        assert gi16.memory_bytes() < gi32.memory_bytes()
