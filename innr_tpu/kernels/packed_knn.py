@@ -44,17 +44,18 @@ def _pick_tile_n(n: int, w: int) -> int:
 _W_CHUNK = 8  # sublane-aligned word chunk for the mq accumulation
 
 
-def _pick_tile_n_mq(n: int, w: int, n_q: int) -> int:
+def _pick_tile_n_mq(n: int, w: int, n_q: int, n_live: int = 2) -> int:
     """Corpus tile for the multi-query kernels. The kernels accumulate
     counts over static 8-word sublane chunks, so the live scoped VMEM per
-    corpus lane is the word column (4w bytes), one (Q, 8, T) chunk
-    XOR+popcount (2 * 4 * 8 * n_q), and the (Q, T) running counts (4q) —
+    corpus lane is the word column (4w bytes), ``n_live`` (Q, 8, T) chunk
+    intermediates (binary: XOR + its popcount = 2; ternary: same/diff
+    planes + two popcounts = 4), and the (Q, T) running counts (4q) —
     independent of Q x W. (The earlier one-shot (Q, W, T) broadcast both
     OOMed the 16 MB scoped-VMEM limit at Q=32 unbudgeted — measured on
     v5e — and, once budgeted, starved the tile to ~1.3K rows; the tile
     sweep showed mq throughput rising with tile size.)"""
     budget = 8 * 1024 * 1024
-    per_lane = 4 * (w + (2 * _W_CHUNK + 1) * n_q)
+    per_lane = 4 * (w + (n_live * _W_CHUNK + 1) * n_q)
     tile = budget // max(per_lane, 1)
     tile = max(256, min(8192, tile))
     return round_up(min(tile, max(n, 128)), 128)
@@ -288,7 +289,7 @@ def fused_ternary_knn_batch(
     """
     n_q, w = qpos.shape
     _, n = pos_t.shape
-    tile_n = _pick_tile_n_mq(n, 2 * w, n_q)
+    tile_n = _pick_tile_n_mq(n, 2 * w, n_q, n_live=4)
     k_pad = round_up(k, _K_LANE)
     grid = ((n + tile_n - 1) // tile_n,)
     pos_p, neg_p = pos_t, neg_t

@@ -199,7 +199,9 @@ class SketchCorpus:
         return int(self.sketches.shape[1])
 
     def memory_bytes(self) -> int:
-        return int(self.sketches.size) * 4
+        # Both the row-major sketches and the cached slot-major transpose
+        # live on device — report the true footprint (8 bytes/slot).
+        return int(self.sketches.size) * 8
 
 
 def _slot_corpus(corpus):
@@ -233,6 +235,11 @@ def slot_knn_u32(query, corpus, k: int):
     ``(counts ascending, indices)`` as jnp arrays.
     """
     query = jnp.asarray(query, dtype=jnp.uint32)
+    if query.ndim != 1:
+        raise ContractError(
+            "slot_knn_u32: query must be 1-D (S,); use slot_knn_u32_batch "
+            "for (Q, S) batches"
+        )
     sketches, slots_t = _slot_corpus(corpus)
     _check_len(query, sketches, "slot_knn_u32")
     n = int(sketches.shape[0])

@@ -94,6 +94,32 @@ def pad_sparse(tokens, width: int | None = None) -> tuple[jax.Array, jax.Array]:
     return jnp.asarray(idx), jnp.asarray(val)
 
 
+def _as_padded_pair(obj):
+    """Return ``(idx, val)`` if ``obj`` is a genuinely pre-padded
+    ``((N, L) idx, (N, L) val)`` tuple, else ``None``.
+
+    Disambiguation matters: a tuple of exactly two ``(indices, values)``
+    document pairs must NOT be misread as a padded pair (each element is
+    itself a pair, not a 2-D array) — it falls through to the doc-list
+    path instead of silently producing garbage.
+    """
+    if not (isinstance(obj, tuple) and len(obj) == 2):
+        return None
+    a, b = obj
+    if isinstance(a, (tuple, list)) or isinstance(b, (tuple, list)):
+        return None  # elements are themselves pairs -> a 2-doc list
+    idx = jnp.asarray(a)
+    val = jnp.asarray(b)
+    if idx.ndim != 2:
+        return None
+    if idx.shape != val.shape:
+        raise ContractError(
+            f"sparse corpus/queries: padded arrays must be matching 2-D, "
+            f"got {idx.shape} / {val.shape}"
+        )
+    return jnp.asarray(idx, dtype=jnp.uint32), jnp.asarray(val, dtype=jnp.float32)
+
+
 class SparseCorpus:
     """N sparse documents padded rectangular: (N, L) sorted uint32 indices
     (sentinel-padded) + (N, L) f32 values.
@@ -110,14 +136,9 @@ class SparseCorpus:
     def __init__(self, docs, width: int | None = None):
         """``docs``: list of ``(indices, values)`` pairs (sorted ascending,
         unique indices) or a pre-padded ``((N, L) idx, (N, L) val)`` tuple."""
-        if isinstance(docs, tuple) and len(docs) == 2:
-            idx = jnp.asarray(docs[0], dtype=jnp.uint32)
-            val = jnp.asarray(docs[1], dtype=jnp.float32)
-            if idx.ndim != 2 or idx.shape != val.shape:
-                raise ContractError(
-                    f"SparseCorpus: padded arrays must be matching 2-D, got "
-                    f"{idx.shape} / {val.shape}"
-                )
+        pair = _as_padded_pair(docs)
+        if pair is not None:
+            idx, val = pair
         else:
             idx, val = pad_sparse(docs, width)
         self.indices = idx
@@ -176,14 +197,9 @@ def sparse_knn(query, corpus: SparseCorpus, k: int):
 def sparse_knn_batch(queries, corpus: SparseCorpus, k: int):
     """Multi-query sparse retrieval: (Q, W) padded query pair (or a list
     of ``(indices, values)`` pairs) -> ``(scores (Q, k), indices (Q, k))``."""
-    if isinstance(queries, tuple) and len(queries) == 2:
-        q_idx = jnp.asarray(queries[0], dtype=jnp.uint32)
-        q_val = jnp.asarray(queries[1], dtype=jnp.float32)
-        if q_idx.ndim != 2 or q_idx.shape != q_val.shape:
-            raise ContractError(
-                f"sparse_knn_batch: padded queries must be matching 2-D, "
-                f"got {q_idx.shape} / {q_val.shape}"
-            )
+    pair = _as_padded_pair(queries)
+    if pair is not None:
+        q_idx, q_val = pair
     else:
         q_idx, q_val = pad_sparse(queries)
     n = corpus.num_docs

@@ -35,7 +35,10 @@ def streamed_array(
         sl = index[1] if column_major else index[0]
         start = sl.start or 0
         stop = sl.stop if sl.stop is not None else n_pad
-        real_stop = min(stop, n_true)
+        # Clamp below by start: a wholly-padded shard (start >= n_true,
+        # possible whenever the pad count reaches a full shard) must fetch
+        # zero rows, not a negative count.
+        real_stop = max(start, min(stop, n_true))
         if real_stop > start:
             block = np.asarray(get_rows(start, real_stop), dtype=np_dtype)
         else:

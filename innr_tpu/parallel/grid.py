@@ -26,14 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from innr_tpu.parallel.sharded import _invert_total_key
+from innr_tpu.parallel._scan import decode_keys, local_scan_keys
 from innr_tpu.utils.asserts import ContractError
-from innr_tpu.utils.order import total_order_key_f32
 from innr_tpu.utils.padding import pad_axis_to, round_up
 
 __all__ = ["GridIndex", "grid_mesh"]
-
-_INT_MIN = jnp.iinfo(jnp.int32).min
 
 CORPUS_AXIS = "shards"
 QUERY_AXIS = "queries"
@@ -53,38 +50,12 @@ def grid_mesh(corpus_shards: int, query_shards: int, devices=None) -> Mesh:
 
 
 def _local_grid_topk(qs_block, rows_shard, aux_shard, n_total, k, mode, use_fused):
-    """Per-device body: this device's query slice x corpus shard."""
-    shard_rows = rows_shard.shape[0]
-    base = jax.lax.axis_index(CORPUS_AXIS) * shard_rows
-
-    if use_fused:
-        from innr_tpu.kernels.knn import fused_knn_keys_batch
-
-        keys, lidx = fused_knn_keys_batch(qs_block, rows_shard, aux_shard, k, mode)
-        gidx = base + lidx
-        keys = jnp.where(gidx < n_total, keys, _INT_MIN)
-        return keys, gidx
-
-    from innr_tpu import config
-
-    if mode == "l2":
-        d = rows_shard[None, :, :].astype(jnp.float32) - qs_block[:, None, :]
-        scores = jnp.sum(d * d, axis=2)
-    else:
-        scores = jnp.matmul(
-            qs_block, rows_shard.T.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-            precision=config.matmul_precision(),
-        )
-        if mode == "cosine":
-            scores = scores * aux_shard[None, :]
-    keys = total_order_key_f32(scores)
-    if mode == "l2":
-        keys = ~keys
-    gidx_row = base + jnp.arange(shard_rows, dtype=jnp.int32)
-    keys = jnp.where(gidx_row[None, :] < n_total, keys, _INT_MIN)
-    top_keys, tidx = jax.lax.top_k(keys, k)
-    return top_keys, gidx_row[tidx]
+    """Per-device body: this device's query slice x corpus shard. Shared
+    body: :func:`innr_tpu.parallel._scan.local_scan_keys`."""
+    base = jax.lax.axis_index(CORPUS_AXIS) * rows_shard.shape[0]
+    return local_scan_keys(
+        qs_block, rows_shard, aux_shard, n_total, k, mode, use_fused, base
+    )
 
 
 @partial(
@@ -118,12 +89,7 @@ def _grid_knn(
     keys, gidx = local(*args)  # (Q_pad, corpus_shards * k_local)
     merged_keys, pos = jax.lax.top_k(keys, k)
     idx = jnp.take_along_axis(gidx, pos, axis=1)
-    if mode == "l2":
-        merged_keys = ~merged_keys
-    vals = _invert_total_key(merged_keys)
-    if mode == "l2" and use_fused:
-        qq = jnp.sum(qs_sharded * qs_sharded, axis=1, keepdims=True)
-        vals = jnp.maximum(vals + qq, 0.0)
+    vals = decode_keys(merged_keys, mode, use_fused, qs_sharded)
     return vals, idx
 
 

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from innr_tpu.parallel._scan import decode_keys, local_scan_keys
 from innr_tpu.parallel.sharded import AXIS, default_mesh
 from innr_tpu.utils.asserts import ContractError
 from innr_tpu.utils.padding import pad_axis_to, round_up
@@ -32,37 +33,14 @@ __all__ = ["QueryParallelIndex"]
 
 def _local_scan(qs, rows, norms2, inv_norms, k, mode, use_fused):
     """Per-device body: this device's (Qs, D) query slice against the full
-    replicated corpus — the single-chip fused path, unchanged."""
-    if use_fused:
-        from innr_tpu.kernels.knn import fused_knn_keys_batch
-
-        aux = {"dot": None, "l2": norms2, "cosine": inv_norms}[mode]
-        from innr_tpu.kernels.knn import _invert_total_key
-
-        keys, idx = fused_knn_keys_batch(qs, rows, aux, k, mode)
-        if mode == "l2":
-            keys = ~keys
-        vals = _invert_total_key(keys)
-        if mode == "l2":
-            qq = jnp.sum(qs * qs, axis=1, keepdims=True)
-            vals = jnp.maximum(vals + qq, 0.0)
-        return vals, idx
-
-    from innr_tpu import config
-    from innr_tpu.utils.order import top_k_total
-
-    if mode == "l2":
-        d = rows[None, :, :].astype(jnp.float32) - qs[:, None, :]
-        scores = jnp.sum(d * d, axis=2)
-        return top_k_total(scores, k, largest=False)
-    scores = jnp.matmul(
-        qs, rows.T.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-        precision=config.matmul_precision(),
+    replicated corpus. Shared scan body
+    (:func:`innr_tpu.parallel._scan.local_scan_keys`) with base 0 and no
+    padded rows; keys decode locally since there is no merge step."""
+    aux = {"dot": None, "l2": norms2, "cosine": inv_norms}[mode]
+    keys, idx = local_scan_keys(
+        qs, rows, aux, rows.shape[0], k, mode, use_fused, base=0
     )
-    if mode == "cosine":
-        scores = scores * inv_norms[None, :]
-    return top_k_total(scores, k, largest=True)
+    return decode_keys(keys, mode, use_fused, qs), idx
 
 
 @partial(jax.jit, static_argnames=("k", "mode", "mesh", "use_fused"))
@@ -95,11 +73,30 @@ class QueryParallelIndex:
         self.mesh = mesh if mesh is not None else default_mesh()
         replicated = NamedSharding(self.mesh, P())
         self.rows = jax.device_put(rows, replicated)
-        r = rows.astype(jnp.float32)
-        from innr_tpu.kernels.knn import inv_norms
+        self._norms2 = None
+        self._inv_norms = None
 
-        self._norms2 = jax.device_put(jnp.sum(r * r, axis=1), replicated)
-        self._inv_norms = jax.device_put(inv_norms(rows), replicated)
+    def _aux_norms2(self):
+        """Lazy replicated per-row squared norms (the family's _aux
+        pattern): dot-only workloads never pay the reduction or the
+        replicated HBM."""
+        if self._norms2 is None:
+            r = self.rows.astype(jnp.float32)
+            self._norms2 = jax.device_put(
+                jax.jit(lambda x: jnp.sum(x * x, axis=1))(r),
+                NamedSharding(self.mesh, P()),
+            )
+        return self._norms2
+
+    def _aux_inv_norms(self):
+        if self._inv_norms is None:
+            from innr_tpu.kernels.knn import inv_norms
+
+            self._inv_norms = jax.device_put(
+                jax.jit(inv_norms)(self.rows),
+                NamedSharding(self.mesh, P()),
+            )
+        return self._inv_norms
 
     @property
     def num_vectors(self) -> int:
@@ -110,11 +107,13 @@ class QueryParallelIndex:
         return int(self.rows.shape[1])
 
     def memory_bytes(self) -> int:
-        # Per-device replica footprint (rows + cached norm streams).
+        # Per-device replica footprint (rows + any materialized norm cache).
         itemsize = 2 if self.rows.dtype == jnp.bfloat16 else 4
-        return int(self.rows.size) * itemsize + int(
-            self._norms2.size + self._inv_norms.size
-        ) * 4
+        total = int(self.rows.size) * itemsize
+        for aux in (self._norms2, self._inv_norms):
+            if aux is not None:
+                total += int(aux.size) * 4
+        return total
 
     def _run(self, queries, k: int, mode: str, op: str):
         qs = jnp.asarray(queries, dtype=jnp.float32)
@@ -148,9 +147,13 @@ class QueryParallelIndex:
             and n >= config.MIN_ROWS_PALLAS
             and k <= 512
         )
+        # Only the mode's aux stream is materialized; the other leg gets a
+        # tiny dummy (the static mode branch never traces a use of it).
+        dummy = jnp.zeros((1,), jnp.float32)
+        norms2 = self._aux_norms2() if mode == "l2" else dummy
+        inv = self._aux_inv_norms() if mode == "cosine" else dummy
         vals, idx = _qp_knn(
-            qs_sharded, self.rows, self._norms2, self._inv_norms, k, mode,
-            self.mesh, use_fused,
+            qs_sharded, self.rows, norms2, inv, k, mode, self.mesh, use_fused,
         )
         return vals[:n_q], idx[:n_q]
 

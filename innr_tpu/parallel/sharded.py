@@ -55,11 +55,11 @@ def default_mesh(devices=None) -> Mesh:
     return Mesh(devices.reshape(-1), (AXIS,))
 
 
-def _invert_total_key(keys: jax.Array) -> jax.Array:
-    mask = jax.lax.shift_right_logical(
-        jax.lax.shift_right_arithmetic(keys, 31), 1
-    )
-    return jax.lax.bitcast_convert_type(keys ^ mask, jnp.float32)
+from innr_tpu.parallel._scan import (
+    _invert_total_key,
+    decode_keys,
+    local_scan_keys,
+)
 
 
 def _local_topk(qs, rows_shard, aux_shard, n_total, k, mode, use_fused):
@@ -67,40 +67,12 @@ def _local_topk(qs, rows_shard, aux_shard, n_total, k, mode, use_fused):
     local top-k raw total-order keys (larger = better, every mode) with
     global indices; padded rows masked out. ``aux_shard``: per-row squared
     norms (l2) / guarded inverse norms (cosine), precomputed once per
-    corpus and sharded alongside the rows."""
-    shard_rows = rows_shard.shape[0]
-    base = jax.lax.axis_index(AXIS) * shard_rows
-
-    if use_fused:
-        from innr_tpu.kernels.knn import fused_knn_keys_batch
-
-        keys, lidx = fused_knn_keys_batch(qs, rows_shard, aux_shard, k, mode)
-        gidx = base + lidx
-        keys = jnp.where(gidx < n_total, keys, _INT_MIN)
-        return keys, gidx
-
-    from innr_tpu import config
-
-    if mode == "l2":
-        d = rows_shard[None, :, :].astype(jnp.float32) - qs[:, None, :]
-        scores = jnp.sum(d * d, axis=2)
-    else:
-        scores = jnp.matmul(
-            qs, rows_shard.T.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-            precision=config.matmul_precision(),
-        )
-        if mode == "cosine":
-            # Queries arrive pre-normalized; scale by per-row inverse norms
-            # (zero-norm rows score exactly 0.0, the reference guard).
-            scores = scores * aux_shard[None, :]
-    keys = total_order_key_f32(scores)  # (Q, shard)
-    if mode == "l2":
-        keys = ~keys  # smaller distance = better
-    gidx_row = base + jnp.arange(shard_rows, dtype=jnp.int32)
-    keys = jnp.where(gidx_row[None, :] < n_total, keys, _INT_MIN)
-    top_keys, tidx = jax.lax.top_k(keys, k)  # (Q, k)
-    return top_keys, gidx_row[tidx]
+    corpus and sharded alongside the rows. Shared body:
+    :func:`innr_tpu.parallel._scan.local_scan_keys`."""
+    base = jax.lax.axis_index(AXIS) * rows_shard.shape[0]
+    return local_scan_keys(
+        qs, rows_shard, aux_shard, n_total, k, mode, use_fused, base
+    )
 
 
 @partial(
@@ -136,15 +108,7 @@ def _sharded_knn(
     # Final merge over the gathered candidates (tiny).
     merged_keys, pos = jax.lax.top_k(keys, k)
     idx = jnp.take_along_axis(gidx, pos, axis=1)
-    if mode == "l2":
-        merged_keys = ~merged_keys
-    vals = _invert_total_key(merged_keys)
-    if mode == "l2" and use_fused:
-        # Fused L2 scores come from the MXU decomposition without the
-        # per-query ||q||^2 shift (monotone; cannot change selection).
-        # Add it back and clamp at zero like the single-chip path.
-        qq = jnp.sum(qs * qs, axis=1, keepdims=True)
-        vals = jnp.maximum(vals + qq, 0.0)
+    vals = decode_keys(merged_keys, mode, use_fused, qs)
     if single:
         return vals[0], idx[0]
     return vals, idx

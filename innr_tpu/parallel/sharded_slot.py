@@ -167,7 +167,13 @@ class ShardedSlotCorpus:
     def knn(self, query, k: int):
         """Distributed top-k smallest differing-slot counts for one (S,)
         sketch: returns ``(counts ascending, global indices)``."""
-        return self._run(self._check_q(query, "knn"), k)
+        q = self._check_q(query, "knn")
+        if q.ndim != 1:
+            raise ContractError(
+                "ShardedSlotCorpus.knn: query must be 1-D (S,); use "
+                "knn_batch for (Q, S) batches"
+            )
+        return self._run(q, k)
 
     def knn_batch(self, queries, k: int):
         """Multi-query distributed slot kNN: (Q, S) sketches ->

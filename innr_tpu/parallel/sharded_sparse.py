@@ -73,11 +73,9 @@ class ShardedSparseCorpus:
         ``((N, L) idx, (N, L) val)`` tuple, or a :class:`SparseCorpus`."""
         if isinstance(docs, SparseCorpus):
             idx, val = docs.indices, docs.values
-        elif isinstance(docs, tuple) and len(docs) == 2:
-            sc = SparseCorpus(docs)
-            idx, val = sc.indices, sc.values
         else:
-            idx, val = pad_sparse(docs, width)
+            sc = SparseCorpus(docs, width)  # handles pairs/lists/padded
+            idx, val = sc.indices, sc.values
         self.mesh = mesh if mesh is not None else default_mesh()
         n_devices = self.mesh.devices.size
         self.n_true = int(idx.shape[0])
@@ -105,17 +103,24 @@ class ShardedSparseCorpus:
         return int(self.indices.size) * 8
 
     def _check_q(self, queries):
-        if isinstance(queries, tuple) and len(queries) == 2:
+        from innr_tpu.ops.sparse import _as_padded_pair
+
+        pair = _as_padded_pair(queries)
+        if pair is not None:
+            return pair
+        if isinstance(queries, tuple) and len(queries) == 2 and not isinstance(
+            queries[0], (tuple, list)
+        ):
+            # single 1-D (indices, values) query
             q_idx = jnp.asarray(queries[0], dtype=jnp.uint32)
             q_val = jnp.asarray(queries[1], dtype=jnp.float32)
-        else:
-            q_idx, q_val = pad_sparse(queries)
-        if q_idx.shape != q_val.shape:
-            raise ContractError(
-                f"ShardedSparseCorpus: query indices/values mismatch "
-                f"({q_idx.shape} vs {q_val.shape})"
-            )
-        return q_idx, q_val
+            if q_idx.shape != q_val.shape:
+                raise ContractError(
+                    f"ShardedSparseCorpus: query indices/values mismatch "
+                    f"({q_idx.shape} vs {q_val.shape})"
+                )
+            return q_idx, q_val
+        return pad_sparse(queries)
 
     def _run(self, q_idx, q_val, k: int):
         if k <= 0 or self.n_true == 0:

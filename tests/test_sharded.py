@@ -762,3 +762,43 @@ class TestGridBf16:
             np.asarray(v16), np.asarray(v32), rtol=3e-2, atol=3e-2
         )
         assert gi16.memory_bytes() < gi32.memory_bytes()
+
+
+class TestReviewRegressions:
+    def test_streamed_wholly_padded_shard(self, rng, devices_ok):
+        """n_true small enough that a whole shard is padding: the stream
+        callback must fetch zero rows there, not a negative count."""
+        from innr_tpu.parallel import ShardedSlotCorpus
+
+        sk = rng.integers(0, 8, (9, 16)).astype(np.uint32)  # 9 rows, 8 devices
+        sc = ShardedSlotCorpus.from_sketch_source(lambda a, b: sk[a:b], 9, 16)
+        counts, idx = sc.knn(sk[8], 3)
+        assert int(np.asarray(idx)[0]) == 8
+        # one-row corpus: every shard but one is fully padded
+        sc1 = ShardedSlotCorpus.from_sketch_source(lambda a, b: sk[a:b], 1, 16)
+        counts, idx = sc1.knn(sk[0], 1)
+        assert int(np.asarray(idx)[0]) == 0
+
+    def test_sparse_two_doc_tuple_not_padded_pair(self, rng):
+        """A tuple of exactly two (indices, values) docs must build a 2-doc
+        corpus, not be misread as a pre-padded array pair."""
+        d1 = (np.array([1, 5, 9], np.uint32), np.array([1.0, 2.0, 3.0], np.float32))
+        d2 = (np.array([2, 5, 7], np.uint32), np.array([4.0, 5.0, 6.0], np.float32))
+        from_tuple = it.SparseCorpus((d1, d2))
+        from_list = it.SparseCorpus([d1, d2])
+        s1, i1 = it.sparse_knn(d1, from_tuple, 2)
+        s2, i2 = it.sparse_knn(d1, from_list, 2)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
+        # and batch queries as a 2-pair tuple
+        sb, ib = it.sparse_knn_batch((d1, d2), from_list, 2)
+        assert np.asarray(ib).shape == (2, 2)
+
+    def test_slot_knn_rejects_2d_single_query(self, rng, devices_ok):
+        from innr_tpu.parallel import ShardedSlotCorpus
+
+        sk = rng.integers(0, 8, (20, 16)).astype(np.uint32)
+        with pytest.raises(it.ContractError):
+            it.slot_knn_u32(sk[:3], it.SketchCorpus(sk), 2)
+        with pytest.raises(it.ContractError):
+            ShardedSlotCorpus(sk).knn(sk[:3], 2)

@@ -237,7 +237,7 @@ class TestSketchCorpusFused:
         corpus = rng.integers(0, 7, (n, s)).astype(np.uint32)
         container = it.SketchCorpus(corpus)
         assert container.num_sketches == n and container.num_slots == s
-        assert container.memory_bytes() == n * s * 4
+        assert container.memory_bytes() == n * s * 8  # rows + cached transpose
         counts, idx = it.slot_knn_u32(corpus[42], container, 2)
         assert int(np.asarray(idx)[0]) == 42 and int(np.asarray(counts)[0]) == 0
         sims, midx = it.minhash_knn_batch(corpus[:3], container, 2)
