@@ -81,6 +81,29 @@ def main():
         best, best_i = cand_v[order], cand_i[order]
     assert list(idx[0]) == list(best_i), (idx[0], best_i)
     print("OK: distributed top-10 equals memmap brute force")
+
+    # 2-D grid: 4 corpus shards x 2 query groups (rows replicate across
+    # the query axis, so run at n/2 to keep the same total footprint).
+    from innr_tpu.parallel import GridIndex, grid_mesh
+
+    n_grid = n // 2
+    t0 = time.perf_counter()
+    grid = GridIndex(src[:n_grid], grid_mesh(4, 2))
+    gvals, gidx = grid.knn_dot(qs, 10)
+    gvals, gidx = np.asarray(gvals), np.asarray(gidx)
+    print(f"2-D grid (4 shards x 2 query groups) over {n_grid} rows: "
+          f"{time.perf_counter() - t0:.1f}s")
+    gbest = np.full(10, -np.inf)
+    gbest_i = np.zeros(10, np.int64)
+    for i in range(0, n_grid, step):
+        dots = src[i : i + step].astype(np.float64) @ qs[0]
+        j = np.argsort(-dots, kind="stable")[:10]
+        cand_v = np.concatenate([gbest, dots[j]])
+        cand_i = np.concatenate([gbest_i, i + j])
+        order = np.argsort(-cand_v, kind="stable")[:10]
+        gbest, gbest_i = cand_v[order], cand_i[order]
+    assert list(gidx[0]) == list(gbest_i), (gidx[0], gbest_i)
+    print("OK: grid top-10 equals brute force")
     os.unlink(path)
 
 
