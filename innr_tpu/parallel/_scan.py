@@ -69,6 +69,29 @@ def local_scan_keys(qs, rows, aux, n_total, k, mode, use_fused, base):
     return top_keys, gidx_row[tidx]
 
 
+def local_scan_keys_filtered(qs, rows, norms2, mask, n_total, k, use_fused, base):
+    """Predicate-pushdown variant of :func:`local_scan_keys` (L2 only):
+    ``mask`` is this block's (rows_local,) f32 0/1 predicate — non-passing
+    rows can never win (reference src/batch.rs:842-845)."""
+    if use_fused:
+        from innr_tpu.kernels.knn import fused_knn_keys_batch
+
+        aux = jnp.stack([norms2, mask])
+        keys, lidx = fused_knn_keys_batch(qs, rows, aux, k, "l2m")
+        gidx = base + lidx
+        keys = jnp.where(gidx < n_total, keys, _INT_MIN)
+        return keys, gidx
+
+    d = rows[None, :, :].astype(jnp.float32) - qs[:, None, :]
+    scores = jnp.sum(d * d, axis=2)
+    keys = ~total_order_key_f32(scores)  # smaller distance = better
+    keys = jnp.where(mask[None, :] > 0.0, keys, _INT_MIN)
+    gidx_row = base + jnp.arange(rows.shape[0], dtype=jnp.int32)
+    keys = jnp.where(gidx_row[None, :] < n_total, keys, _INT_MIN)
+    top_keys, tidx = jax.lax.top_k(keys, k)
+    return top_keys, gidx_row[tidx]
+
+
 def decode_keys(keys, mode, use_fused, qs):
     """Raw merged keys -> f32 score values.
 

@@ -26,7 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from innr_tpu.parallel._scan import decode_keys, local_scan_keys
+from innr_tpu.parallel._scan import (
+    decode_keys,
+    local_scan_keys,
+    local_scan_keys_filtered,
+)
 from innr_tpu.utils.asserts import ContractError
 from innr_tpu.utils.padding import pad_axis_to, round_up
 
@@ -90,6 +94,40 @@ def _grid_knn(
     merged_keys, pos = jax.lax.top_k(keys, k)
     idx = jnp.take_along_axis(gidx, pos, axis=1)
     vals = decode_keys(merged_keys, mode, use_fused, qs_sharded)
+    return vals, idx
+
+
+def _local_grid_filtered(qs_block, rows_shard, norms_shard, mask_shard,
+                         n_total, k, use_fused):
+    base = jax.lax.axis_index(CORPUS_AXIS) * rows_shard.shape[0]
+    return local_scan_keys_filtered(
+        qs_block, rows_shard, norms_shard, mask_shard, n_total, k,
+        use_fused, base,
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("k", "k_local", "n_total", "mesh", "use_fused")
+)
+def _grid_knn_filtered(
+    qs_sharded, rows_sharded, norms_sharded, mask_sharded, k: int,
+    k_local: int, n_total: int, mesh: Mesh, use_fused: bool,
+):
+    local = jax.shard_map(
+        partial(
+            _local_grid_filtered, n_total=n_total, k=k_local,
+            use_fused=use_fused,
+        ),
+        mesh=mesh,
+        in_specs=(P(QUERY_AXIS, None), P(CORPUS_AXIS, None),
+                  P(CORPUS_AXIS), P(CORPUS_AXIS)),
+        out_specs=(P(QUERY_AXIS, CORPUS_AXIS), P(QUERY_AXIS, CORPUS_AXIS)),
+        check_vma=False,  # Pallas calls inside the body have no vma info
+    )
+    keys, gidx = local(qs_sharded, rows_sharded, norms_sharded, mask_sharded)
+    merged_keys, pos = jax.lax.top_k(keys, k)
+    idx = jnp.take_along_axis(gidx, pos, axis=1)
+    vals = decode_keys(merged_keys, "l2", use_fused, qs_sharded)
     return vals, idx
 
 
@@ -198,3 +236,61 @@ class GridIndex:
     def knn_cosine(self, queries, k: int):
         """2-D-parallel cosine kNN; zero-norm semantics as single-chip."""
         return self._run(queries, k, "cosine", "grid_knn_cosine")
+
+    def knn_filtered(self, queries, k: int, predicate):
+        """2-D-parallel predicate-pushdown L2^2 kNN: the (N,) global mask
+        shards along the corpus axis (replicated over query groups) and
+        pushes into each block's streaming scan. ``predicate``: boolean
+        mask over global row indices, or a host callable ``index -> bool``.
+        Returns at most ``min(k, num_passing)`` results per query."""
+        qs = jnp.asarray(queries, dtype=jnp.float32)
+        if qs.ndim != 2 or qs.shape[1] != self.dimension:
+            raise ContractError(
+                f"innr_tpu::grid_knn_filtered: queries must be "
+                f"(Q, {self.dimension}), got {qs.shape}"
+            )
+        n = self.n_true
+        n_q = int(qs.shape[0])
+        if callable(predicate):
+            mask = np.fromiter(
+                (bool(predicate(i)) for i in range(n)), dtype=bool, count=n
+            )
+        else:
+            mask = np.asarray(predicate, dtype=bool)
+            if mask.shape != (n,):
+                raise ContractError(
+                    f"innr_tpu::grid_knn_filtered: mask shape {mask.shape} "
+                    f"!= ({n},)"
+                )
+        num_passing = int(mask.sum())
+        if k <= 0 or n == 0 or num_passing == 0:
+            return (
+                jnp.zeros((n_q, 0), jnp.float32),
+                jnp.zeros((n_q, 0), jnp.int32),
+            )
+        k = min(int(k), num_passing)
+        mask_f = np.zeros(self.n_pad, np.float32)
+        mask_f[:n] = mask
+        mask_sharded = jax.device_put(
+            mask_f, NamedSharding(self.mesh, P(CORPUS_AXIS))
+        )
+        q_pad = round_up(max(n_q, self.n_qgroups), self.n_qgroups)
+        qs_sharded = jax.device_put(
+            pad_axis_to(qs, 0, q_pad),
+            NamedSharding(self.mesh, P(QUERY_AXIS, None)),
+        )
+        from innr_tpu import config
+
+        pad = self.n_pad - self.n_true
+        shard_rows = self.n_pad // self.n_shards
+        use_fused = (
+            not config.reference_forced()
+            and shard_rows >= config.MIN_ROWS_PALLAS
+            and k + pad <= 512
+        )
+        k_local = min(k + pad, shard_rows) if use_fused else min(k, shard_rows)
+        vals, idx = _grid_knn_filtered(
+            qs_sharded, self.rows, self._aux("l2"), mask_sharded, k,
+            k_local, self.n_true, self.mesh, use_fused,
+        )
+        return vals[:n_q], idx[:n_q]

@@ -23,7 +23,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from innr_tpu.parallel._scan import decode_keys, local_scan_keys
+from innr_tpu.parallel._scan import (
+    decode_keys,
+    local_scan_keys,
+    local_scan_keys_filtered,
+)
+import numpy as np
 from innr_tpu.parallel.sharded import AXIS, default_mesh
 from innr_tpu.utils.asserts import ContractError
 from innr_tpu.utils.padding import pad_axis_to, round_up
@@ -41,6 +46,25 @@ def _local_scan(qs, rows, norms2, inv_norms, k, mode, use_fused):
         qs, rows, aux, rows.shape[0], k, mode, use_fused, base=0
     )
     return decode_keys(keys, mode, use_fused, qs), idx
+
+
+def _local_scan_filtered(qs, rows, norms2, mask, k, use_fused):
+    keys, idx = local_scan_keys_filtered(
+        qs, rows, norms2, mask, rows.shape[0], k, use_fused, base=0
+    )
+    return decode_keys(keys, "l2", use_fused, qs), idx
+
+
+@partial(jax.jit, static_argnames=("k", "mesh", "use_fused"))
+def _qp_knn_filtered(qs_sharded, rows, norms2, mask, k, mesh, use_fused):
+    body = partial(_local_scan_filtered, k=k, use_fused=use_fused)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P(), P(), P()),
+        out_specs=(P(AXIS, None), P(AXIS, None)),
+        check_vma=False,  # Pallas calls inside the body have no vma info
+    )(qs_sharded, rows, norms2, mask)
 
 
 @partial(jax.jit, static_argnames=("k", "mode", "mesh", "use_fused"))
@@ -170,3 +194,56 @@ class QueryParallelIndex:
         """Data-parallel cosine kNN: zero-norm semantics match the
         single-chip fused path."""
         return self._run(queries, k, "cosine", "query_parallel_knn_cosine")
+
+    def knn_filtered(self, queries, k: int, predicate):
+        """Data-parallel predicate-pushdown L2^2 kNN: the (N,) mask
+        replicates with the corpus; queries shard. ``predicate``: boolean
+        mask over row indices, or a host callable ``index -> bool``.
+        Returns at most ``min(k, num_passing)`` results per query."""
+        qs = jnp.asarray(queries, dtype=jnp.float32)
+        if qs.ndim != 2 or qs.shape[1] != self.dimension:
+            raise ContractError(
+                f"innr_tpu::query_parallel_knn_filtered: queries must be "
+                f"(Q, {self.dimension}), got {qs.shape}"
+            )
+        n = self.num_vectors
+        n_q = int(qs.shape[0])
+        if callable(predicate):
+            mask = np.fromiter(
+                (bool(predicate(i)) for i in range(n)), dtype=bool, count=n
+            )
+        else:
+            mask = np.asarray(predicate, dtype=bool)
+            if mask.shape != (n,):
+                raise ContractError(
+                    f"innr_tpu::query_parallel_knn_filtered: mask shape "
+                    f"{mask.shape} != ({n},)"
+                )
+        num_passing = int(mask.sum())
+        if k <= 0 or n == 0 or num_passing == 0:
+            return (
+                jnp.zeros((n_q, 0), jnp.float32),
+                jnp.zeros((n_q, 0), jnp.int32),
+            )
+        k = min(int(k), num_passing)
+        n_devices = int(self.mesh.devices.size)
+        q_pad = round_up(max(n_q, n_devices), n_devices)
+        qs_sharded = jax.device_put(
+            pad_axis_to(qs, 0, q_pad),
+            NamedSharding(self.mesh, P(AXIS, None)),
+        )
+        mask_rep = jax.device_put(
+            mask.astype(np.float32), NamedSharding(self.mesh, P())
+        )
+        from innr_tpu import config
+
+        use_fused = (
+            not config.reference_forced()
+            and n >= config.MIN_ROWS_PALLAS
+            and k <= 512
+        )
+        vals, idx = _qp_knn_filtered(
+            qs_sharded, self.rows, self._aux_norms2(), mask_rep, k,
+            self.mesh, use_fused,
+        )
+        return vals[:n_q], idx[:n_q]

@@ -32,7 +32,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from innr_tpu.utils.asserts import ContractError
-from innr_tpu.utils.order import total_order_key_f32
 from innr_tpu.utils.padding import pad_axis_to, round_up
 
 __all__ = [
@@ -59,6 +58,7 @@ from innr_tpu.parallel._scan import (
     _invert_total_key,
     decode_keys,
     local_scan_keys,
+    local_scan_keys_filtered,
 )
 
 
@@ -117,27 +117,12 @@ def _sharded_knn(
 def _local_topk_filtered(qs, rows_shard, norms_shard, mask_shard, n_total, k, use_fused):
     """Per-shard body for predicate-pushdown L2 kNN: non-passing rows can
     never win (reference src/batch.rs:842-845). ``mask_shard``: (shard,)
-    f32 0/1 predicate over this shard's rows (padded rows are 0)."""
-    shard_rows = rows_shard.shape[0]
-    base = jax.lax.axis_index(AXIS) * shard_rows
-
-    if use_fused:
-        from innr_tpu.kernels.knn import fused_knn_keys_batch
-
-        aux = jnp.stack([norms_shard, mask_shard])
-        keys, lidx = fused_knn_keys_batch(qs, rows_shard, aux, k, "l2m")
-        gidx = base + lidx
-        keys = jnp.where(gidx < n_total, keys, _INT_MIN)
-        return keys, gidx
-
-    d = rows_shard[None, :, :].astype(jnp.float32) - qs[:, None, :]
-    scores = jnp.sum(d * d, axis=2)
-    keys = ~total_order_key_f32(scores)  # smaller distance = better
-    keys = jnp.where(mask_shard[None, :] > 0.0, keys, _INT_MIN)
-    gidx_row = base + jnp.arange(shard_rows, dtype=jnp.int32)
-    keys = jnp.where(gidx_row[None, :] < n_total, keys, _INT_MIN)
-    top_keys, tidx = jax.lax.top_k(keys, k)
-    return top_keys, gidx_row[tidx]
+    f32 0/1 predicate over this shard's rows (padded rows are 0). Shared
+    body: :func:`innr_tpu.parallel._scan.local_scan_keys_filtered`."""
+    base = jax.lax.axis_index(AXIS) * rows_shard.shape[0]
+    return local_scan_keys_filtered(
+        qs, rows_shard, norms_shard, mask_shard, n_total, k, use_fused, base
+    )
 
 
 @partial(

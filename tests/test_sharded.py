@@ -802,3 +802,44 @@ class TestReviewRegressions:
             it.slot_knn_u32(sk[:3], it.SketchCorpus(sk), 2)
         with pytest.raises(it.ContractError):
             ShardedSlotCorpus(sk).knn(sk[:3], 2)
+
+
+class TestFilteredEverywhere:
+    """knn_filtered parity across all three index decompositions."""
+
+    def test_grid_and_query_parallel_filtered(self, rng, devices_ok):
+        from innr_tpu.parallel import GridIndex, QueryParallelIndex, grid_mesh
+
+        rows = rng.standard_normal((700, 32)).astype(np.float32)
+        mask = rng.random(700) < 0.4
+        qs = rng.standard_normal((5, 32)).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        want = it.batch_knn_filtered(qs, vb, 6, mask)
+
+        gi = GridIndex(rows, grid_mesh(4, 2))
+        gv, gidx = gi.knn_filtered(qs, 6, mask)
+        np.testing.assert_array_equal(np.asarray(gidx), want.indices)
+        np.testing.assert_allclose(np.asarray(gv), want.scores, rtol=1e-4, atol=1e-4)
+
+        qp = QueryParallelIndex(rows)
+        qv, qidx = qp.knn_filtered(qs, 6, mask)
+        np.testing.assert_array_equal(np.asarray(qidx), want.indices)
+        np.testing.assert_allclose(np.asarray(qv), want.scores, rtol=1e-4, atol=1e-4)
+
+    def test_filtered_edges_grid_qp(self, rng, devices_ok):
+        from innr_tpu.parallel import GridIndex, QueryParallelIndex, grid_mesh
+
+        rows = rng.standard_normal((64, 16)).astype(np.float32)
+        qs = rows[:2]
+        for index in (GridIndex(rows, grid_mesh(2, 4)), QueryParallelIndex(rows)):
+            v, i = index.knn_filtered(qs, 5, np.zeros(64, bool))
+            assert np.asarray(v).shape == (2, 0)
+            m = np.zeros(64, bool)
+            m[[1, 30]] = True
+            v, i = index.knn_filtered(qs, 10, m)  # clamps to passing count
+            assert np.asarray(i).shape == (2, 2)
+            assert set(np.asarray(i).ravel().tolist()) <= {1, 30}
+            v, i = index.knn_filtered(qs, 3, lambda j: j % 2 == 0)
+            assert np.all(np.asarray(i) % 2 == 0)
+            with pytest.raises(it.ContractError):
+                index.knn_filtered(qs, 3, np.zeros(63, bool))
