@@ -130,10 +130,13 @@ from innr_tpu.ops.slot import (
 from innr_tpu.ops.sparse import (
     SparseCorpus,
     pad_sparse,
+    pad_sparse_docs,
     sparse_dot,
     sparse_knn,
     sparse_knn_batch,
     sparse_maxsim,
+    sparse_maxsim_batch,
+    sparse_maxsim_knn,
 )
 from innr_tpu.ops.ternary import (
     PackedTernary,

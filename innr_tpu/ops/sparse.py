@@ -25,9 +25,12 @@ __all__ = [
     "sparse_maxsim",
     "SENTINEL_INDEX",
     "pad_sparse",
+    "pad_sparse_docs",
     "SparseCorpus",
     "sparse_knn",
     "sparse_knn_batch",
+    "sparse_maxsim_batch",
+    "sparse_maxsim_knn",
 ]
 
 # Index value used for padded (inactive) entries.
@@ -248,3 +251,105 @@ def sparse_maxsim(query_tokens, doc_tokens) -> jax.Array:
     )
     scores = pair(q_idx, q_val, d_idx, d_val)  # (Tq, Td)
     return jnp.sum(jnp.max(scores, axis=1))
+
+
+def pad_sparse_docs(docs, width: int | None = None, tokens: int | None = None):
+    """Pad a list of sparse multi-vector documents (each a list of
+    ``(indices, values)`` token pairs) to rectangular arrays:
+    ``((N, T, W) idx, (N, T, W) val, (N, T) token_mask)``. Padded entries
+    use the sentinel index / 0.0; padded TOKENS are marked False in the
+    mask (a zero-valued pad token still dots to 0.0, which must not win a
+    max over genuinely negative scores)."""
+    n = len(docs)
+    padded = [
+        pad_sparse(d, width) if len(d) else
+        (jnp.full((0, 1), SENTINEL_INDEX, jnp.uint32), jnp.zeros((0, 1), jnp.float32))
+        for d in docs
+    ]
+    t_max = max((int(p[0].shape[0]) for p in padded), default=0)
+    w_max = max((int(p[0].shape[1]) for p in padded), default=1)
+    if tokens is not None:
+        if t_max > tokens:
+            raise ContractError(
+                f"pad_sparse_docs: a doc has {t_max} tokens > tokens={tokens}"
+            )
+        t_max = tokens
+    t_max = max(t_max, 1)
+    if width is not None:
+        w_max = max(int(width), w_max)
+    idx = np.full((n, t_max, w_max), SENTINEL_INDEX, np.uint32)
+    val = np.zeros((n, t_max, w_max), np.float32)
+    mask = np.zeros((n, t_max), bool)
+    for di, (pi, pv) in enumerate(padded):
+        t, w = pi.shape
+        idx[di, :t, :w] = np.asarray(pi)
+        val[di, :t, :w] = np.asarray(pv)
+        mask[di, :t] = True
+    return jnp.asarray(idx), jnp.asarray(val), jnp.asarray(mask)
+
+
+def _doc_maxsim_scores(q_idx, q_val, d_idx, d_val, d_tok_mask) -> jax.Array:
+    """MaxSim of one padded (Tq, Wq) query against one padded (Td, Wd)
+    doc: ``sum_i max_j sparse_dot(q_i, d_j)`` with padded doc tokens
+    excluded from the max; a fully-masked (empty) doc scores 0.0."""
+    pair = jax.vmap(
+        jax.vmap(_sparse_dot_arrays, in_axes=(None, None, 0, 0)),
+        in_axes=(0, 0, None, None),
+    )(q_idx, q_val, d_idx, d_val)  # (Tq, Td)
+    pair = jnp.where(d_tok_mask[None, :], pair, -jnp.inf)
+    best = jnp.max(pair, axis=1)  # (Tq,)
+    # Only a fully-masked doc produces -inf (token dots are finite).
+    best = jnp.where(jnp.isneginf(best), 0.0, best)
+    return jnp.sum(best)
+
+
+def sparse_maxsim_batch(query_tokens, docs) -> jax.Array:
+    """SPLADE-style late interaction of one sparse multi-vector query
+    against a CORPUS of sparse multi-vector documents -> (N,) scores.
+
+    The corpus batch form of :func:`sparse_maxsim` (the reference is
+    pairwise, ``src/sparse.rs:119``): documents pad rectangular
+    (``pad_sparse_docs``) and every document shares one vectorized scan.
+    ``query_tokens``: list of ``(indices, values)`` pairs or a padded
+    ``(Tq, W)`` pair. ``docs``: list of documents or a pre-padded
+    ``(idx, val, token_mask)`` triple. Empty query or empty corpus ->
+    zeros; an empty document scores 0.0 (reference contract).
+    """
+    if isinstance(query_tokens, tuple) and len(query_tokens) == 2 and not (
+        isinstance(query_tokens[0], (tuple, list))
+    ):
+        q_idx = jnp.asarray(query_tokens[0], dtype=jnp.uint32)
+        q_val = jnp.asarray(query_tokens[1], dtype=jnp.float32)
+    else:
+        if len(query_tokens) == 0:
+            n = len(docs) if not isinstance(docs, tuple) else int(docs[0].shape[0])
+            return jnp.zeros((n,), jnp.float32)
+        q_idx, q_val = pad_sparse(query_tokens)
+    if isinstance(docs, tuple) and len(docs) == 3:
+        d_idx, d_val, d_mask = (
+            jnp.asarray(docs[0], dtype=jnp.uint32),
+            jnp.asarray(docs[1], dtype=jnp.float32),
+            jnp.asarray(docs[2], dtype=bool),
+        )
+    else:
+        d_idx, d_val, d_mask = pad_sparse_docs(docs)
+    if int(d_idx.shape[0]) == 0 or q_idx.shape[0] == 0:
+        return jnp.zeros((int(d_idx.shape[0]),), jnp.float32)
+    return jax.vmap(_doc_maxsim_scores, in_axes=(None, None, 0, 0, 0))(
+        q_idx, q_val, d_idx, d_val, d_mask
+    )
+
+
+def sparse_maxsim_knn(query_tokens, docs, k: int):
+    """Top-k documents by sparse MaxSim (descending, IEEE total order).
+
+    Returns ``(scores, indices)``. See :func:`sparse_maxsim_batch` for
+    input forms.
+    """
+    scores = sparse_maxsim_batch(query_tokens, docs)
+    n = int(scores.shape[0])
+    if n == 0 or k <= 0:
+        return jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32)
+    from innr_tpu.utils.order import top_k_total
+
+    return top_k_total(scores, min(int(k), n), largest=True)

@@ -204,3 +204,64 @@ class TestSparseCorpus:
         scores, idx = it.sparse_knn(big, corpus, 1)
         assert int(np.asarray(idx)[0]) == 50
         np.testing.assert_allclose(float(np.asarray(scores)[0]), 1000.0, rtol=1e-6)
+
+
+class TestSparseMaxSimCorpus:
+    """Corpus-scale sparse MaxSim vs the pairwise sparse_maxsim oracle."""
+
+    def _doc(self, rng, n_tokens, vocab=300):
+        doc = []
+        for _ in range(n_tokens):
+            nnz = int(rng.integers(1, 10))
+            idx = np.sort(rng.choice(vocab, nnz, replace=False)).astype(np.uint32)
+            doc.append((idx, rng.standard_normal(nnz).astype(np.float32)))
+        return doc
+
+    def test_batch_matches_pairwise(self, rng):
+        docs = [self._doc(rng, int(rng.integers(1, 7))) for _ in range(25)]
+        q = self._doc(rng, 4)
+        scores = np.asarray(it.sparse_maxsim_batch(q, docs))
+        for di, d in enumerate(docs):
+            want = float(it.sparse_maxsim(q, d))
+            np.testing.assert_allclose(scores[di], want, rtol=1e-5, atol=1e-6)
+
+    def test_knn_and_planted_winner(self, rng):
+        docs = [self._doc(rng, 3) for _ in range(30)]
+        q = docs[13]  # self-similar doc must rank first
+        scores, idx = it.sparse_maxsim_knn(q, docs, 5)
+        assert int(np.asarray(idx)[0]) == 13
+        ref = np.array(
+            [float(it.sparse_maxsim(q, d)) for d in docs], np.float32
+        )
+        want = np.argsort(-ref, kind="stable")[:5]
+        np.testing.assert_array_equal(np.asarray(idx), want)
+
+    def test_empty_and_negative_contracts(self, rng):
+        docs = [self._doc(rng, 2), [], self._doc(rng, 1)]
+        q = self._doc(rng, 2)
+        scores = np.asarray(it.sparse_maxsim_batch(q, docs))
+        assert scores[1] == 0.0  # empty doc -> 0.0 (reference contract)
+        # all-negative overlaps: padded doc tokens must NOT contribute a
+        # winning 0.0 (the token mask excludes them from the max)
+        neg_doc = [(np.array([1], np.uint32), np.array([-5.0], np.float32))]
+        pos_q = [(np.array([1], np.uint32), np.array([1.0], np.float32))]
+        two_tok = [
+            (np.array([1], np.uint32), np.array([-5.0], np.float32)),
+            (np.array([1], np.uint32), np.array([-7.0], np.float32)),
+        ]
+        s = np.asarray(it.sparse_maxsim_batch(pos_q, [neg_doc, two_tok]))
+        # doc 0 has 1 token, doc 1 has 2 -> doc 0 pads to 2 tokens; its
+        # score must stay -5.0 (not 0.0 from the pad token)
+        np.testing.assert_allclose(s, [-5.0, -5.0])
+        # empty query
+        s2 = it.sparse_maxsim_batch([], docs)
+        np.testing.assert_array_equal(np.asarray(s2), np.zeros(3, np.float32))
+        sc, si = it.sparse_maxsim_knn(q, [], 3)
+        assert len(np.asarray(si)) == 0
+
+    def test_prepadded_triple(self, rng):
+        docs = [self._doc(rng, 2) for _ in range(8)]
+        triple = it.pad_sparse_docs(docs)
+        s1 = np.asarray(it.sparse_maxsim_batch(docs[0], docs))
+        s2 = np.asarray(it.sparse_maxsim_batch(docs[0], triple))
+        np.testing.assert_allclose(s1, s2)
