@@ -32,7 +32,10 @@ from innr_tpu.parallel.sharded_packed import (  # noqa: F401
 from innr_tpu.parallel.sharded_quant import ShardedQuantizedU8  # noqa: F401
 from innr_tpu.parallel.sharded_slot import ShardedSlotCorpus  # noqa: F401
 from innr_tpu.parallel.query_parallel import QueryParallelIndex  # noqa: F401
-from innr_tpu.parallel.sharded_sparse import ShardedSparseCorpus  # noqa: F401
+from innr_tpu.parallel.sharded_sparse import (  # noqa: F401
+    ShardedSparseCorpus,
+    ShardedSparseMaxSimCorpus,
+)
 from innr_tpu.parallel.grid import GridIndex, grid_mesh  # noqa: F401
 from innr_tpu.parallel.sharded_maxsim import ShardedMaxSimCorpus  # noqa: F401
 from innr_tpu.parallel.sharded_pipeline import ShardedTwoStageIndex  # noqa: F401
@@ -46,6 +49,7 @@ __all__ = [
     "ShardedQuantizedU8",
     "ShardedSlotCorpus",
     "ShardedSparseCorpus",
+    "ShardedSparseMaxSimCorpus",
     "ShardedMaxSimCorpus",
     "ShardedTwoStageIndex",
     "default_mesh",

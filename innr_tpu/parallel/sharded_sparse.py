@@ -24,7 +24,7 @@ from innr_tpu.utils.asserts import ContractError
 from innr_tpu.utils.order import total_order_key_f32
 from innr_tpu.utils.padding import pad_axis_to, round_up
 
-__all__ = ["ShardedSparseCorpus"]
+__all__ = ["ShardedSparseCorpus", "ShardedSparseMaxSimCorpus"]
 
 _INT_MIN = jnp.iinfo(jnp.int32).min
 
@@ -63,6 +63,107 @@ def _sharded_sparse_knn(
     if single:
         return vals[0], idx[0]
     return vals, idx
+
+
+def _local_sparse_maxsim_topk(q_idx, q_val, d_idx_shard, d_val_shard,
+                              d_mask_shard, n_total, k):
+    from innr_tpu.ops.sparse import _doc_maxsim_scores
+
+    shard_rows = d_idx_shard.shape[0]
+    base = jax.lax.axis_index(AXIS) * shard_rows
+    scores = jax.vmap(_doc_maxsim_scores, in_axes=(None, None, 0, 0, 0))(
+        q_idx, q_val, d_idx_shard, d_val_shard, d_mask_shard
+    )  # (shard,)
+    keys = total_order_key_f32(scores)[None, :]
+    gidx_row = base + jnp.arange(shard_rows, dtype=jnp.int32)
+    keys = jnp.where(gidx_row[None, :] < n_total, keys, _INT_MIN)
+    top_keys, tidx = jax.lax.top_k(keys, k)
+    return top_keys, gidx_row[tidx]
+
+
+@partial(jax.jit, static_argnames=("k", "k_local", "n_total", "mesh"))
+def _sharded_sparse_maxsim(
+    q_idx, q_val, d_idx_sharded, d_val_sharded, d_mask_sharded,
+    k: int, k_local: int, n_total: int, mesh: Mesh,
+):
+    local = jax.shard_map(
+        partial(_local_sparse_maxsim_topk, n_total=n_total, k=k_local),
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS, None, None), P(AXIS, None, None), P(AXIS, None)),
+        out_specs=(P(None, AXIS), P(None, AXIS)),
+    )
+    keys, gidx = local(q_idx, q_val, d_idx_sharded, d_val_sharded, d_mask_sharded)
+    merged_keys, pos = jax.lax.top_k(keys, k)
+    idx = jnp.take_along_axis(gidx, pos, axis=1)
+    return _invert_total_key(merged_keys)[0], idx[0]
+
+
+class ShardedSparseMaxSimCorpus:
+    """A padded sparse multi-vector document corpus sharded row-wise:
+    distributed SPLADE late interaction (per-shard maxsim scan + exact
+    f32 total-order merge)."""
+
+    def __init__(self, docs, mesh: Mesh | None = None):
+        """``docs``: list of documents (each a list of ``(indices,
+        values)`` token pairs) or a pre-padded ``(idx, val, token_mask)``
+        triple from :func:`innr_tpu.ops.sparse.pad_sparse_docs`."""
+        from innr_tpu.ops.sparse import SENTINEL_INDEX, pad_sparse_docs
+
+        if isinstance(docs, tuple) and len(docs) == 3:
+            idx = jnp.asarray(docs[0], dtype=jnp.uint32)
+            val = jnp.asarray(docs[1], dtype=jnp.float32)
+            mask = jnp.asarray(docs[2], dtype=bool)
+        else:
+            idx, val, mask = pad_sparse_docs(docs)
+        if idx.ndim != 3 or idx.shape != val.shape or mask.shape != idx.shape[:2]:
+            raise ContractError(
+                f"ShardedSparseMaxSimCorpus: bad padded shapes "
+                f"{idx.shape} / {val.shape} / {mask.shape}"
+            )
+        self.mesh = mesh if mesh is not None else default_mesh()
+        n_devices = self.mesh.devices.size
+        self.n_true = int(idx.shape[0])
+        self.n_pad = round_up(max(self.n_true, n_devices), n_devices)
+        sharding3 = NamedSharding(self.mesh, P(AXIS, None, None))
+        sharding2 = NamedSharding(self.mesh, P(AXIS, None))
+        self.indices = jax.device_put(
+            pad_axis_to(idx, 0, self.n_pad, value=SENTINEL_INDEX), sharding3
+        )
+        self.values = jax.device_put(pad_axis_to(val, 0, self.n_pad), sharding3)
+        self.token_mask = jax.device_put(
+            pad_axis_to(mask, 0, self.n_pad), sharding2
+        )
+
+    @property
+    def num_docs(self) -> int:
+        return self.n_true
+
+    def memory_bytes(self) -> int:
+        return int(self.indices.size) * 8 + int(self.token_mask.size)
+
+    def knn(self, query_tokens, k: int):
+        """Distributed top-k documents by sparse MaxSim for one sparse
+        multi-vector query (list of token pairs or padded (Tq, W) pair):
+        returns ``(scores descending, global indices)``."""
+        from innr_tpu.ops.sparse import pad_sparse
+
+        if isinstance(query_tokens, tuple) and len(query_tokens) == 2 and not (
+            isinstance(query_tokens[0], (tuple, list))
+        ):
+            q_idx = jnp.asarray(query_tokens[0], dtype=jnp.uint32)
+            q_val = jnp.asarray(query_tokens[1], dtype=jnp.float32)
+        else:
+            if len(query_tokens) == 0:
+                return jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32)
+            q_idx, q_val = pad_sparse(query_tokens)
+        if k <= 0 or self.n_true == 0:
+            return jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32)
+        k = min(int(k), self.n_true)
+        k_local = min(k, self.n_pad // int(self.mesh.devices.size))
+        return _sharded_sparse_maxsim(
+            q_idx, q_val, self.indices, self.values, self.token_mask,
+            k, k_local, self.n_true, self.mesh,
+        )
 
 
 class ShardedSparseCorpus:

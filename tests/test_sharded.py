@@ -843,3 +843,33 @@ class TestFilteredEverywhere:
             assert np.all(np.asarray(i) % 2 == 0)
             with pytest.raises(it.ContractError):
                 index.knn_filtered(qs, 3, np.zeros(63, bool))
+
+
+class TestShardedSparseMaxSim:
+    def test_matches_single_chip(self, rng, devices_ok):
+        from innr_tpu.parallel import ShardedSparseMaxSimCorpus
+
+        def doc(nt):
+            out = []
+            for _ in range(nt):
+                nnz = int(rng.integers(1, 8))
+                idx = np.sort(rng.choice(400, nnz, replace=False)).astype(np.uint32)
+                out.append((idx, rng.standard_normal(nnz).astype(np.float32)))
+            return out
+
+        docs = [doc(int(rng.integers(1, 5))) for _ in range(40)]
+        sc = ShardedSparseMaxSimCorpus(docs)
+        q = docs[21]
+        vals, idx = sc.knn(q, 6)
+        want_vals, want_idx = it.sparse_maxsim_knn(q, docs, 6)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_idx))
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(want_vals), rtol=1e-5, atol=1e-6
+        )
+        assert int(np.asarray(idx)[0]) == 21
+        # edges
+        v, i = sc.knn(q, 0)
+        assert len(np.asarray(i)) == 0
+        v, i = sc.knn([], 3)
+        assert len(np.asarray(i)) == 0
+        assert sc.num_docs == 40 and sc.memory_bytes() > 0
