@@ -82,6 +82,24 @@ def main():
     assert list(np.asarray(sidx)[:, 0]) == [0, 1, 2, 3]
     print(f"2stage  top-3 (4 queries): {np.asarray(sidx).tolist()}")
 
+    # query-parallel serving: corpus replicated, QUERY batch sharded —
+    # no merge collective, bit-identical to the single-chip scan.
+    from innr_tpu.parallel import QueryParallelIndex
+
+    qp = QueryParallelIndex(rows, mesh=mesh)
+    qvals, qidx = qp.knn_dot(rows[:6] + 0.001, 3)
+    assert list(np.asarray(qidx)[:, 0]) == list(range(6))
+    print(f"query-parallel top-1 (6 queries): {np.asarray(qidx)[:, 0].tolist()}")
+
+    # 2-D composition: corpus shards x query groups on one mesh.
+    if len(jax.devices()) >= 4:
+        from innr_tpu.parallel import GridIndex, grid_mesh
+
+        gi = GridIndex(rows, grid_mesh(len(jax.devices()) // 2, 2))
+        gvals, gidx = gi.knn_dot(rows[:4], 3)
+        assert list(np.asarray(gidx)[:, 0]) == [0, 1, 2, 3]
+        print(f"2-D grid top-1 (4 queries): {np.asarray(gidx)[:, 0].tolist()}")
+
     print("OK: full sharded family matches single-host semantics")
 
 
