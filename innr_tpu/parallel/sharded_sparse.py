@@ -32,8 +32,13 @@ _INT_MIN = jnp.iinfo(jnp.int32).min
 def _local_sparse_topk(q_idx, q_val, c_idx_shard, c_val_shard, n_total, k):
     shard_rows = c_idx_shard.shape[0]
     base = jax.lax.axis_index(AXIS) * shard_rows
-    scores = jax.vmap(_corpus_scores, in_axes=(0, 0, None, None))(
-        q_idx, q_val, c_idx_shard, c_val_shard
+    # Static loop over queries: vmap over searchsorted's sorted side
+    # de-vectorizes the join (see ops/sparse._corpus_maxsim_scores).
+    scores = jnp.stack(
+        [
+            _corpus_scores(q_idx[qi], q_val[qi], c_idx_shard, c_val_shard)
+            for qi in range(q_idx.shape[0])
+        ]
     )  # (Q, shard)
     keys = total_order_key_f32(scores)
     gidx_row = base + jnp.arange(shard_rows, dtype=jnp.int32)
@@ -67,11 +72,11 @@ def _sharded_sparse_knn(
 
 def _local_sparse_maxsim_topk(q_idx, q_val, d_idx_shard, d_val_shard,
                               d_mask_shard, n_total, k):
-    from innr_tpu.ops.sparse import _doc_maxsim_scores
+    from innr_tpu.ops.sparse import _corpus_maxsim_scores
 
     shard_rows = d_idx_shard.shape[0]
     base = jax.lax.axis_index(AXIS) * shard_rows
-    scores = jax.vmap(_doc_maxsim_scores, in_axes=(None, None, 0, 0, 0))(
+    scores = _corpus_maxsim_scores(
         q_idx, q_val, d_idx_shard, d_val_shard, d_mask_shard
     )  # (shard,)
     keys = total_order_key_f32(scores)[None, :]
