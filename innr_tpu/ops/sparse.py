@@ -269,12 +269,13 @@ def sparse_maxsim(query_tokens, doc_tokens) -> jax.Array:
     if q_idx.shape[0] == 0 or d_idx.shape[0] == 0:
         return jnp.float32(0.0)
 
-    pair = jax.vmap(
-        jax.vmap(_sparse_dot_arrays, in_axes=(None, None, 0, 0)),
-        in_axes=(0, 0, None, None),
-    )
-    scores = pair(q_idx, q_val, d_idx, d_val)  # (Tq, Td)
-    return jnp.sum(jnp.max(scores, axis=1))
+    # Static loop over query tokens with the scan-scale join (a nested
+    # vmap de-vectorizes searchsorted; see _corpus_maxsim_scores).
+    total = jnp.float32(0.0)
+    for i in range(q_idx.shape[0]):
+        pair = _join_scores(q_idx[i], q_val[i], d_idx, d_val)  # (Td,)
+        total = total + jnp.max(pair)
+    return total
 
 
 def pad_sparse_docs(docs, width: int | None = None, tokens: int | None = None):
