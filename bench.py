@@ -213,6 +213,32 @@ def bench_full():
     )
     del slots_t
 
+    # 5c. sparse (SPLADE-style) retrieval: 1M x 32nnz docs, scan-scale
+    #     binary-search join of the query into the whole corpus.
+    n_sp, L_sp = 1_000_000, 32
+    sp_idx = jax.jit(
+        lambda: jnp.sort(
+            jax.random.randint(
+                jax.random.PRNGKey(5), (n_sp, L_sp), 0, 100_000, jnp.int32
+            ).astype(jnp.uint32),
+            axis=1,
+        )
+    )()
+    sp_val = jax.jit(
+        lambda: jax.random.normal(jax.random.PRNGKey(6), (n_sp, L_sp), jnp.float32)
+    )()
+    sp_corpus = it.SparseCorpus((sp_idx, sp_val))
+    spq_i = np.sort(rng.choice(100_000, 64, replace=False)).astype(np.uint32)
+    spq_v = rng.standard_normal(64).astype(np.float32)
+    dt = _time_best(
+        lambda: np.asarray(it.sparse_knn((spq_i, spq_v), sp_corpus, 10)[0])
+    )
+    out["sparse_knn_1M_32nnz_docs_per_s"] = (
+        n_sp / dt,
+        _read_time(sp_idx, sp_val) / dt,
+    )
+    del sp_idx, sp_val, sp_corpus
+
     # 5b. kNN recall@10 (BASELINE.json north-star metric): two-stage
     #     coarse->rerank over a clustered 100K x 256d corpus (256 centers +
     #     noise — the realistic embedding regime; uniform gaussian is the
