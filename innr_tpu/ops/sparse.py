@@ -231,6 +231,8 @@ def sparse_knn_batch(queries, corpus: SparseCorpus, k: int):
     k = min(int(k), n)
     from innr_tpu.utils.order import top_k_total
 
+    if n_q == 0:
+        return jnp.zeros((0, k), jnp.float32), jnp.zeros((0, k), jnp.int32)
     # Static Python loop over queries: vmap over searchsorted's sorted
     # side de-vectorizes the join (measured ~90x; see _corpus_maxsim_scores).
     scores = jnp.stack(
@@ -339,12 +341,29 @@ def _corpus_maxsim_scores(q_idx2, q_val2, d_idx, d_val, d_tok_mask) -> jax.Array
     return total
 
 
-def _doc_maxsim_scores(q_idx, q_val, d_idx, d_val, d_tok_mask) -> jax.Array:
-    """Single-document MaxSim (pairwise form of
-    :func:`_corpus_maxsim_scores`)."""
-    return _corpus_maxsim_scores(
-        q_idx, q_val, d_idx[None], d_val[None], d_tok_mask[None]
-    )[0]
+def _parse_query_tokens(query_tokens):
+    """Parse a sparse multi-vector query into a padded ``(Tq, W)`` pair.
+
+    Accepts a list of ``(indices, values)`` token pairs, a pre-padded
+    ``(Tq, W)`` array pair, or a single 1-D ``(indices, values)`` pair
+    (lifted to one token). An empty query parses to ``(0, 1)`` arrays —
+    callers get the empty-query contract (every doc scores 0.0) by
+    passing them through, not by special-casing.
+    """
+    if isinstance(query_tokens, tuple) and len(query_tokens) == 2 and not (
+        isinstance(query_tokens[0], (tuple, list))
+    ):
+        q_idx = jnp.asarray(query_tokens[0], dtype=jnp.uint32)
+        q_val = jnp.asarray(query_tokens[1], dtype=jnp.float32)
+        if q_idx.shape != q_val.shape or q_idx.ndim not in (1, 2):
+            raise ContractError(
+                f"sparse maxsim: query indices/values must be matching 1-D "
+                f"or 2-D arrays, got {q_idx.shape} / {q_val.shape}"
+            )
+        if q_idx.ndim == 1:
+            q_idx, q_val = q_idx[None, :], q_val[None, :]
+        return q_idx, q_val
+    return pad_sparse(query_tokens)
 
 
 def sparse_maxsim_batch(query_tokens, docs) -> jax.Array:
@@ -359,16 +378,7 @@ def sparse_maxsim_batch(query_tokens, docs) -> jax.Array:
     ``(idx, val, token_mask)`` triple. Empty query or empty corpus ->
     zeros; an empty document scores 0.0 (reference contract).
     """
-    if isinstance(query_tokens, tuple) and len(query_tokens) == 2 and not (
-        isinstance(query_tokens[0], (tuple, list))
-    ):
-        q_idx = jnp.asarray(query_tokens[0], dtype=jnp.uint32)
-        q_val = jnp.asarray(query_tokens[1], dtype=jnp.float32)
-    else:
-        if len(query_tokens) == 0:
-            n = len(docs) if not isinstance(docs, tuple) else int(docs[0].shape[0])
-            return jnp.zeros((n,), jnp.float32)
-        q_idx, q_val = pad_sparse(query_tokens)
+    q_idx, q_val = _parse_query_tokens(query_tokens)
     if isinstance(docs, tuple) and len(docs) == 3:
         d_idx, d_val, d_mask = (
             jnp.asarray(docs[0], dtype=jnp.uint32),

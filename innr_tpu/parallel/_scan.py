@@ -12,7 +12,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from innr_tpu.utils.asserts import ContractError
 from innr_tpu.utils.order import total_order_key_f32
 
 _INT_MIN = jnp.iinfo(jnp.int32).min
@@ -67,6 +69,24 @@ def local_scan_keys(qs, rows, aux, n_total, k, mode, use_fused, base):
     keys = jnp.where(gidx_row[None, :] < n_total, keys, _INT_MIN)
     top_keys, tidx = jax.lax.top_k(keys, k)
     return top_keys, gidx_row[tidx]
+
+
+def resolve_predicate_mask(predicate, n: int, op: str):
+    """Shared predicate resolution for every ``knn_filtered`` entry point:
+    a host callable ``index -> bool`` or an (N,) boolean mask ->
+    ``(bool mask, num_passing)``. Raises ``ContractError`` on shape
+    mismatch (the single place this contract lives)."""
+    if callable(predicate):
+        mask = np.fromiter(
+            (bool(predicate(i)) for i in range(n)), dtype=bool, count=n
+        )
+    else:
+        mask = np.asarray(predicate, dtype=bool)
+        if mask.shape != (n,):
+            raise ContractError(
+                f"innr_tpu::{op}: mask shape {mask.shape} != ({n},)"
+            )
+    return mask, int(mask.sum())
 
 
 def local_scan_keys_filtered(qs, rows, norms2, mask, n_total, k, use_fused, base):

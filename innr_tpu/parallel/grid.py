@@ -251,18 +251,11 @@ class GridIndex:
             )
         n = self.n_true
         n_q = int(qs.shape[0])
-        if callable(predicate):
-            mask = np.fromiter(
-                (bool(predicate(i)) for i in range(n)), dtype=bool, count=n
-            )
-        else:
-            mask = np.asarray(predicate, dtype=bool)
-            if mask.shape != (n,):
-                raise ContractError(
-                    f"innr_tpu::grid_knn_filtered: mask shape {mask.shape} "
-                    f"!= ({n},)"
-                )
-        num_passing = int(mask.sum())
+        from innr_tpu.parallel._scan import resolve_predicate_mask
+
+        mask, num_passing = resolve_predicate_mask(
+            predicate, n, "grid_knn_filtered"
+        )
         if k <= 0 or n == 0 or num_passing == 0:
             return (
                 jnp.zeros((n_q, 0), jnp.float32),

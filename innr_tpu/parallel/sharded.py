@@ -382,18 +382,11 @@ def sharded_knn_filtered(query, corpus: ShardedCorpus, k: int, predicate):
     if k == 0:
         return _empty(q)
     n = corpus.num_vectors
-    if callable(predicate):
-        mask = np.fromiter(
-            (bool(predicate(i)) for i in range(n)), dtype=bool, count=n
-        )
-    else:
-        mask = np.asarray(predicate, dtype=bool)
-        if mask.shape != (n,):
-            raise ContractError(
-                f"innr_tpu::sharded_knn_filtered: mask shape {mask.shape} "
-                f"!= ({n},)"
-            )
-    num_passing = int(mask.sum())
+    from innr_tpu.parallel._scan import resolve_predicate_mask
+
+    mask, num_passing = resolve_predicate_mask(
+        predicate, n, "sharded_knn_filtered"
+    )
     if num_passing == 0:
         return _empty(q)
     k = min(k, num_passing)

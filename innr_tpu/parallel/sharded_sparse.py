@@ -150,17 +150,12 @@ class ShardedSparseMaxSimCorpus:
         """Distributed top-k documents by sparse MaxSim for one sparse
         multi-vector query (list of token pairs or padded (Tq, W) pair):
         returns ``(scores descending, global indices)``."""
-        from innr_tpu.ops.sparse import pad_sparse
+        from innr_tpu.ops.sparse import _parse_query_tokens
 
-        if isinstance(query_tokens, tuple) and len(query_tokens) == 2 and not (
-            isinstance(query_tokens[0], (tuple, list))
-        ):
-            q_idx = jnp.asarray(query_tokens[0], dtype=jnp.uint32)
-            q_val = jnp.asarray(query_tokens[1], dtype=jnp.float32)
-        else:
-            if len(query_tokens) == 0:
-                return jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32)
-            q_idx, q_val = pad_sparse(query_tokens)
+        # Empty queries pass through as (0, W) pairs: every doc scores 0.0
+        # and the top-k is k zero-score results, matching the single-chip
+        # sparse_maxsim_knn contract for every input form.
+        q_idx, q_val = _parse_query_tokens(query_tokens)
         if k <= 0 or self.n_true == 0:
             return jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32)
         k = min(int(k), self.n_true)
@@ -238,6 +233,10 @@ class ShardedSparseCorpus:
                 )
             return jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32)
         k = min(int(k), self.n_true)
+        if q_idx.ndim == 2 and int(q_idx.shape[0]) == 0:
+            # Empty query batch: (0, k) shapes (the per-query loop in the
+            # shard body cannot stack zero results).
+            return jnp.zeros((0, k), jnp.float32), jnp.zeros((0, k), jnp.int32)
         k_local = min(k, self.n_pad // int(self.mesh.devices.size))
         return _sharded_sparse_knn(
             q_idx, q_val, self.indices, self.values, k, k_local,

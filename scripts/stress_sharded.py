@@ -82,13 +82,17 @@ def main():
     assert list(idx[0]) == list(best_i), (idx[0], best_i)
     print("OK: distributed top-10 equals memmap brute force")
 
-    # 2-D grid: 4 corpus shards x 2 query groups (rows replicate across
-    # the query axis, so run at n/2 to keep the same total footprint).
+    # 2-D grid: devices/2 corpus shards x 2 query groups (rows replicate
+    # across the query axis, so run at n/2 to keep the same footprint).
+    if args.devices < 4:
+        print("skipping 2-D grid (needs >= 4 devices)")
+        os.unlink(path)
+        return
     from innr_tpu.parallel import GridIndex, grid_mesh
 
     n_grid = n // 2
     t0 = time.perf_counter()
-    grid = GridIndex(src[:n_grid], grid_mesh(4, 2))
+    grid = GridIndex(src[:n_grid], grid_mesh(args.devices // 2, 2))
     gvals, gidx = grid.knn_dot(qs, 10)
     gvals, gidx = np.asarray(gvals), np.asarray(gidx)
     print(f"2-D grid (4 shards x 2 query groups) over {n_grid} rows: "

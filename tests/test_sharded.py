@@ -870,6 +870,10 @@ class TestShardedSparseMaxSim:
         # edges
         v, i = sc.knn(q, 0)
         assert len(np.asarray(i)) == 0
+        # empty query: every doc scores 0.0 -> k zero-score results,
+        # matching the single-chip sparse_maxsim_knn contract
         v, i = sc.knn([], 3)
-        assert len(np.asarray(i)) == 0
+        wv, wi = it.sparse_maxsim_knn([], docs, 3)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(wi))
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(wv))
         assert sc.num_docs == 40 and sc.memory_bytes() > 0

@@ -265,3 +265,46 @@ class TestSparseMaxSimCorpus:
         s1 = np.asarray(it.sparse_maxsim_batch(docs[0], docs))
         s2 = np.asarray(it.sparse_maxsim_batch(docs[0], triple))
         np.testing.assert_allclose(s1, s2)
+
+
+class TestSecondReviewRegressions:
+    def test_empty_query_batch(self, rng):
+        docs = [(np.array([1, 5], np.uint32), np.array([1.0, 2.0], np.float32))]
+        corpus = it.SparseCorpus(docs)
+        s, i = it.sparse_knn_batch([], corpus, 3)
+        assert np.asarray(s).shape[0] == 0
+        from innr_tpu.parallel import ShardedSparseCorpus
+
+        sc = ShardedSparseCorpus(docs * 10)
+        s, i = sc.knn_batch([], 3)
+        assert np.asarray(s).shape[0] == 0
+
+    def test_maxsim_1d_query_pair_lifted(self, rng):
+        docs = [
+            [(np.array([1, 5], np.uint32), np.array([1.0, 2.0], np.float32))],
+            [(np.array([2], np.uint32), np.array([3.0], np.float32))],
+        ]
+        one_tok = (np.array([1, 5], np.uint32), np.array([1.0, 2.0], np.float32))
+        s1 = np.asarray(it.sparse_maxsim_batch(one_tok, docs))
+        s2 = np.asarray(it.sparse_maxsim_batch([one_tok], docs))
+        np.testing.assert_allclose(s1, s2)
+        with pytest.raises(it.ContractError):
+            it.sparse_maxsim_batch(
+                (np.array([1], np.uint32), np.array([1.0, 2.0], np.float32)), docs
+            )
+
+    def test_sharded_maxsim_empty_query_parity(self, rng):
+        import jax
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        from innr_tpu.parallel import ShardedSparseMaxSimCorpus
+
+        docs = [
+            [(np.array([3], np.uint32), np.array([1.0], np.float32))]
+            for _ in range(12)
+        ]
+        sc = ShardedSparseMaxSimCorpus(docs)
+        v, i = sc.knn([], 3)
+        wv, wi = it.sparse_maxsim_knn([], docs, 3)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(wi))
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(wv))
