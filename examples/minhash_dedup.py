@@ -15,27 +15,7 @@ Run: python examples/minhash_dedup.py
 import numpy as np
 
 import innr_tpu as it
-
-# FNV-1a over (seed, value) — a cheap universal-ish hash family for MinHash.
-_FNV_PRIME = np.uint64(1099511628211)
-_FNV_BASIS = np.uint64(14695981039346656037)
-
-
-def _hash64(seed: int, values: np.ndarray) -> np.ndarray:
-    h = np.full(values.shape, _FNV_BASIS ^ np.uint64(seed * 0x9E3779B9), np.uint64)
-    v = values.astype(np.uint64)
-    for shift in (0, 16, 32, 48):
-        h = (h ^ ((v >> np.uint64(shift)) & np.uint64(0xFFFF))) * _FNV_PRIME
-    return h
-
-
-def minhash_sketch(shingles: set, num_slots: int) -> np.ndarray:
-    """num_slots independent min-hashes of the shingle set, as u32 slots."""
-    values = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
-    sketch = np.empty(num_slots, np.uint32)
-    for s in range(num_slots):
-        sketch[s] = np.uint32(np.min(_hash64(s, values)) & np.uint64(0xFFFFFFFF))
-    return sketch
+from innr_tpu.loader import minhash_sketch_host
 
 
 def shingle(tokens: np.ndarray, width: int = 3) -> set:
@@ -75,7 +55,11 @@ def main():
         dup_pairs.append((i, i + 1))
 
     shingle_sets = [shingle(d) for d in docs]
-    sketches = np.stack([minhash_sketch(s, num_slots) for s in shingle_sets])
+    # Native host encoder (pthread-parallel C, NumPy fallback identical):
+    sketches = minhash_sketch_host(
+        [np.fromiter(s, dtype=np.uint64, count=len(s)) for s in shingle_sets],
+        num_slots,
+    )
     print(f"{n_docs} docs -> {num_slots}-slot u32 sketches "
           f"({sketches.nbytes / 1e6:.1f} MB)")
 

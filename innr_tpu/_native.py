@@ -51,7 +51,7 @@ def _load():
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
         return None
-    if lib.innr_native_abi_version() != 2:
+    if lib.innr_native_abi_version() != 3:
         return None
 
     u32p = ctypes.POINTER(ctypes.c_uint32)
@@ -79,6 +79,11 @@ def _load():
         f32p, i64, i64, ctypes.c_float, ctypes.c_float, u8p, i32,
     ]
     lib.innr_hamming_scan.argtypes = [u32p, u32p, i64, i64, u32p]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.innr_minhash_rows_mt.argtypes = [
+        u64p, i64p, i64, ctypes.c_int32, u32p, ctypes.c_int32,
+    ]
     lib.innr_hamming_words.restype = ctypes.c_uint64
     lib.innr_hamming_words.argtypes = [u32p, u32p, i64]
     _lib = lib
@@ -199,5 +204,28 @@ def hamming_scan(query: np.ndarray, corpus: np.ndarray) -> np.ndarray | None:
     lib.innr_hamming_scan(
         _ptr(query, ctypes.c_uint32), _ptr(corpus, ctypes.c_uint32),
         corpus.shape[0], corpus.shape[1], _ptr(out, ctypes.c_uint32),
+    )
+    return out
+
+
+def minhash_rows(items: np.ndarray, offsets: np.ndarray, n_slots: int) -> np.ndarray | None:
+    """MinHash-sketch ragged documents: ``items`` is the concatenation of
+    all docs' u64 item hashes, ``offsets`` the (n_docs + 1,) int64 prefix.
+    Returns (n_docs, n_slots) uint32 sketches, or None when native is
+    unavailable. Bit-identical to the NumPy fallback in loader.py."""
+    lib = _load()
+    if lib is None:
+        return None
+    items = np.ascontiguousarray(items, dtype=np.uint64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n_docs = offsets.size - 1
+    out = np.empty((n_docs, int(n_slots)), dtype=np.uint32)
+    lib.innr_minhash_rows_mt(
+        _ptr(items, ctypes.c_uint64),
+        _ptr(offsets, ctypes.c_int64),
+        n_docs,
+        int(n_slots),
+        _ptr(out, ctypes.c_uint32),
+        _n_threads(n_docs),
     )
     return out

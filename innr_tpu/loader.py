@@ -20,6 +20,7 @@ from innr_tpu.ops.ternary import PackedTernaryBatch
 __all__ = [
     "encode_binary_host",
     "encode_ternary_host",
+    "minhash_sketch_host",
     "quantize_u8_host",
 ]
 
@@ -67,3 +68,44 @@ def quantize_u8_host(rows, params: QuantizationParams) -> QuantizedU8Batch:
         # not np.round's half-to-even.
         codes = np.clip(np.floor(normalized + 0.5), 0, 255).astype(np.uint8)
     return QuantizedU8Batch(codes)
+
+
+def _splitmix64_np(x: np.ndarray) -> np.ndarray:
+    """NumPy mirror of the C runtime's splitmix64 (bit-identical)."""
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def minhash_sketch_host(docs, n_slots: int) -> np.ndarray:
+    """MinHash-sketch a collection of item sets on the host CPU.
+
+    ``docs``: list of 1-D uint64 item arrays (shingle hashes; empty docs
+    allowed -> all-0xFFFFFFFF sketch rows). Returns ``(n_docs, n_slots)``
+    uint32 sketches ready for :class:`innr_tpu.SketchCorpus` /
+    :class:`innr_tpu.parallel.ShardedSlotCorpus`. Native C fast path
+    (pthread-parallel over docs, bit-identical at any thread count) with
+    a NumPy fallback computing the identical splitmix64-seeded hashes.
+    """
+    arrs = [np.ascontiguousarray(d, dtype=np.uint64).ravel() for d in docs]
+    offsets = np.zeros(len(arrs) + 1, np.int64)
+    np.cumsum([a.size for a in arrs], out=offsets[1:])
+    items = (
+        np.concatenate(arrs) if arrs else np.zeros(0, np.uint64)
+    )
+    out = _native.minhash_rows(items, offsets, int(n_slots))
+    if out is not None:
+        return out
+    n_docs = len(arrs)
+    out = np.full((n_docs, int(n_slots)), 0xFFFFFFFF, np.uint32)
+    seeds = np.uint64(0x9E3779B97F4A7C15) * (
+        np.arange(1, int(n_slots) + 1, dtype=np.uint64)
+    )
+    with np.errstate(over="ignore"):
+        for d, a in enumerate(arrs):
+            if a.size == 0:
+                continue
+            h = _splitmix64_np(a[:, None] + seeds[None, :])  # (m, S)
+            out[d] = (h >> np.uint64(32)).min(axis=0).astype(np.uint32)
+    return out

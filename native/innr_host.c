@@ -240,6 +240,81 @@ void innr_hamming_scan(const uint32_t *query, const uint32_t *corpus,
   }
 }
 
-/* ABI version for the ctypes loader. v2: +pack_ternary_rows, +_mt
- * parallel row encoders. */
-int32_t innr_native_abi_version(void) { return 2; }
+/* ------------------------------------------------------------- minhash --
+ * MinHash sketch encoder: one u32 sketch row per document from its set of
+ * 64-bit items (shingle hashes). Per-slot hash is splitmix64 seeded by the
+ * slot number; the sketch slot is the minimum top-32-bits over the items.
+ * The NumPy fallback in loader.py mirrors this BIT-FOR-BIT so sketches
+ * from either encoder are interchangeable.
+ */
+static inline uint64_t innr_splitmix64(uint64_t x) {
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+  return x ^ (x >> 31);
+}
+
+void innr_minhash_rows(const uint64_t *items, const int64_t *offsets,
+                       int64_t n_docs, int32_t n_slots, uint32_t *out) {
+  for (int64_t d = 0; d < n_docs; ++d) {
+    const uint64_t *it = items + offsets[d];
+    int64_t m = offsets[d + 1] - offsets[d];
+    uint32_t *row = out + d * n_slots;
+    for (int32_t s = 0; s < n_slots; ++s) {
+      uint64_t seed = 0x9E3779B97F4A7C15ULL * (uint64_t)(s + 1);
+      uint32_t best = 0xFFFFFFFFu; /* empty doc -> all-max sketch */
+      for (int64_t i = 0; i < m; ++i) {
+        uint32_t h = (uint32_t)(innr_splitmix64(it[i] + seed) >> 32);
+        if (h < best) best = h;
+      }
+      row[s] = best;
+    }
+  }
+}
+
+typedef struct {
+  const uint64_t *items;
+  const int64_t *offsets;
+  int64_t n_docs;
+  int32_t n_slots;
+  uint32_t *out;
+} mh_job;
+
+static void *mh_worker(void *arg) {
+  const mh_job *j = (const mh_job *)arg;
+  innr_minhash_rows(j->items, j->offsets, j->n_docs, j->n_slots, j->out);
+  return 0;
+}
+
+void innr_minhash_rows_mt(const uint64_t *items, const int64_t *offsets,
+                          int64_t n_docs, int32_t n_slots, uint32_t *out,
+                          int32_t n_threads) {
+  if (n_threads > INNR_MAX_THREADS) n_threads = INNR_MAX_THREADS;
+  if (n_threads < 2 || n_docs < n_threads * 4) {
+    innr_minhash_rows(items, offsets, n_docs, n_slots, out);
+    return;
+  }
+  pthread_t tids[INNR_MAX_THREADS];
+  mh_job jobs[INNR_MAX_THREADS];
+  int64_t chunk = (n_docs + n_threads - 1) / n_threads;
+  int started = 0;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t d0 = (int64_t)t * chunk;
+    if (d0 >= n_docs) break;
+    int64_t d1 = d0 + chunk < n_docs ? d0 + chunk : n_docs;
+    jobs[t].items = items;
+    jobs[t].offsets = offsets + d0;
+    jobs[t].n_docs = d1 - d0;
+    jobs[t].n_slots = n_slots;
+    jobs[t].out = out + d0 * n_slots;
+    if (pthread_create(&tids[t], 0, mh_worker, &jobs[t]) != 0) {
+      mh_worker(&jobs[t]);
+      tids[t] = 0;
+    }
+    started = t + 1;
+  }
+  for (int t = 0; t < started; ++t)
+    if (tids[t]) pthread_join(tids[t], 0);
+}
+
+/* ABI version for the ctypes loader. v3: +minhash sketch encoder. */
+int32_t innr_native_abi_version(void) { return 3; }

@@ -141,3 +141,46 @@ def _pack_rows_numpy_ref(bits: np.ndarray) -> np.ndarray:
     grouped = bits.reshape(bits.shape[:-1] + (w, 32)).astype(np.uint32)
     shifts = np.arange(32, dtype=np.uint32)
     return (grouped << shifts).sum(axis=-1).astype(np.uint32)
+
+
+class TestMinHashEncoder:
+    def test_native_matches_numpy_bit_for_bit(self, rng):
+        from innr_tpu import _native
+        from innr_tpu.loader import minhash_sketch_host
+
+        docs = [
+            rng.integers(0, 2**63, int(rng.integers(1, 40)), dtype=np.uint64)
+            for _ in range(50)
+        ]
+        docs.append(np.zeros(0, np.uint64))  # empty doc
+        got = minhash_sketch_host(docs, 16)
+        # force the numpy fallback
+        import innr_tpu.loader as loader
+
+        real = _native.minhash_rows
+        try:
+            _native.minhash_rows = lambda *a, **k: None
+            want = minhash_sketch_host(docs, 16)
+        finally:
+            _native.minhash_rows = real
+        np.testing.assert_array_equal(got, want)
+        assert np.all(got[-1] == 0xFFFFFFFF)  # empty doc -> all-max
+
+    def test_sketches_estimate_jaccard_and_retrieve(self, rng):
+        import innr_tpu as it
+        from innr_tpu.loader import minhash_sketch_host
+
+        base = rng.integers(0, 2**62, 300, dtype=np.uint64)
+        near = base.copy()
+        near[:15] = rng.integers(0, 2**62, 15, dtype=np.uint64)  # ~90% overlap
+        far = rng.integers(0, 2**62, 300, dtype=np.uint64)
+        sketches = minhash_sketch_host([base, near, far], 128)
+        j_near = float(it.minhash_jaccard(sketches[0], sketches[1]))
+        j_far = float(it.minhash_jaccard(sketches[0], sketches[2]))
+        true_near = len(set(base.tolist()) & set(near.tolist())) / len(
+            set(base.tolist()) | set(near.tolist())
+        )
+        assert abs(j_near - true_near) < 0.15
+        assert j_far < 0.15
+        sims, idx = it.minhash_knn(sketches[0], it.SketchCorpus(sketches), 2)
+        assert list(np.asarray(idx)) == [0, 1]
