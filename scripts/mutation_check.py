@@ -136,8 +136,8 @@ MUTANTS = [
     Mutant(
         "slot-knn-key-negation-dropped",
         "innr_tpu/kernels/slot_knn.py",
-        "    counts = jnp.sum(diff, axis=1)  # (Q, T)\n    keys = -counts\n",
-        "    counts = jnp.sum(diff, axis=1)  # (Q, T)\n    keys = counts\n",
+        "        counts = chunk if counts is None else counts + chunk\n    keys = -counts\n",
+        "        counts = chunk if counts is None else counts + chunk\n    keys = counts\n",
         ("tests/test_slot.py",),
     ),
     Mutant(
@@ -146,6 +146,27 @@ MUTANTS = [
         "        keys = jnp.where(norms_ref[1:2, :] > 0.0, keys, _INT_MIN)\n",
         "        keys = jnp.where(norms_ref[1:2, :] <= 0.0, keys, _INT_MIN)\n",
         ("tests/test_batch.py",),
+    ),
+    Mutant(
+        "sparse-join-match-polarity-flip",
+        "innr_tpu/ops/sparse.py",
+        "    matched = q_idx[pos] == idx_any\n",
+        "    matched = q_idx[pos] != idx_any\n",
+        ("tests/test_sparse.py",),
+    ),
+    Mutant(
+        "sparse-join-match-guard-dropped",
+        "innr_tpu/ops/sparse.py",
+        "    return jnp.sum(jnp.where(matched, val_any * q_val[pos], 0.0), axis=-1)\n",
+        "    return jnp.sum(val_any * q_val[pos], axis=-1)\n",
+        ("tests/test_sparse.py",),
+    ),
+    Mutant(
+        "minhash-encoder-max-instead-of-min",
+        "innr_tpu/loader.py",
+        "            out[d] = (h >> np.uint64(32)).min(axis=0).astype(np.uint32)\n",
+        "            out[d] = (h >> np.uint64(32)).max(axis=0).astype(np.uint32)\n",
+        ("tests/test_native_loader.py",),
     ),
 ]
 

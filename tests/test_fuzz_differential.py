@@ -147,3 +147,63 @@ class TestSlotDiff:
         b = np.frombuffer(rng.bytes(n), dtype=np.uint8).copy()
         assert int(it.hamming_distance(a, b)) == ref.hamming_portable(a, b)
         assert int(it.dot_u8(a, b)) == ref.dot_u8_portable(a, b)
+
+
+class TestSparseJoinFuzz:
+    """Raw-byte f32 values (NaN/inf/subnormal/-0.0) through the sparse
+    join vs a host scatter oracle — NaN contributions must propagate
+    exactly as the reference's merge-join multiply-accumulate does."""
+
+    def test_nonfinite_values_differential(self, rng):
+        vocab = 64
+        for trial in range(20):
+            raw = rng.integers(0, 2**32, 24, dtype=np.uint32)
+            vals = raw.view(np.float32).copy()
+            nnz_q, nnz_d = 8, 16
+            q_i = np.sort(rng.choice(vocab, nnz_q, replace=False)).astype(np.uint32)
+            q_v = vals[:nnz_q]
+            d_i = np.sort(rng.choice(vocab, nnz_d, replace=False)).astype(np.uint32)
+            d_v = vals[nnz_q : nnz_q + nnz_d]
+            got = float(it.sparse_dot(q_i, q_v, d_i, d_v))
+            # host oracle via dense scatter in f32 (exact same products)
+            dq = np.zeros(vocab, np.float32)
+            dq[q_i.astype(np.int64)] = q_v
+            dd = np.zeros(vocab, np.float32)
+            dd[d_i.astype(np.int64)] = d_v
+            mask = np.zeros(vocab, bool)
+            mask[q_i.astype(np.int64)] = True
+            m2 = np.zeros(vocab, bool)
+            m2[d_i.astype(np.int64)] = True
+            both = mask & m2
+            want = float(np.sum(np.float32(dq[both]) * np.float32(dd[both]), dtype=np.float32))
+            if np.isnan(want):
+                assert np.isnan(got), trial
+            else:
+                assert got == want or abs(got - want) <= 1e-6 * max(
+                    1.0, np.sum(np.abs(dq[both] * dd[both]))
+                ), trial
+
+    def test_corpus_scan_nonfinite(self, rng):
+        raw = rng.integers(0, 2**32, (50, 8), dtype=np.uint32)
+        vals = raw.view(np.float32)
+        docs = []
+        for r in range(50):
+            idx = np.sort(rng.choice(100, 8, replace=False)).astype(np.uint32)
+            docs.append((idx, vals[r].copy()))
+        corpus = it.SparseCorpus(docs)
+        q = docs[7]
+        scores, _ = it.sparse_knn(q, corpus, 50)
+        # every returned score is either finite and matches the pairwise
+        # op, or NaN on both paths (NaN sorts first under total order)
+        s_all = {
+            i: float(it.sparse_dot(q[0], q[1], d[0], d[1])) for i, d in enumerate(docs)
+        }
+        got_sorted = np.asarray(scores)
+        finite_want = sorted(
+            (v for v in s_all.values() if not np.isnan(v)), reverse=True
+        )
+        n_nan = sum(1 for v in s_all.values() if np.isnan(v))
+        assert np.isnan(got_sorted[:n_nan]).all() if n_nan else True
+        np.testing.assert_allclose(
+            got_sorted[n_nan:], finite_want, rtol=1e-6, atol=0
+        )
