@@ -124,6 +124,8 @@ from innr_tpu.ops.slot import (
     slot_hamming_u16,
     slot_hamming_u32,
     slot_hamming_u64,
+    slot_knn_u16,
+    slot_knn_u16_batch,
     slot_knn_u32,
     slot_knn_u32_batch,
 )

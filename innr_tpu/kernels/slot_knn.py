@@ -34,9 +34,14 @@ from innr_tpu.kernels.knn import (
 from innr_tpu.utils.padding import round_up
 
 
-def _pick_tile_n(n: int, s: int) -> int:
+def _pick_tile_n(n: int, s: int, itemsize: int = 4) -> int:
+    # u16 tiles widen to i32 in-kernel, so their live footprint is raw
+    # (2s) + widened (4s) per lane — budget 3 bytes/slot instead of 2
+    # (a 2-bytes/slot budget measured 2% over the 16 MB scoped-VMEM
+    # limit at S=128 on v5e).
+    eff = 4 if itemsize == 4 else 3
     budget = 4 * 1024 * 1024
-    tile = budget // max(s * 4, 1)
+    tile = budget // max(s * eff, 1)
     tile = max(512, min(16384, tile))
     return round_up(min(tile, max(n, 128)), 128)
 
@@ -60,6 +65,9 @@ def _pick_tile_n_mq(n: int, s: int, n_q: int) -> int:
     return round_up(min(tile, max(n, 128)), 128)
 
 
+_SLOT_DTYPES = (jnp.uint32, jnp.uint16)
+
+
 def _slot_kernel(n_rows, k, q_ref, slots_ref, keys_out, idx_out, best_keys, best_idx):
     step = pl.program_id(0)
     tile_n = slots_ref.shape[1]
@@ -67,7 +75,13 @@ def _slot_kernel(n_rows, k, q_ref, slots_ref, keys_out, idx_out, best_keys, best
     init_topk_state(best_keys, best_idx)
 
     # (S, T) tile vs (S, 1) query -> per-sketch differing-slot counts (1, T).
-    diff = (slots_ref[:] != q_ref[:]).astype(jnp.int32)
+    # u16 sketches widen to i32 on-chip: Mosaic's VPU has no 16-bit vector
+    # compare ("Target does not support this comparison", found on
+    # silicon) — the HBM read stays 2 bytes/slot, which is the u16 win.
+    tile, qv = slots_ref[:], q_ref[:]
+    if tile.dtype == jnp.uint16:
+        tile, qv = tile.astype(jnp.int32), qv.astype(jnp.int32)
+    diff = (tile != qv).astype(jnp.int32)
     counts = jnp.sum(diff, axis=0, keepdims=True)
     keys = -counts  # fewer differing slots = better
     keys, global_idx = masked_global_idx(step, 1, tile_n, n_rows, keys)
@@ -86,7 +100,7 @@ def fused_slot_knn(q_slots: jax.Array, corpus_slots_t: jax.Array, k: int):
     Returns ``(counts (k,) uint32 ascending, indices (k,) int32)``.
     """
     s, n = corpus_slots_t.shape
-    tile_n = _pick_tile_n(n, s)
+    tile_n = _pick_tile_n(n, s, corpus_slots_t.dtype.itemsize)
     k_pad = round_up(k, _K_LANE)
     grid = ((n + tile_n - 1) // tile_n,)
 
@@ -132,7 +146,11 @@ def _slot_kernel_mq(
     counts = None
     for s0 in range(0, s, _S_CHUNK):
         s1 = min(s0 + _S_CHUNK, s)
-        diff = (slots_ref[:, s0:s1, :] != q_ref[:, s0:s1, :]).astype(jnp.int32)
+        tile = slots_ref[:, s0:s1, :]
+        qv = q_ref[:, s0:s1, :]
+        if tile.dtype == jnp.uint16:  # no 16-bit VPU compare (see above)
+            tile, qv = tile.astype(jnp.int32), qv.astype(jnp.int32)
+        diff = (tile != qv).astype(jnp.int32)
         chunk = jnp.sum(diff, axis=1)  # (Q, T)
         counts = chunk if counts is None else counts + chunk
     keys = -counts

@@ -36,6 +36,8 @@ __all__ = [
     "minhash_jaccard",
     "jaccard_distance",
     "batch_slot_hamming_u32",
+    "slot_knn_u16",
+    "slot_knn_u16_batch",
     "slot_knn_u32",
     "slot_knn_u32_batch",
     "minhash_knn",
@@ -172,7 +174,7 @@ def jaccard_distance(a, b) -> jax.Array:
 
 
 class SketchCorpus:
-    """An (N, S) u32 sketch corpus with a cached slot-major transpose.
+    """An (N, S) sketch corpus with a cached slot-major transpose.
 
     The container form of a MinHash / slot-sketch collection (analog of
     ``PackedBinaryBatch`` for word planes): the fused streaming slot-kNN
@@ -181,10 +183,20 @@ class SketchCorpus:
     exactly one corpus HBM read, never a layout copy per call. Raw-data
     accessor preserved (``sketches``) per the reference's serialization
     contract (``src/slot.rs`` containers expose their slots).
+
+    Slots are uint32 by default; uint16 sketches (the b-bit MinHash b=16
+    width of reference ``src/slot.rs:158``) store at half the HBM bytes
+    and scan at twice the lanes — pass a uint16 array or
+    ``dtype=jnp.uint16``.
     """
 
-    def __init__(self, sketches):
-        sketches = jnp.asarray(sketches, dtype=jnp.uint32)
+    def __init__(self, sketches, dtype=None):
+        arr = np.asarray(sketches)
+        if dtype is None:
+            dtype = jnp.uint16 if arr.dtype == np.uint16 else jnp.uint32
+        if dtype not in (jnp.uint16, jnp.uint32):
+            raise ContractError("SketchCorpus: dtype must be uint16 or uint32")
+        sketches = jnp.asarray(arr, dtype=dtype)
         if sketches.ndim != 2:
             raise ContractError("SketchCorpus: sketches must be 2-D (N, S)")
         self.sketches = sketches
@@ -198,20 +210,29 @@ class SketchCorpus:
     def num_slots(self) -> int:
         return int(self.sketches.shape[1])
 
+    @property
+    def dtype(self):
+        return self.sketches.dtype
+
     def memory_bytes(self) -> int:
         # Both the row-major sketches and the cached slot-major transpose
-        # live on device — report the true footprint (8 bytes/slot).
-        return int(self.sketches.size) * 8
+        # live on device — report the true footprint (2x itemsize/slot).
+        return int(self.sketches.size) * 2 * self.sketches.dtype.itemsize
 
 
-def _slot_corpus(corpus):
+def _slot_corpus(corpus, dtype):
     """Normalize corpus input: (SketchCorpus | (N, S) array) -> container
-    fields. A raw array stays on the jnp path (transposing it on device
-    would cost a full corpus copy per call — build a SketchCorpus once to
-    enable the fused kernel)."""
+    fields, checking the slot width. A raw array stays on the jnp path
+    (transposing it on device would cost a full corpus copy per call —
+    build a SketchCorpus once to enable the fused kernel)."""
     if isinstance(corpus, SketchCorpus):
+        if corpus.dtype != jnp.dtype(dtype):
+            raise ContractError(
+                f"slot kNN: corpus slot dtype {corpus.dtype} does not match "
+                f"the {jnp.dtype(dtype)} entry point"
+            )
         return corpus.sketches, corpus.slots_t
-    return jnp.asarray(corpus, dtype=jnp.uint32), None
+    return jnp.asarray(corpus, dtype=dtype), None
 
 
 def _use_fused_slot(n: int, k: int, slots_t) -> bool:
@@ -225,23 +246,14 @@ def _use_fused_slot(n: int, k: int, slots_t) -> bool:
     )
 
 
-def slot_knn_u32(query, corpus, k: int):
-    """Top-k most similar u32 sketches: smallest differing-slot counts.
-
-    TPU-native sketch retrieval (the reference provides only the pairwise
-    primitive; a MinHash corpus scan is its natural batch form). ``query``:
-    (S,) uint32; ``corpus``: (N, S) uint32 or a :class:`SketchCorpus`
-    (which enables the fused streaming kernel for large N). Returns
-    ``(counts ascending, indices)`` as jnp arrays.
-    """
-    query = jnp.asarray(query, dtype=jnp.uint32)
+def _sketch_knn(query, corpus, k: int, dtype, op: str):
+    query = jnp.asarray(query, dtype=dtype)
     if query.ndim != 1:
         raise ContractError(
-            "slot_knn_u32: query must be 1-D (S,); use slot_knn_u32_batch "
-            "for (Q, S) batches"
+            f"{op}: query must be 1-D (S,); use {op}_batch for (Q, S) batches"
         )
-    sketches, slots_t = _slot_corpus(corpus)
-    _check_len(query, sketches, "slot_knn_u32")
+    sketches, slots_t = _slot_corpus(corpus, dtype)
+    _check_len(query, sketches, op)
     n = int(sketches.shape[0])
     if n == 0 or k <= 0:
         return jnp.zeros((0,), jnp.uint32), jnp.zeros((0,), jnp.int32)
@@ -255,18 +267,12 @@ def slot_knn_u32(query, corpus, k: int):
     return (-neg).astype(jnp.uint32), idx
 
 
-def slot_knn_u32_batch(queries, corpus, k: int):
-    """Multi-query slot-sketch kNN: one fused launch for a (Q, S) sketch
-    batch (all queries share one corpus read).
-
-    ``corpus``: (N, S) uint32 or :class:`SketchCorpus`. Returns
-    ``(counts (Q, k) ascending, indices (Q, k))``.
-    """
-    queries = jnp.asarray(queries, dtype=jnp.uint32)
+def _sketch_knn_batch(queries, corpus, k: int, dtype, op: str):
+    queries = jnp.asarray(queries, dtype=dtype)
     if queries.ndim != 2:
-        raise ContractError("slot_knn_u32_batch: queries must be 2-D (Q, S)")
-    sketches, slots_t = _slot_corpus(corpus)
-    _check_len(queries, sketches, "slot_knn_u32_batch")
+        raise ContractError(f"{op}: queries must be 2-D (Q, S)")
+    sketches, slots_t = _slot_corpus(corpus, dtype)
+    _check_len(queries, sketches, op)
     n = int(sketches.shape[0])
     n_q = int(queries.shape[0])
     if n == 0 or k <= 0:
@@ -283,13 +289,59 @@ def slot_knn_u32_batch(queries, corpus, k: int):
     return (-neg).astype(jnp.uint32), idx
 
 
+def slot_knn_u32(query, corpus, k: int):
+    """Top-k most similar u32 sketches: smallest differing-slot counts.
+
+    TPU-native sketch retrieval (the reference provides only the pairwise
+    primitive; a MinHash corpus scan is its natural batch form). ``query``:
+    (S,) uint32; ``corpus``: (N, S) uint32 or a :class:`SketchCorpus`
+    (which enables the fused streaming kernel for large N). Returns
+    ``(counts ascending, indices)`` as jnp arrays.
+    """
+    return _sketch_knn(query, corpus, k, jnp.uint32, "slot_knn_u32")
+
+
+def slot_knn_u32_batch(queries, corpus, k: int):
+    """Multi-query slot-sketch kNN: one fused launch for a (Q, S) sketch
+    batch (all queries share one corpus read).
+
+    ``corpus``: (N, S) uint32 or :class:`SketchCorpus`. Returns
+    ``(counts (Q, k) ascending, indices (Q, k))``.
+    """
+    return _sketch_knn_batch(queries, corpus, k, jnp.uint32, "slot_knn_u32_batch")
+
+
+def slot_knn_u16(query, corpus, k: int):
+    """Top-k most similar u16 sketches (the b=16 b-bit MinHash width,
+    reference ``src/slot.rs:158``): half the HBM bytes and twice the VPU
+    lanes of the u32 scan. ``corpus``: (N, S) uint16 or a uint16
+    :class:`SketchCorpus`."""
+    return _sketch_knn(query, corpus, k, jnp.uint16, "slot_knn_u16")
+
+
+def slot_knn_u16_batch(queries, corpus, k: int):
+    """Multi-query u16 sketch kNN (see :func:`slot_knn_u16`)."""
+    return _sketch_knn_batch(queries, corpus, k, jnp.uint16, "slot_knn_u16_batch")
+
+
+def _minhash_dtype(query, corpus):
+    if isinstance(corpus, SketchCorpus):
+        return corpus.dtype
+    if np.asarray(query).dtype == np.uint16:
+        return jnp.dtype(jnp.uint16)
+    return jnp.dtype(jnp.uint32)
+
+
 def minhash_knn(query, corpus, k: int):
     """Top-k sketches by MinHash Jaccard similarity (descending).
 
     Returns ``(similarities, indices)``; similarity = matching-slot
     fraction, the :func:`minhash_jaccard` estimator applied corpus-wide.
+    Works over u32 or u16 sketch corpora (dtype follows the container).
     """
-    counts, idx = slot_knn_u32(query, corpus, k)
+    counts, idx = _sketch_knn(
+        query, corpus, k, _minhash_dtype(query, corpus), "minhash_knn"
+    )
     s = jnp.asarray(query).shape[-1]
     sims = 1.0 - counts.astype(jnp.float32) / jnp.float32(max(s, 1))
     return sims, idx
@@ -298,7 +350,9 @@ def minhash_knn(query, corpus, k: int):
 def minhash_knn_batch(queries, corpus, k: int):
     """Multi-query MinHash retrieval: (Q, S) sketches -> top-k Jaccard
     similarities (descending) per query, one corpus read for the batch."""
-    counts, idx = slot_knn_u32_batch(queries, corpus, k)
+    counts, idx = _sketch_knn_batch(
+        queries, corpus, k, _minhash_dtype(queries, corpus), "minhash_knn_batch"
+    )
     s = jnp.asarray(queries).shape[-1]
     sims = 1.0 - counts.astype(jnp.float32) / jnp.float32(max(s, 1))
     return sims, idx

@@ -83,13 +83,24 @@ def _sharded_slot_knn(
 
 
 class ShardedSlotCorpus:
-    """A u32 sketch corpus sharded sketch-wise (slot-major) across a mesh.
+    """A sketch corpus sharded sketch-wise (slot-major) across a mesh.
 
     The multi-chip analog of :class:`innr_tpu.ops.slot.SketchCorpus`.
+    Slots are uint32 by default; uint16 input (b=16 b-bit MinHash) halves
+    per-device HBM.
     """
 
-    def __init__(self, sketches, mesh: Mesh | None = None):
-        sketches = jnp.asarray(sketches, dtype=jnp.uint32)
+    def __init__(self, sketches, mesh: Mesh | None = None, dtype=None):
+        import numpy as np
+
+        arr = np.asarray(sketches)
+        if dtype is None:
+            dtype = jnp.uint16 if arr.dtype == np.uint16 else jnp.uint32
+        if dtype not in (jnp.uint16, jnp.uint32):
+            raise ContractError(
+                "ShardedSlotCorpus: dtype must be uint16 or uint32"
+            )
+        sketches = jnp.asarray(arr, dtype=dtype)
         if sketches.ndim != 2:
             raise ContractError("ShardedSlotCorpus: sketches must be 2-D (N, S)")
         self.mesh = mesh if mesh is not None else default_mesh()
@@ -136,10 +147,10 @@ class ShardedSlotCorpus:
         return self._num_slots
 
     def memory_bytes(self) -> int:
-        return int(self.slots_t.size) * 4
+        return int(self.slots_t.size) * self.slots_t.dtype.itemsize
 
     def _check_q(self, q, op: str):
-        q = jnp.asarray(q, dtype=jnp.uint32)
+        q = jnp.asarray(q, dtype=self.slots_t.dtype)
         if q.shape[-1] != self._num_slots:
             raise ContractError(
                 f"ShardedSlotCorpus.{op}: query slots {q.shape[-1]} != "

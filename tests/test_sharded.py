@@ -877,3 +877,18 @@ class TestShardedSparseMaxSim:
         np.testing.assert_array_equal(np.asarray(i), np.asarray(wi))
         np.testing.assert_array_equal(np.asarray(v), np.asarray(wv))
         assert sc.num_docs == 40 and sc.memory_bytes() > 0
+
+
+class TestShardedSlotU16:
+    def test_u16_sharded_matches_single_chip(self, rng, devices_ok):
+        from innr_tpu.parallel import ShardedSlotCorpus
+
+        sk = rng.integers(0, 1 << 16, (600, 24)).astype(np.uint16)
+        sc = ShardedSlotCorpus(sk)
+        assert sc.memory_bytes() == sc.slots_t.size * 2
+        counts, idx = sc.knn(sk[123], 5)
+        wc, wi = it.slot_knn_u16(sk[123], sk, 5)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(wi))
+        np.testing.assert_array_equal(np.asarray(counts), np.asarray(wc))
+        cb, ib = sc.knn_batch(sk[:3], 4)
+        np.testing.assert_array_equal(np.asarray(ib)[:, 0], [0, 1, 2])

@@ -274,3 +274,60 @@ class TestSketchCorpusFused:
             it.slot_knn_u32_batch(
                 rng.integers(0, 4, (2, 17)).astype(np.uint32), corpus, 3
             )
+
+
+class TestU16SketchCorpus:
+    """u16 (b=16 b-bit MinHash) sketch retrieval: exact parity with the
+    u32 oracle semantics at half the bytes."""
+
+    def test_u16_knn_matches_bruteforce(self, rng):
+        corpus = rng.integers(0, 1 << 16, (2400, 64)).astype(np.uint16)
+        container = it.SketchCorpus(corpus)
+        assert container.dtype == jnp.uint16
+        assert container.memory_bytes() == 2400 * 64 * 2 * 2
+        q = corpus[77]
+        counts, idx = it.slot_knn_u16(q, container, 5)
+        ref = np.sum(corpus != q[None, :], axis=1)
+        want = np.argsort(ref, kind="stable")[:5]
+        np.testing.assert_array_equal(np.asarray(idx), want)
+        np.testing.assert_array_equal(np.asarray(counts), ref[want])
+        assert int(np.asarray(idx)[0]) == 77
+
+    def test_u16_batch_and_fused_dispatch(self, rng, monkeypatch):
+        from innr_tpu.kernels import slot_knn as kslot
+
+        corpus = rng.integers(0, 1 << 16, (2200, 32)).astype(np.uint16)
+        container = it.SketchCorpus(corpus)
+        qs = corpus[[3, 1000, 2100]]
+        calls = []
+        real = kslot.fused_slot_knn_batch
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(kslot, "fused_slot_knn_batch", spy)
+        counts_f, idx_f = it.slot_knn_u16_batch(qs, container, 4)
+        assert calls, "fused u16 kernel not exercised"
+        counts_j, idx_j = it.slot_knn_u16_batch(qs, corpus, 4)  # raw: jnp
+        np.testing.assert_array_equal(np.asarray(counts_f), np.asarray(counts_j))
+        np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx_j))
+
+    def test_minhash_follows_container_dtype(self, rng):
+        corpus16 = rng.integers(0, 1 << 16, (2100, 16)).astype(np.uint16)
+        c = it.SketchCorpus(corpus16)
+        sims, idx = it.minhash_knn_batch(corpus16[:2], c, 2)
+        np.testing.assert_array_equal(np.asarray(idx)[:, 0], [0, 1])
+        np.testing.assert_allclose(np.asarray(sims)[:, 0], 1.0)
+
+    def test_dtype_mismatch_raises(self, rng):
+        corpus16 = it.SketchCorpus(
+            rng.integers(0, 1 << 16, (50, 16)).astype(np.uint16)
+        )
+        with pytest.raises(it.ContractError):
+            it.slot_knn_u32(np.zeros(16, np.uint32), corpus16, 3)
+        corpus32 = it.SketchCorpus(
+            rng.integers(0, 100, (50, 16)).astype(np.uint32)
+        )
+        with pytest.raises(it.ContractError):
+            it.slot_knn_u16(np.zeros(16, np.uint16), corpus32, 3)
