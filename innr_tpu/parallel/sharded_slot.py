@@ -116,11 +116,12 @@ class ShardedSlotCorpus:
 
     @classmethod
     def from_sketch_source(cls, get_sketches, num_sketches: int,
-                           num_slots: int, mesh: Mesh | None = None
-                           ) -> "ShardedSlotCorpus":
+                           num_slots: int, mesh: Mesh | None = None,
+                           dtype=None) -> "ShardedSlotCorpus":
         """Stream a sketch corpus in per-shard pieces (no host
         materialization): ``get_sketches(start, stop)`` returns sketches
-        ``[start, stop)`` as ``(stop - start, S)`` uint32."""
+        ``[start, stop)`` as ``(stop - start, S)`` uint32 (or uint16 with
+        ``dtype=jnp.uint16``)."""
         from innr_tpu.parallel._stream import streamed_array
 
         self = cls.__new__(cls)
@@ -131,9 +132,10 @@ class ShardedSlotCorpus:
         self.n_pad = round_up(max(self.n_true, n_devices), n_devices)
         import numpy as np
 
+        np_dtype = np.uint16 if dtype == jnp.uint16 else np.uint32
         self.slots_t = streamed_array(
             get_sketches, self.n_true, self.n_pad, self._num_slots,
-            np.uint32, NamedSharding(self.mesh, P(None, AXIS)),
+            np_dtype, NamedSharding(self.mesh, P(None, AXIS)),
             column_major=True, name="ShardedSlotCorpus.from_sketch_source",
         )
         return self

@@ -254,3 +254,14 @@ class TestNewContainerPersistence:
         s2, i2 = it.sparse_knn(docs[3], loaded, 4)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
+
+    def test_u16_sketch_corpus_roundtrip(self, rng, tmp_path):
+        from innr_tpu.io import load_npz, save_npz
+
+        sketches = rng.integers(0, 1 << 16, (30, 8)).astype(np.uint16)
+        corpus = it.SketchCorpus(sketches)
+        p = str(tmp_path / "sk16.npz")
+        save_npz(p, corpus)
+        loaded = load_npz(p)
+        assert loaded.dtype == corpus.dtype
+        np.testing.assert_array_equal(np.asarray(loaded.sketches), sketches)

@@ -892,3 +892,17 @@ class TestShardedSlotU16:
         np.testing.assert_array_equal(np.asarray(counts), np.asarray(wc))
         cb, ib = sc.knn_batch(sk[:3], 4)
         np.testing.assert_array_equal(np.asarray(ib)[:, 0], [0, 1, 2])
+
+
+class TestStreamedU16Sketches:
+    def test_u16_stream_roundtrip(self, rng, devices_ok):
+        import jax.numpy as jnp
+        from innr_tpu.parallel import ShardedSlotCorpus
+
+        sk = rng.integers(0, 1 << 16, (100, 16)).astype(np.uint16)
+        sc = ShardedSlotCorpus.from_sketch_source(
+            lambda a, b: sk[a:b], 100, 16, dtype=jnp.uint16
+        )
+        assert sc.slots_t.dtype == jnp.uint16
+        counts, idx = sc.knn(sk[42], 3)
+        assert int(np.asarray(idx)[0]) == 42
