@@ -32,6 +32,7 @@ from innr_tpu.distance import (
     DistSlotU32,
 )
 from innr_tpu.pipeline import CoarseConfig, TwoStageIndex
+from innr_tpu.segmented import SegmentedCorpus
 from innr_tpu.batch import (
     BatchKnnResult,
     VerticalBatch,

@@ -1,0 +1,139 @@
+"""Mutable segmented corpus: add/delete/compact with exact parity against
+a fresh single-segment scan of the alive rows."""
+
+import numpy as np
+import pytest
+
+import innr_tpu as it
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _oracle(qs, rows, ids, k, mode):
+    """Exact top-k over (rows, permanent ids) with lower-id tie-break."""
+    qs = np.atleast_2d(qs).astype(np.float64)
+    out_s, out_i = [], []
+    for q in qs:
+        if mode == "dot":
+            s = rows.astype(np.float64) @ q
+            order = np.lexsort((ids, -s))
+        elif mode == "l2":
+            d = rows.astype(np.float64) - q[None, :]
+            s = np.sum(d * d, axis=1)
+            order = np.lexsort((ids, s))
+        else:
+            qs_n = q / max(np.linalg.norm(q), 1e-30)
+            rn = np.linalg.norm(rows.astype(np.float64), axis=1)
+            s = (rows.astype(np.float64) @ qs_n) / np.where(rn > 0, rn, 1.0)
+            s = np.where(rn > 1e-9, s, 0.0)
+            order = np.lexsort((ids, -s))
+        out_s.append(s[order[:k]])
+        out_i.append(ids[order[:k]])
+    return np.stack(out_s), np.stack(out_i)
+
+
+class TestSegmentedCorpus:
+    def test_add_search_across_segments(self, rng):
+        d = 32
+        sc = it.SegmentedCorpus(d)
+        r1 = rng.standard_normal((300, d)).astype(np.float32)
+        r2 = rng.standard_normal((200, d)).astype(np.float32)
+        a, b = sc.add(r1)
+        assert (a, b) == (0, 300)
+        c, e = sc.add(r2)
+        assert (c, e) == (300, 500)
+        assert sc.num_segments == 2 and sc.num_vectors == 500
+        qs = rng.standard_normal((4, d)).astype(np.float32)
+        scores, ids = sc.knn_dot(qs, 7)
+        all_rows = np.concatenate([r1, r2])
+        want_s, want_i = _oracle(qs, all_rows, np.arange(500), 7, "dot")
+        np.testing.assert_array_equal(ids, want_i)
+        np.testing.assert_allclose(scores, want_s, rtol=1e-5)
+
+    @pytest.mark.parametrize("mode", ["dot", "l2", "cosine"])
+    def test_delete_excluded_exactly(self, rng, mode):
+        d = 16
+        sc = it.SegmentedCorpus(d)
+        rows = rng.standard_normal((400, d)).astype(np.float32)
+        sc.add(rows[:250])
+        sc.add(rows[250:])
+        dead = rng.choice(400, 120, replace=False)
+        assert sc.delete(dead) == 120
+        assert sc.delete(dead) == 0  # idempotent
+        assert sc.num_vectors == 280 and sc.num_deleted == 120
+        alive_mask = np.ones(400, bool)
+        alive_mask[dead] = False
+        qs = rng.standard_normal((3, d)).astype(np.float32)
+        fn = {"dot": sc.knn_dot, "l2": sc.knn, "cosine": sc.knn_cosine}[mode]
+        scores, ids = fn(qs, 9)
+        want_s, want_i = _oracle(
+            qs, rows[alive_mask], np.arange(400)[alive_mask], 9, mode
+        )
+        np.testing.assert_array_equal(ids, want_i)
+        np.testing.assert_allclose(scores, want_s, rtol=1e-4, atol=1e-5)
+        assert not set(np.ravel(ids)) & set(dead.tolist())
+
+    def test_compact_preserves_ids_and_results(self, rng):
+        d = 16
+        sc = it.SegmentedCorpus(d)
+        rows = rng.standard_normal((300, d)).astype(np.float32)
+        sc.add(rows[:100]); sc.add(rows[100:180]); sc.add(rows[180:])
+        sc.delete(np.arange(0, 300, 3))
+        q = rng.standard_normal(d).astype(np.float32)
+        before_s, before_i = sc.knn_dot(q, 8)
+        sc.compact()
+        assert sc.num_segments == 1 and sc.num_deleted == 0
+        after_s, after_i = sc.knn_dot(q, 8)
+        np.testing.assert_array_equal(before_i, after_i)
+        np.testing.assert_allclose(before_s, after_s, rtol=1e-6)
+        # ids remain permanent: adding after compaction continues the counter
+        a, b = sc.add(rows[:5])
+        assert a == 300 and b == 305
+
+    def test_single_query_and_edges(self, rng):
+        d = 8
+        sc = it.SegmentedCorpus(d)
+        s, i = sc.knn_dot(np.zeros(d, np.float32), 5)
+        assert len(i) == 0  # empty corpus
+        rows = rng.standard_normal((20, d)).astype(np.float32)
+        sc.add(rows)
+        s, i = sc.knn_dot(rows[4], 1)
+        assert int(i[0]) == 4
+        sc.delete([4])
+        s, i = sc.knn_dot(rows[4], 1)
+        assert int(i[0]) != 4
+        s, i = sc.knn_dot(rows[0], 100)  # k clamps to alive count
+        assert len(i) == 19
+        with pytest.raises(it.ContractError):
+            sc.add(rng.standard_normal((3, d + 1)).astype(np.float32))
+        with pytest.raises(it.ContractError):
+            it.SegmentedCorpus(0)
+        # delete everything -> empty results
+        sc.delete(np.arange(20))
+        s, i = sc.knn_dot(rows[0], 3)
+        assert len(i) == 0
+
+    def test_fused_path_above_threshold(self, rng, monkeypatch):
+        from innr_tpu import config
+        from innr_tpu.kernels import knn as kknn
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        d = 16
+        sc = it.SegmentedCorpus(d)
+        rows = rng.standard_normal((200, d)).astype(np.float32)
+        sc.add(rows)
+        calls = []
+        real = kknn.fused_knn_dot_batch
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(kknn, "fused_knn_dot_batch", spy)
+        scores, ids = sc.knn_dot(rows[:2], 3)
+        assert calls, "segment scan should ride the fused kernel"
+        want_s, want_i = _oracle(rows[:2], rows, np.arange(200), 3, "dot")
+        np.testing.assert_array_equal(np.asarray(ids), want_i)
