@@ -52,7 +52,24 @@ def _load():
     except OSError:
         return None
     if lib.innr_native_abi_version() != 3:
-        return None
+        # Stale library from an older revision: rebuild in place (without
+        # this, every environment holding a previously built .so would
+        # silently lose the entire native runtime forever).
+        try:
+            _LIB_PATH.unlink()
+        except OSError:
+            return None
+        if not _try_build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            return None
+        if lib.innr_native_abi_version() != 3:
+            # dlopen may hand back the cached stale handle within this
+            # process; the rebuilt library is on disk, so the next process
+            # (and every one after) gets the native runtime.
+            return None
 
     u32p = ctypes.POINTER(ctypes.c_uint32)
     f32p = ctypes.POINTER(ctypes.c_float)

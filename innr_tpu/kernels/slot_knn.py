@@ -65,8 +65,6 @@ def _pick_tile_n_mq(n: int, s: int, n_q: int) -> int:
     return round_up(min(tile, max(n, 128)), 128)
 
 
-_SLOT_DTYPES = (jnp.uint32, jnp.uint16)
-
 
 def _slot_kernel(n_rows, k, q_ref, slots_ref, keys_out, idx_out, best_keys, best_idx):
     step = pl.program_id(0)

@@ -191,12 +191,18 @@ class SketchCorpus:
     """
 
     def __init__(self, sketches, dtype=None):
-        arr = np.asarray(sketches)
+        # Inspect dtype WITHOUT materializing (np.asarray on a device
+        # array is a full D2H copy); lists fall back to np.asarray.
+        in_dtype = getattr(sketches, "dtype", None)
+        if in_dtype is None:
+            sketches = np.asarray(sketches)
+            in_dtype = sketches.dtype
         if dtype is None:
-            dtype = jnp.uint16 if arr.dtype == np.uint16 else jnp.uint32
+            dtype = jnp.uint16 if in_dtype == jnp.uint16 else jnp.uint32
         if dtype not in (jnp.uint16, jnp.uint32):
             raise ContractError("SketchCorpus: dtype must be uint16 or uint32")
-        sketches = jnp.asarray(arr, dtype=dtype)
+        _check_no_narrowing(in_dtype, dtype, "SketchCorpus")
+        sketches = jnp.asarray(sketches, dtype=dtype)
         if sketches.ndim != 2:
             raise ContractError("SketchCorpus: sketches must be 2-D (N, S)")
         self.sketches = sketches
@@ -220,6 +226,28 @@ class SketchCorpus:
         return int(self.sketches.size) * 2 * self.sketches.dtype.itemsize
 
 
+_WIDER_UNSIGNED = {
+    jnp.dtype(jnp.uint16): (np.uint32, np.uint64),
+    jnp.dtype(jnp.uint32): (np.uint64,),
+}
+
+
+def _check_no_narrowing(in_dtype, target, op: str) -> None:
+    """Reject silently-wrapping casts: a u32/u64 sketch fed to a u16
+    entry point (or u64 to u32) would truncate every slot mod 2^b and
+    return wrong neighbors with no diagnostic."""
+    if in_dtype is None:
+        return
+    if np.dtype(in_dtype) in [
+        np.dtype(d) for d in _WIDER_UNSIGNED.get(jnp.dtype(target), ())
+    ]:
+        raise ContractError(
+            f"innr_tpu::{op}: {np.dtype(in_dtype).name} slots passed to a "
+            f"{jnp.dtype(target).name} entry point would be truncated — "
+            f"convert explicitly if intentional"
+        )
+
+
 def _slot_corpus(corpus, dtype):
     """Normalize corpus input: (SketchCorpus | (N, S) array) -> container
     fields, checking the slot width. A raw array stays on the jnp path
@@ -232,6 +260,7 @@ def _slot_corpus(corpus, dtype):
                 f"the {jnp.dtype(dtype)} entry point"
             )
         return corpus.sketches, corpus.slots_t
+    _check_no_narrowing(getattr(corpus, "dtype", None), dtype, "slot kNN")
     return jnp.asarray(corpus, dtype=dtype), None
 
 
@@ -247,6 +276,7 @@ def _use_fused_slot(n: int, k: int, slots_t) -> bool:
 
 
 def _sketch_knn(query, corpus, k: int, dtype, op: str):
+    _check_no_narrowing(getattr(query, "dtype", None), dtype, op)
     query = jnp.asarray(query, dtype=dtype)
     if query.ndim != 1:
         raise ContractError(
@@ -268,6 +298,7 @@ def _sketch_knn(query, corpus, k: int, dtype, op: str):
 
 
 def _sketch_knn_batch(queries, corpus, k: int, dtype, op: str):
+    _check_no_narrowing(getattr(queries, "dtype", None), dtype, op)
     queries = jnp.asarray(queries, dtype=dtype)
     if queries.ndim != 2:
         raise ContractError(f"{op}: queries must be 2-D (Q, S)")
@@ -325,9 +356,14 @@ def slot_knn_u16_batch(queries, corpus, k: int):
 
 
 def _minhash_dtype(query, corpus):
+    """The CORPUS is the authoritative slot width (a u16 query against a
+    raw u32 corpus must not narrow the corpus)."""
     if isinstance(corpus, SketchCorpus):
         return corpus.dtype
-    if np.asarray(query).dtype == np.uint16:
+    corpus_dt = getattr(corpus, "dtype", None)
+    if corpus_dt is not None and np.dtype(corpus_dt) == np.uint16:
+        return jnp.dtype(jnp.uint16)
+    if corpus_dt is None and np.asarray(query).dtype == np.uint16:
         return jnp.dtype(jnp.uint16)
     return jnp.dtype(jnp.uint32)
 

@@ -92,15 +92,20 @@ class ShardedSlotCorpus:
 
     def __init__(self, sketches, mesh: Mesh | None = None, dtype=None):
         import numpy as np
+        from innr_tpu.ops.slot import _check_no_narrowing
 
-        arr = np.asarray(sketches)
+        in_dtype = getattr(sketches, "dtype", None)
+        if in_dtype is None:
+            sketches = np.asarray(sketches)
+            in_dtype = sketches.dtype
         if dtype is None:
-            dtype = jnp.uint16 if arr.dtype == np.uint16 else jnp.uint32
+            dtype = jnp.uint16 if in_dtype == jnp.uint16 else jnp.uint32
         if dtype not in (jnp.uint16, jnp.uint32):
             raise ContractError(
                 "ShardedSlotCorpus: dtype must be uint16 or uint32"
             )
-        sketches = jnp.asarray(arr, dtype=dtype)
+        _check_no_narrowing(in_dtype, dtype, "ShardedSlotCorpus")
+        sketches = jnp.asarray(sketches, dtype=dtype)
         if sketches.ndim != 2:
             raise ContractError("ShardedSlotCorpus: sketches must be 2-D (N, S)")
         self.mesh = mesh if mesh is not None else default_mesh()
@@ -152,6 +157,11 @@ class ShardedSlotCorpus:
         return int(self.slots_t.size) * self.slots_t.dtype.itemsize
 
     def _check_q(self, q, op: str):
+        from innr_tpu.ops.slot import _check_no_narrowing
+
+        _check_no_narrowing(
+            getattr(q, "dtype", None), self.slots_t.dtype, f"ShardedSlotCorpus.{op}"
+        )
         q = jnp.asarray(q, dtype=self.slots_t.dtype)
         if q.shape[-1] != self._num_slots:
             raise ContractError(

@@ -59,7 +59,6 @@ class SegmentedCorpus:
         self._dim = int(dimension)
         self._segments: list[_Segment] = []
         self._next_id = 0
-        self._id_to_loc: dict[int, tuple[int, int]] = {}
 
     # ------------------------------------------------------------- mutate --
     def add(self, rows) -> tuple[int, int]:
@@ -75,26 +74,27 @@ class SegmentedCorpus:
         if n == 0:
             return self._next_id, self._next_id
         ids = np.arange(self._next_id, self._next_id + n, dtype=np.int64)
-        seg = _Segment(VerticalBatch.from_rows(rows), ids)
-        seg_idx = len(self._segments)
-        self._segments.append(seg)
-        for pos, gid in enumerate(ids):
-            self._id_to_loc[int(gid)] = (seg_idx, pos)
+        self._segments.append(_Segment(VerticalBatch.from_rows(rows), ids))
         self._next_id += n
         return int(ids[0]), int(ids[-1]) + 1
 
     def delete(self, ids) -> int:
         """Tombstone rows by permanent id. Unknown/already-deleted ids are
-        ignored. Returns the number of rows newly deleted."""
+        ignored. Returns the number of rows newly deleted.
+
+        Each segment's id array is sorted ascending (monotonic assignment;
+        compaction preserves order), so lookup is a vectorized
+        ``searchsorted`` per segment — no per-row side table."""
+        ids = np.unique(np.atleast_1d(np.asarray(ids, dtype=np.int64)))
         deleted = 0
-        for gid in np.atleast_1d(np.asarray(ids, dtype=np.int64)):
-            loc = self._id_to_loc.get(int(gid))
-            if loc is None:
+        for seg in self._segments:
+            if len(seg.ids) == 0:
                 continue
-            seg_idx, pos = loc
-            if self._segments[seg_idx].alive[pos]:
-                self._segments[seg_idx].alive[pos] = False
-                deleted += 1
+            pos = np.clip(np.searchsorted(seg.ids, ids), 0, len(seg.ids) - 1)
+            hit = seg.ids[pos] == ids
+            tgt = pos[hit]
+            deleted += int(seg.alive[tgt].sum())
+            seg.alive[tgt] = False
         return deleted
 
     def compact(self) -> None:
@@ -110,9 +110,6 @@ class SegmentedCorpus:
         self._segments = (
             [_Segment(VerticalBatch.from_rows(rows), ids)] if len(ids) else []
         )
-        self._id_to_loc = {
-            int(gid): (0, pos) for pos, gid in enumerate(ids)
-        }
 
     # ------------------------------------------------------------ inspect --
     @property
@@ -136,20 +133,22 @@ class SegmentedCorpus:
         return sum(s.vb.memory_bytes() for s in self._segments)
 
     # ------------------------------------------------------------- search --
-    def _merge(self, per_seg, k: int, n_q: int, largest: bool):
-        """Merge per-segment (scores (Q, k_s), global ids (Q, k_s)) —
-        total-order keys with lower-id tie-breaking, like the distributed
-        merge."""
-        scores = jnp.concatenate([s for s, _ in per_seg], axis=1)
-        gids = np.concatenate([g for _, g in per_seg], axis=1)
-        keys = np.asarray(total_order_key_f32(scores))
-        if not largest:
-            keys = ~keys
-        # lexicographic: best key first, then lowest global id
+    @staticmethod
+    def _merge(per_seg, k: int):
+        """Merge per-segment (keys, scores, global ids) — best key first,
+        then lowest global id, like the distributed merge. Dead-row
+        entries arrive pinned to INT32_MIN keys, which lose to every alive
+        candidate (including NaN scores, whose flipped total-order key is
+        strictly greater) — pins can never surface while >= k alive
+        candidates exist, which the k <= num_vectors clamp guarantees."""
+        keys = np.concatenate([p[0] for p in per_seg], axis=1)
+        scores = np.concatenate([p[1] for p in per_seg], axis=1)
+        gids = np.concatenate([p[2] for p in per_seg], axis=1)
         order = np.lexsort((gids, -keys.astype(np.int64)), axis=-1)[:, :k]
-        out_scores = np.take_along_axis(np.asarray(scores), order, axis=1)
-        out_ids = np.take_along_axis(gids, order, axis=1)
-        return out_scores, out_ids
+        return (
+            np.take_along_axis(scores, order, axis=1),
+            np.take_along_axis(gids, order, axis=1),
+        )
 
     def _run(self, queries, k: int, scan, largest: bool, op: str):
         qs = np.asarray(queries, dtype=np.float32)
@@ -177,20 +176,26 @@ class SegmentedCorpus:
                 continue
             # Over-fetch by the tombstone count: dead rows can occupy at
             # most n_dead of the fetched slots, so k alive survivors are
-            # guaranteed; then drop dead candidates exactly.
-            k_seg = min(k + seg.n_dead, len(seg.ids))
+            # guaranteed; rounded up to a power of two so the jitted
+            # scan's static k takes O(log n) distinct values across a
+            # delete-heavy serving session instead of recompiling per
+            # tombstone count.
+            need = k + seg.n_dead
+            k_seg = min(1 << max(need - 1, 1).bit_length(), len(seg.ids))
+            k_seg = max(k_seg, min(need, len(seg.ids)))
             res = scan(jnp.asarray(qs), seg.vb, k_seg)
             scores = np.asarray(res.scores)
             local = np.asarray(res.indices)
             alive = seg.alive[local]  # (Q, k_seg)
-            gids = seg.ids[local]
-            # Pin dead candidates to the worst key so they merge last.
-            scores = np.where(
-                alive, scores, -np.inf if largest else np.inf
-            ).astype(np.float32)
-            gids = np.where(alive, gids, np.int64(2**62))
-            per_seg.append((jnp.asarray(scores), gids))
-        out_scores, out_ids = self._merge(per_seg, k, n_q, largest)
+            gids = np.where(alive, seg.ids[local], np.int64(2**62))
+            keys = np.asarray(total_order_key_f32(jnp.asarray(scores)))
+            if not largest:
+                keys = ~keys
+            # Pin dead candidates in KEY space (INT32_MIN): score-space
+            # pins (+-inf) would outrank alive NaN rows under total order.
+            keys = np.where(alive, keys, np.int32(-(2**31)))
+            per_seg.append((keys, scores, gids))
+        out_scores, out_ids = self._merge(per_seg, k)
         if single:
             return out_scores[0], out_ids[0]
         return out_scores, out_ids

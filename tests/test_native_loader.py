@@ -184,3 +184,46 @@ class TestMinHashEncoder:
         assert j_far < 0.15
         sims, idx = it.minhash_knn(sketches[0], it.SketchCorpus(sketches), 2)
         assert list(np.asarray(idx)) == [0, 1]
+
+
+class TestStaleAbiRebuild:
+    def test_stale_library_rebuilt_for_next_process(self, tmp_path):
+        """A cached .so from an older ABI must trigger an in-place rebuild
+        (without it, the whole native runtime silently dies forever).
+        Within the same process dlopen may return the stale handle, so
+        the contract is: the NEXT process is healthy."""
+        import pathlib
+        import shutil
+        import subprocess
+        import sys
+
+        from innr_tpu import _native
+
+        lib = _native._LIB_PATH
+        if not lib.exists():
+            pytest.skip("native library not built")
+        backup = tmp_path / "lib.bak"
+        shutil.copy(lib, backup)
+        try:
+            stub = tmp_path / "stub.c"
+            stub.write_text("int innr_native_abi_version(void){return 2;}")
+            subprocess.run(
+                ["cc", "-shared", "-fPIC", "-o", str(lib), str(stub)],
+                check=True,
+            )
+            code = (
+                "from innr_tpu import _native; _native.available(); "
+                "print('first done')"
+            )
+            subprocess.run([sys.executable, "-c", code], check=True,
+                           capture_output=True, timeout=300)
+            code2 = (
+                "from innr_tpu import _native; "
+                "assert _native.available(), 'rebuild did not take'; "
+                "print('HEALTHY')"
+            )
+            r = subprocess.run([sys.executable, "-c", code2], check=False,
+                               capture_output=True, text=True, timeout=300)
+            assert "HEALTHY" in r.stdout, r.stdout + r.stderr
+        finally:
+            shutil.copy(backup, lib)

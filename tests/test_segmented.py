@@ -137,3 +137,19 @@ class TestSegmentedCorpus:
         assert calls, "segment scan should ride the fused kernel"
         want_s, want_i = _oracle(rows[:2], rows, np.arange(200), 3, "dot")
         np.testing.assert_array_equal(np.asarray(ids), want_i)
+
+    def test_dead_pin_loses_to_alive_nan(self, rng):
+        """Review regression: tombstone placeholders must lose to every
+        alive candidate under total order — including NaN-scored rows,
+        which +-inf score-space pins would wrongly outrank."""
+        sc = it.SegmentedCorpus(4)
+        sc.add(np.array(
+            [[1, 0, 0, 0], [0, 1, 0, 0], [np.nan, 0, 0, 0]], np.float32
+        ))
+        sc.delete([0])
+        s, i = sc.knn(np.zeros(4, np.float32), 2)  # L2 ascending
+        assert set(np.asarray(i).tolist()) == {1, 2}, np.asarray(i)
+        assert 0 not in np.asarray(i)
+        assert not np.any(np.asarray(i) >= 3)  # no fabricated ids
+        # NaN sorts last ascending: alive row 1 first, NaN row 2 second
+        assert int(np.asarray(i)[0]) == 1 and np.isnan(np.asarray(s)[1])

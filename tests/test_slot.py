@@ -331,3 +331,42 @@ class TestU16SketchCorpus:
         )
         with pytest.raises(it.ContractError):
             it.slot_knn_u16(np.zeros(16, np.uint16), corpus32, 3)
+
+
+class TestNarrowingGuards:
+    """Review regressions: wider unsigned sketches must never silently
+    wrap through a narrower entry point."""
+
+    def test_u32_array_to_u16_entry_raises(self, rng):
+        sk32 = np.array([[0x10000, 2]], np.uint32)  # 65536 wraps to 0 in u16
+        with pytest.raises(it.ContractError):
+            it.slot_knn_u16(np.zeros(2, np.uint16), sk32, 1)
+        with pytest.raises(it.ContractError):
+            it.slot_knn_u16_batch(np.zeros((1, 2), np.uint16), sk32, 1)
+        with pytest.raises(it.ContractError):
+            it.SketchCorpus(sk32, dtype=jnp.uint16)
+        from innr_tpu.parallel import ShardedSlotCorpus
+
+        with pytest.raises(it.ContractError):
+            ShardedSlotCorpus(sk32, dtype=jnp.uint16)
+
+    def test_u32_query_to_u16_corpus_raises(self, rng):
+        sk16 = rng.integers(0, 1 << 16, (50, 8)).astype(np.uint16)
+        with pytest.raises(it.ContractError):
+            it.slot_knn_u16(np.zeros(8, np.uint32), it.SketchCorpus(sk16), 1)
+        from innr_tpu.parallel import ShardedSlotCorpus
+
+        sc = ShardedSlotCorpus(sk16)
+        with pytest.raises(it.ContractError):
+            sc.knn(np.zeros(8, np.uint32), 1)
+
+    def test_minhash_follows_raw_corpus_dtype(self, rng):
+        """A u16 query against a raw u32 corpus must use the u32 width
+        (the corpus is authoritative) and raise on the narrowing query."""
+        sk32 = rng.integers(0, 2**31, (60, 8)).astype(np.uint32)
+        q16 = sk32[3].astype(np.uint16)  # narrower query is fine to widen
+        sims, idx = it.minhash_knn(q16, sk32, 2)
+        assert np.asarray(idx).shape == (2,)
+        # widening u16 -> u32 entry is allowed
+        sims2, idx2 = it.slot_knn_u32(q16, sk32, 2)
+        assert np.asarray(idx2).shape == (2,)
