@@ -18,6 +18,7 @@ from innr_tpu.ops.scalar import QuantizationParams, QuantizedU8Batch
 from innr_tpu.ops.slot import SketchCorpus
 from innr_tpu.ops.sparse import SparseCorpus
 from innr_tpu.ops.ternary import PackedTernary, PackedTernaryBatch
+from innr_tpu.segmented import SegmentedCorpus
 from innr_tpu.utils.asserts import ContractError
 
 __all__ = ["save_npz", "load_npz"]
@@ -31,6 +32,7 @@ _KINDS = {
     "QuantizedU8Batch",
     "SketchCorpus",
     "SparseCorpus",
+    "SegmentedCorpus",
 }
 
 
@@ -86,6 +88,27 @@ def save_npz(path: str, obj) -> None:
             indices=np.asarray(obj.indices),
             values=np.asarray(obj.values),
         )
+    elif isinstance(obj, SegmentedCorpus):
+        # Compacted view: alive rows + permanent ids + the id counter, so
+        # a restored index keeps returning the same ids and never reuses
+        # deleted ones.
+        segs = obj._segments
+        rows = (
+            np.concatenate([np.asarray(s_.vb.rows)[s_.alive] for s_ in segs])
+            if segs else np.zeros((0, obj.dimension), np.float32)
+        )
+        ids = (
+            np.concatenate([s_.ids[s_.alive] for s_ in segs])
+            if segs else np.zeros(0, np.int64)
+        )
+        np.savez(
+            path,
+            kind="SegmentedCorpus",
+            rows=rows,
+            ids=ids,
+            dimension=obj.dimension,
+            next_id=obj._next_id,
+        )
     else:
         raise ContractError(f"save_npz: unsupported container {type(obj).__name__}")
 
@@ -122,4 +145,15 @@ def load_npz(path: str):
             return SketchCorpus(z["sketches"])
         if kind == "SparseCorpus":
             return SparseCorpus((z["indices"], z["values"]))
+        if kind == "SegmentedCorpus":
+            from innr_tpu.segmented import _Segment
+
+            sc = SegmentedCorpus(int(z["dimension"]))
+            ids = z["ids"]
+            if len(ids):
+                sc._segments.append(
+                    _Segment(VerticalBatch.from_rows(z["rows"]), ids)
+                )
+            sc._next_id = int(z["next_id"])
+            return sc
         return QuantizedU8Batch(z["codes"])

@@ -153,3 +153,55 @@ class TestSegmentedCorpus:
         assert not np.any(np.asarray(i) >= 3)  # no fabricated ids
         # NaN sorts last ascending: alive row 1 first, NaN row 2 second
         assert int(np.asarray(i)[0]) == 1 and np.isnan(np.asarray(s)[1])
+
+    def test_persistence_roundtrip(self, rng, tmp_path):
+        from innr_tpu.io import load_npz, save_npz
+
+        d = 8
+        sc = it.SegmentedCorpus(d)
+        rows = rng.standard_normal((60, d)).astype(np.float32)
+        sc.add(rows[:40]); sc.add(rows[40:])
+        sc.delete([3, 17, 55])
+        p = str(tmp_path / "seg.npz")
+        save_npz(p, sc)
+        loaded = load_npz(p)
+        q = rng.standard_normal(d).astype(np.float32)
+        s1, i1 = sc.knn_dot(q, 6)
+        s2, i2 = loaded.knn_dot(q, 6)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+        # id counter persists: new rows never reuse deleted/old ids
+        a, b = loaded.add(rows[:2])
+        assert a == 60
+
+    def test_random_mutation_sequence_matches_oracle(self, rng):
+        """Property-style: a random add/delete interleaving must always
+        match a brute-force scan of the alive (id, row) set."""
+        d = 6
+        sc = it.SegmentedCorpus(d)
+        alive: dict[int, np.ndarray] = {}
+        for step in range(12):
+            op = rng.random()
+            if op < 0.5 or not alive:
+                n = int(rng.integers(1, 30))
+                block = rng.standard_normal((n, d)).astype(np.float32)
+                a, b = sc.add(block)
+                for j, gid in enumerate(range(a, b)):
+                    alive[gid] = block[j]
+            elif op < 0.8:
+                kill = rng.choice(list(alive), size=min(5, len(alive)), replace=False)
+                sc.delete(kill)
+                for gid in kill:
+                    alive.pop(int(gid))
+            else:
+                sc.compact()
+            if alive and step % 3 == 2:
+                q = rng.standard_normal(d).astype(np.float32)
+                k = min(4, len(alive))
+                scores, ids = sc.knn_dot(q, k)
+                gids = np.array(sorted(alive), np.int64)
+                mat = np.stack([alive[g] for g in gids])
+                s = mat.astype(np.float64) @ q
+                order = np.lexsort((gids, -s))[:k]
+                assert list(np.asarray(ids)) == list(gids[order]), step
+        assert sc.num_vectors == len(alive)
