@@ -44,11 +44,25 @@ _INT_MAX = jnp.iinfo(jnp.int32).max
 # Lane width of the running-best buffer. k is padded up to a multiple of
 # this (the hardware lane count); the buffer may span several lanes-rows.
 _K_LANE = 128
-# Hard cap on k for the fused path: beyond this the per-insert shift cost
-# dominates and the XLA top-k path wins.
-_K_MAX = 512
+# Per-pass cap on k for one fused scan: bounds the running-best merge cost
+# (each insertion shifts the whole (Q, k_pad) buffer). Larger k runs as
+# multiple passes with exclusion bounds (see _fused_knn_raw) — never the
+# XLA multi-query matmul, which is ~30x slower on-chip (PERF.md). The
+# reference TopK has no k cap (src/topk.rs:64); neither does this path.
+_K_MAX_PASS = 4096
+# VMEM byte budget for the running-best state: 2 scratch + 2 output
+# (q_pad, k_pad) int32 buffers = 16 bytes per entry.
+_TOPK_VMEM_BUDGET = 6 * 1024 * 1024
 # Sublane padding for the query axis.
 _Q_TILE = 8
+
+
+def single_pass_k(n_q: int) -> int:
+    """Largest k one fused pass supports for an ``n_q``-query batch —
+    limited by the VMEM running-best buffers and the merge-cost cap."""
+    q_pad = round_up(max(n_q, 1), _Q_TILE)
+    k_pad = (_TOPK_VMEM_BUDGET // (16 * q_pad)) // _K_LANE * _K_LANE
+    return max(_K_LANE, min(_K_MAX_PASS, k_pad))
 
 
 def _invert_total_key(keys: jax.Array) -> jax.Array:
@@ -172,16 +186,18 @@ def masked_global_idx(step, n_q: int, tile_n: int, n_rows: int, keys):
     return keys, global_idx
 
 
-def _knn_kernel(n_rows, k, mode, q_ref, rows_ref, *rest):
+def _knn_kernel(n_rows, k, mode, has_excl, q_ref, rows_ref, *rest):
     """One grid step: score a tile for all queries, merge into the running
     best iff some query can improve. ``mode``: "dot" | "l2" | "cosine"
     (l2 streams per-row squared norms; cosine streams per-row inverse
-    norms)."""
-    if mode != "dot":
-        norms_ref, keys_out, idx_out, best_keys, best_idx = rest
-    else:
-        norms_ref = None
-        keys_out, idx_out, best_keys, best_idx = rest
+    norms). ``has_excl``: an extra (2, Q, 128) int32 input carries
+    per-query exclusion bounds — candidates at or before (bound_key,
+    bound_idx) in the (key desc, idx asc) result order are masked out,
+    which is how multi-pass large-k selection resumes after a pass."""
+    rest = list(rest)
+    norms_ref = rest.pop(0) if mode != "dot" else None
+    excl_ref = rest.pop(0) if has_excl else None
+    keys_out, idx_out, best_keys, best_idx = rest
 
     step = pl.program_id(0)
     n_q = q_ref.shape[0]
@@ -236,6 +252,14 @@ def _knn_kernel(n_rows, k, mode, q_ref, rows_ref, *rest):
         keys = jnp.where(norms_ref[1:2, :] > 0.0, keys, _INT_MIN)
 
     keys, global_idx = masked_global_idx(step, n_q, tile_n, n_rows, keys)
+    if has_excl:
+        # Resume after a previous pass: keep only candidates strictly
+        # AFTER (bound_key, bound_idx) in the (key desc, idx asc) total
+        # result order — ties on the bound key resume at the bound index.
+        bound_k = excl_ref[0][:, 0:1]
+        bound_i = excl_ref[1][:, 0:1]
+        keep = (keys < bound_k) | ((keys == bound_k) & (global_idx > bound_i))
+        keys = jnp.where(keep, keys, _INT_MIN)
     update_topk(keys, global_idx, best_keys, best_idx, k)
 
     keys_out[:] = best_keys[:]
@@ -247,22 +271,53 @@ def fused_knn_keys_batch(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str)
     every mode; L2 keys come pre-flipped) plus local row indices — the form
     a distributed top-k merge consumes directly (keys from different shards
     compare without decoding). ``aux``: per-row squared norms for "l2",
-    per-row inverse norms for "cosine", ``None`` for "dot"."""
-    _check_k(k)
-    return _fused_knn_raw(qs, rows, aux, k, mode)
+    per-row inverse norms for "cosine", ``None`` for "dot".
+
+    Any k: beyond the single-pass VMEM cap the scan runs as multiple
+    exclusion-bounded passes (one extra corpus read per ``single_pass_k``
+    results), never an XLA multi-query matmul."""
+    return _fused_knn_multi(qs, rows, aux, k, mode)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mode"))
 def _fused_knn(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str = "dot"):
-    keys, idx = _fused_knn_raw(qs, rows, aux, k, mode)
+    keys, idx = _fused_knn_multi(qs, rows, aux, k, mode)
     if mode in ("l2", "l2m"):
         keys = ~keys
     vals = _invert_total_key(keys)
     return vals, idx
 
 
+def _fused_knn_multi(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str):
+    """Raw-key fused scan for ANY k: a single pass when k fits the VMEM
+    running-best budget, else ceil(k / cap) exclusion-bounded passes.
+
+    Pass p collects the next ``cap`` candidates strictly after pass
+    p-1's worst (key, idx) in the (key desc, idx asc) result order — the
+    buffer's own tie-break — so the concatenation equals a single
+    ideal-buffer scan bit-for-bit, at the cost of one corpus read per
+    pass. This is the "no k cap" contract of the reference TopK
+    (src/topk.rs:64) without giving up the streaming kernel.
+    """
+    cap = single_pass_k(qs.shape[0])
+    if k <= cap:
+        return _fused_knn_raw(qs, rows, aux, k, mode, None)
+    out_keys, out_idx = [], []
+    excl = None
+    remaining = k
+    while remaining > 0:
+        pass_k = min(cap, remaining)
+        pk, pi = _fused_knn_raw(qs, rows, aux, pass_k, mode, excl)
+        out_keys.append(pk)
+        out_idx.append(pi)
+        excl = (pk[:, -1], pi[:, -1])
+        remaining -= pass_k
+    return jnp.concatenate(out_keys, axis=1), jnp.concatenate(out_idx, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mode"))
-def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str):
+def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str,
+                   excl=None):
     n_q, d = qs.shape
     n, _ = rows.shape
     # Per-dtype tile geometry. u8: 1 byte/element in VMEM, (32, 128) min
@@ -282,6 +337,11 @@ def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str):
     # (e.g. Q=512 at d=128: 6 KB/lane of scores vs 512 B of corpus).
     q_pad_est = round_up(n_q, _Q_TILE)
     bytes_per_row += 12 * q_pad_est
+    # The running-best state (2 scratch + 2 output (Q, k_pad) i32 buffers)
+    # shares scoped VMEM with the tiles: at large k it dominates, so the
+    # tile budget shrinks to make room (floor 1 MB keeps tiles viable).
+    topk_bytes = 16 * q_pad_est * round_up(k, _K_LANE)
+    budget = max(1024 * 1024, budget - topk_bytes)
     # tile_n must divide by 128: it is the LAST block dim of the aux
     # streams (norms/mask), and Mosaic requires lane-dim divisibility.
     sublane = max(sublane, 128)
@@ -312,8 +372,25 @@ def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str):
             )
         )
         inputs.append(aux2)
+    if excl is not None:
+        # Per-query exclusion bounds, lane-broadcast to a (2, Q, 128) i32
+        # block (plane 0: worst kept key, plane 1: its corpus index).
+        bk, bi = excl
+        excl_arr = jnp.stack(
+            [
+                jnp.broadcast_to(bk[:, None].astype(jnp.int32), (n_q, 128)),
+                jnp.broadcast_to(bi[:, None].astype(jnp.int32), (n_q, 128)),
+            ]
+        )
+        excl_arr = pad_axis_to(excl_arr, 1, q_pad)
+        in_specs.append(
+            pl.BlockSpec(
+                (2, q_pad, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            )
+        )
+        inputs.append(excl_arr)
 
-    kernel = functools.partial(_knn_kernel, n, k, mode)
+    kernel = functools.partial(_knn_kernel, n, k, mode, excl is not None)
     keys, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -336,18 +413,12 @@ def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str):
     return keys[:n_q, :k], idx[:n_q, :k]
 
 
-def _check_k(k: int):
-    if k > _K_MAX:
-        raise ValueError(f"fused kNN supports k <= {_K_MAX}, got {k}")
-
-
 def fused_knn_dot(q: jax.Array, rows: jax.Array, k: int):
     """Top-k largest dot products of one query against ``rows``.
 
     Returns ``(scores, indices)`` descending under IEEE total order,
     identical to the jnp path in :func:`innr_tpu.batch.batch_knn_dot`.
     """
-    _check_k(k)
     vals, idx = _fused_knn(q[None, :], rows, None, k, mode="dot")
     return vals[0], idx[0]
 
@@ -360,7 +431,6 @@ def fused_knn_l2(q: jax.Array, rows: jax.Array, k: int, norms2=None):
     construction). Pass precomputed ``norms2`` (per-row squared norms) to
     avoid the extra corpus read — the reference's batch_norms precompute.
     """
-    _check_k(k)
     if norms2 is None:
         r = rows.astype(jnp.float32)
         norms2 = jnp.sum(r * r, axis=1)
@@ -379,7 +449,6 @@ def fused_knn_l2_masked_batch(
     within the passing set, indices (Q, k))``; when fewer than k rows pass,
     the tail entries are garbage — callers trim to the passing count.
     """
-    _check_k(k)
     if norms2 is None:
         r = rows.astype(jnp.float32)
         norms2 = jnp.sum(r * r, axis=1)
@@ -396,13 +465,11 @@ def fused_knn_dot_batch(qs: jax.Array, rows: jax.Array, k: int):
     single dispatch — essential when per-call latency is non-trivial.
     Returns ``(scores (Q, k), indices (Q, k))``.
     """
-    _check_k(k)
     return _fused_knn(qs, rows, None, k, mode="dot")
 
 
 def fused_knn_l2_batch(qs: jax.Array, rows: jax.Array, k: int, norms2=None):
     """Top-k L2^2 for a (Q, D) query batch in one kernel launch."""
-    _check_k(k)
     if norms2 is None:
         r = rows.astype(jnp.float32)
         norms2 = jnp.sum(r * r, axis=1)
@@ -420,7 +487,6 @@ def fused_knn_u8_batch(qs: jax.Array, codes: jax.Array, k: int):
     the affine correction ``(alpha/255) * mixed + offset * sum(q)`` — a
     per-query monotone map (alpha > 0), so selection is unaffected.
     """
-    _check_k(k)
     if codes.dtype != jnp.uint8:
         raise ValueError("fused_knn_u8_batch expects uint8 codes")
     return _fused_knn(qs, codes, None, k, mode="dot")
@@ -468,7 +534,6 @@ def fused_knn_cosine_batch(qs: jax.Array, rows: jax.Array, k: int, inv=None):
     the corpus tiles (pass precomputed ``inv`` to skip the extra corpus
     read). Returns ``(scores (Q, k), indices (Q, k))``.
     """
-    _check_k(k)
     if inv is None:
         inv = inv_norms(rows)
     return _fused_knn(_unit_queries(qs), rows, inv, k, mode="cosine")

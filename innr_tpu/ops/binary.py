@@ -256,7 +256,7 @@ def binary_knn(query: PackedBinary, corpus: PackedBinaryBatch, k: int):
     k = min(int(k), n)
     from innr_tpu import config
 
-    if n >= config.MIN_ROWS_PALLAS and k <= 512 and not config.reference_forced():
+    if n >= config.MIN_ROWS_PALLAS and k <= _packed_k_cap(1) and not config.reference_forced():
         from innr_tpu.kernels import packed_knn as _kern
 
         counts, idx = _kern.fused_binary_knn(query.words, corpus.words_t, k)
@@ -298,7 +298,7 @@ def binary_knn_batch(queries, corpus: PackedBinaryBatch, k: int):
     k = min(int(k), n)
     from innr_tpu import config
 
-    if n >= config.MIN_ROWS_PALLAS and k <= 512 and not config.reference_forced():
+    if n >= config.MIN_ROWS_PALLAS and k <= _packed_k_cap(int(q_words.shape[0])) and not config.reference_forced():
         from innr_tpu.kernels import packed_knn as _kern
 
         counts, idx = _kern.fused_binary_knn_batch(q_words, corpus.words_t, k)
@@ -338,3 +338,13 @@ def batch_binary_hamming(query, corpus) -> jax.Array:
         return _kern.batch_hamming_words(query, corpus)
     pc = jax.lax.population_count(corpus ^ query[None, :]).astype(jnp.int32)
     return jnp.sum(pc, axis=1).astype(jnp.uint32)
+
+
+def _packed_k_cap(n_q: int) -> int:
+    """Largest k the fused packed kernel supports in one pass for an
+    n_q-query batch (the VMEM running-best budget; kernels/knn.py).
+    Beyond it the jnp fallback runs — packed corpora are coarse stages
+    whose k is a rerank budget, so this cap is far past practical use."""
+    from innr_tpu.kernels.knn import single_pass_k
+
+    return single_pass_k(n_q)

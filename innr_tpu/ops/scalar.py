@@ -257,7 +257,7 @@ def batch_knn_u8(
     k = min(int(k), int(codes.shape[0]))
     from innr_tpu import config
 
-    if int(codes.shape[0]) >= config.MIN_ROWS_PALLAS and k <= 512 and not config.reference_forced():
+    if int(codes.shape[0]) >= config.MIN_ROWS_PALLAS and not config.reference_forced():
         # Fused Pallas scan: codes stream as u8 (1 byte/dim HBM traffic),
         # widen on-chip; the affine correction is a per-query monotone map
         # (alpha > 0 by construction), applied after selection.
@@ -324,7 +324,7 @@ def batch_knn_u8_multi(queries, corpus: QuantizedU8Batch, params: QuantizationPa
     k = min(int(k), n)
     from innr_tpu import config
 
-    if n >= config.MIN_ROWS_PALLAS and k <= 512 and not config.reference_forced():
+    if n >= config.MIN_ROWS_PALLAS and not config.reference_forced():
         from innr_tpu.kernels import knn as _kern
 
         mixed, idx = _kern.fused_knn_u8_batch(qs, corpus.codes, k)

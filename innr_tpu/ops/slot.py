@@ -264,13 +264,14 @@ def _slot_corpus(corpus, dtype):
     return jnp.asarray(corpus, dtype=dtype), None
 
 
-def _use_fused_slot(n: int, k: int, slots_t) -> bool:
+def _use_fused_slot(n: int, k: int, slots_t, n_q: int = 1) -> bool:
     from innr_tpu import config
+    from innr_tpu.kernels.knn import single_pass_k
 
     return (
         slots_t is not None
         and n >= config.MIN_ROWS_PALLAS
-        and k <= 512
+        and k <= single_pass_k(n_q)
         and not config.reference_forced()
     )
 
@@ -309,7 +310,7 @@ def _sketch_knn_batch(queries, corpus, k: int, dtype, op: str):
     if n == 0 or k <= 0:
         return jnp.zeros((n_q, 0), jnp.uint32), jnp.zeros((n_q, 0), jnp.int32)
     k = min(int(k), n)
-    if _use_fused_slot(n, k, slots_t):
+    if _use_fused_slot(n, k, slots_t, n_q):
         from innr_tpu.kernels.slot_knn import fused_slot_knn_batch
 
         return fused_slot_knn_batch(queries, slots_t, k)

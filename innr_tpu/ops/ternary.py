@@ -356,7 +356,7 @@ def ternary_knn(query: PackedTernary, corpus: PackedTernaryBatch, k: int):
     k = min(int(k), n)
     from innr_tpu import config
 
-    if n >= config.MIN_ROWS_PALLAS and k <= 512 and not config.reference_forced():
+    if n >= config.MIN_ROWS_PALLAS and k <= _packed_k_cap(1) and not config.reference_forced():
         from innr_tpu.kernels import packed_knn as _kern
 
         dots, idx = _kern.fused_ternary_knn(
@@ -396,7 +396,7 @@ def ternary_knn_batch(queries, corpus: PackedTernaryBatch, k: int):
     k = min(int(k), n)
     from innr_tpu import config
 
-    if n >= config.MIN_ROWS_PALLAS and k <= 512 and not config.reference_forced():
+    if n >= config.MIN_ROWS_PALLAS and k <= _packed_k_cap(int(qp.shape[0])) and not config.reference_forced():
         from innr_tpu.kernels import packed_knn as _kern
 
         dots, idx = _kern.fused_ternary_knn_batch(
@@ -434,3 +434,13 @@ def batch_asymmetric_dot(query, pos_corpus, neg_corpus, dimension: int) -> jax.A
         preferred_element_type=jnp.float32,
         precision=config.matmul_precision(),
     )
+
+
+def _packed_k_cap(n_q: int) -> int:
+    """Largest k the fused packed kernel supports in one pass for an
+    n_q-query batch (the VMEM running-best budget; kernels/knn.py).
+    Beyond it the jnp fallback runs — packed corpora are coarse stages
+    whose k is a rerank budget, so this cap is far past practical use."""
+    from innr_tpu.kernels.knn import single_pass_k
+
+    return single_pass_k(n_q)

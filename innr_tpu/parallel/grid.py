@@ -215,7 +215,6 @@ class GridIndex:
         use_fused = (
             not config.reference_forced()
             and shard_rows >= config.MIN_ROWS_PALLAS
-            and k + pad <= 512
         )
         k_local = min(k + pad, shard_rows) if use_fused else min(k, shard_rows)
         vals, idx = _grid_knn(
@@ -279,7 +278,6 @@ class GridIndex:
         use_fused = (
             not config.reference_forced()
             and shard_rows >= config.MIN_ROWS_PALLAS
-            and k + pad <= 512
         )
         k_local = min(k + pad, shard_rows) if use_fused else min(k, shard_rows)
         vals, idx = _grid_knn_filtered(

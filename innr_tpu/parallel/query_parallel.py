@@ -169,7 +169,6 @@ class QueryParallelIndex:
         use_fused = (
             not config.reference_forced()
             and n >= config.MIN_ROWS_PALLAS
-            and k <= 512
         )
         # Only the mode's aux stream is materialized; the other leg gets a
         # tiny dummy (the static mode branch never traces a use of it).
@@ -233,7 +232,6 @@ class QueryParallelIndex:
         use_fused = (
             not config.reference_forced()
             and n >= config.MIN_ROWS_PALLAS
-            and k <= 512
         )
         vals, idx = _qp_knn_filtered(
             qs_sharded, self.rows, self._aux_norms2(), mask_rep, k,

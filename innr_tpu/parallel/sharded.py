@@ -326,10 +326,12 @@ def _plan_local_k(corpus: ShardedCorpus, k: int) -> tuple[int, bool]:
 
     pad = corpus.n_pad - corpus.n_true
     shard_rows = corpus.shard_rows
+    # No k cap: the fused kernel runs exclusion-bounded multi-pass scans
+    # past its single-pass VMEM budget (kernels/knn.py::_fused_knn_multi),
+    # so over-fetching by the pad count can never silently unfuse.
     use_fused = (
         not config.reference_forced()
         and shard_rows >= config.MIN_ROWS_PALLAS
-        and k + pad <= 512
     )
     k_local = min(k + pad, shard_rows) if use_fused else min(k, shard_rows)
     return k_local, use_fused

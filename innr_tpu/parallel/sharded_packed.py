@@ -31,15 +31,17 @@ __all__ = ["ShardedPackedBinary", "ShardedPackedTernary"]
 _INT_MIN = jnp.iinfo(jnp.int32).min
 
 
-def _plan_packed(n_pad: int, n_true: int, n_devices: int, k: int):
+def _plan_packed(n_pad: int, n_true: int, n_devices: int, k: int,
+                 n_q: int = 1):
     from innr_tpu import config
+    from innr_tpu.kernels.knn import single_pass_k
 
     pad = n_pad - n_true
     shard_cols = n_pad // n_devices
     use_fused = (
         not config.reference_forced()
         and shard_cols >= config.MIN_ROWS_PALLAS
-        and k + pad <= 512
+        and k + pad <= single_pass_k(n_q)
     )
     k_local = min(k + pad, shard_cols) if use_fused else min(k, shard_cols)
     return k_local, use_fused
@@ -205,7 +207,7 @@ class ShardedPackedBinary:
             return jnp.zeros((n_q, 0), jnp.uint32), jnp.zeros((n_q, 0), jnp.int32)
         k = min(int(k), self.n_true)
         k_local, use_fused = _plan_packed(
-            self.n_pad, self.n_true, int(self.mesh.devices.size), k
+            self.n_pad, self.n_true, int(self.mesh.devices.size), k, n_q
         )
         return _sharded_binary_knn(
             q_words, self.words_t, k, k_local, self.n_true, self.mesh, use_fused
@@ -343,7 +345,7 @@ class ShardedPackedTernary:
             return jnp.zeros((n_q, 0), jnp.int32), jnp.zeros((n_q, 0), jnp.int32)
         k = min(int(k), self.n_true)
         k_local, use_fused = _plan_packed(
-            self.n_pad, self.n_true, int(self.mesh.devices.size), k
+            self.n_pad, self.n_true, int(self.mesh.devices.size), k, n_q
         )
         return _sharded_ternary_knn(
             qp, qn, self.pos_t, self.neg_t, k, k_local, self.n_true,

@@ -267,10 +267,12 @@ class ShardedTwoStageIndex:
         qs_enc = self._encode_queries(qs)
         from innr_tpu import config as _cfg
 
+        from innr_tpu.kernels.knn import single_pass_k as _spk
+
         use_fused = (
             not _cfg.reference_forced()
             and shard_rows >= _cfg.MIN_ROWS_PALLAS
-            and n_cand <= 512
+            and n_cand <= _spk(n_q)
         )
         return _sharded_two_stage(
             qs, self.rows, self._coarse, qs_enc, self.n_true, n_cand, k,

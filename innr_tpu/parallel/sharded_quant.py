@@ -163,10 +163,11 @@ class ShardedQuantizedU8:
 
         pad = self.n_pad - self.n_true
         shard_rows = self.n_pad // int(self.mesh.devices.size)
+        # No k cap: the fused dense/u8 kernels run multi-pass past their
+        # single-pass VMEM budget (kernels/knn.py::_fused_knn_multi).
         use_fused = (
             not config.reference_forced()
             and shard_rows >= config.MIN_ROWS_PALLAS
-            and k + pad <= 512
         )
         k_local = min(k + pad, shard_rows) if use_fused else min(k, shard_rows)
         return _sharded_u8_knn(

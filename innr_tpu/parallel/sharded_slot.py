@@ -181,7 +181,8 @@ class ShardedSlotCorpus:
             return jnp.zeros((0,), jnp.uint32), jnp.zeros((0,), jnp.int32)
         k = min(int(k), self.n_true)
         k_local, use_fused = _plan_packed(
-            self.n_pad, self.n_true, int(self.mesh.devices.size), k
+            self.n_pad, self.n_true, int(self.mesh.devices.size), k,
+            int(q.shape[0]) if q.ndim == 2 else 1,
         )
         return _sharded_slot_knn(
             q, self.slots_t, k, k_local, self.n_true, self.mesh, use_fused

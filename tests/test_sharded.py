@@ -29,6 +29,22 @@ class TestShardedKnn:
         np.testing.assert_array_equal(np.asarray(idx), want.indices)
         np.testing.assert_allclose(np.asarray(vals), want.scores, rtol=1e-5)
 
+    def test_dot_large_k_stays_fused(self, rng, devices_ok):
+        """k + pad > 512 used to silently unfuse the per-shard scan
+        (VERDICT r2 item 3); the plan must now stay fused and the merged
+        result must still match the single-chip path exactly."""
+        from innr_tpu.parallel.sharded import _plan_local_k
+
+        rows = rng.standard_normal((17000, 24)).astype(np.float32)
+        sc = ShardedCorpus(rows)
+        _, use_fused = _plan_local_k(sc, 600)
+        assert use_fused
+        q = rng.standard_normal(24).astype(np.float32)
+        vals, idx = sc.knn_dot(q, 600)
+        dots = rows.astype(np.float64) @ q.astype(np.float64)
+        want = np.argsort(-dots.astype(np.float32), kind="stable")[:600]
+        np.testing.assert_array_equal(np.asarray(idx), want)
+
     def test_l2_matches_single_chip(self, rng, devices_ok):
         rows = rng.standard_normal((1000, 64)).astype(np.float32)
         q = rng.standard_normal(64).astype(np.float32)
