@@ -355,6 +355,61 @@ def bench_full():
     out["bf16_20M_128d_evals_per_s"] = (32 * n_h / dt, t_r16 / dt)
     del rows16
 
+    # 5d. tile-skip pruned scan (HBM-level early exit) on a clustered,
+    #     cluster-ordered 10M x 128d corpus: amortized over 4 scans per
+    #     launch (the relay's ~28 ms launch floor would otherwise mask
+    #     the bandwidth win). Reported value = full/pruned speedup; the
+    #     pruned scan is EXACT (innr_tpu/prune.py bounds are sound).
+    from innr_tpu import prune as _prune
+    from innr_tpu.kernels import pruned_knn as _kpruned
+
+    n_p = 10_000_000
+    @jax.jit
+    def _gen_clustered():
+        centers = 3.0 * jax.random.normal(
+            jax.random.PRNGKey(0), (256, 128), dtype=jnp.float32
+        )
+        assign = jnp.sort(
+            jax.random.randint(jax.random.PRNGKey(1), (n_p,), 0, 256)
+        )
+        noise = 0.05 * jax.random.normal(
+            jax.random.PRNGKey(2), (n_p, 128), dtype=jnp.float32
+        )
+        return centers[assign] + noise, centers
+
+    rows_c, centers_c = _gen_clustered()
+    jax.block_until_ready(rows_c)
+    tile_p = _kpruned.pruned_tile_n(n_p, 128)
+    summ = _prune.build_tile_summary(rows_c, tile_p)
+    qs_c = jnp.asarray(
+        np.asarray(centers_c[:32])
+        + 0.01 * rng.standard_normal((32, 128)).astype(np.float32)
+    )
+    cent_c, rad_c, cnt_c = summ.centroids, summ.radii, summ.counts
+
+    @jax.jit
+    def _full4(r, *qss):
+        return jnp.stack(
+            [kknn.fused_knn_dot_batch(q, r, 10)[0][:, 0] for q in qss]
+        )
+
+    @jax.jit
+    def _pruned4(r, ce, ra, cn, *qss):
+        outs = []
+        for q in qss:
+            o, ns = _prune.plan_survivors(q, ce, ra, cn, 10, "dot", fast=True)
+            keys, _ = _kpruned._pruned_raw_dynamic(
+                q, r, None, o, ns, 10, "dot", tile_p
+            )
+            outs.append(keys[:, 0])
+        return jnp.stack(outs)
+
+    qss4 = tuple(qs_c * (1.0 + 0.01 * j) for j in range(4))
+    t_f = _time_best(lambda: np.asarray(_full4(rows_c, *qss4)))
+    t_p = _time_best(lambda: np.asarray(_pruned4(rows_c, cent_c, rad_c, cnt_c, *qss4)))
+    out["pruned_scan_speedup_vs_full_clustered_10M"] = (t_f / t_p, None)
+    del rows_c, summ
+
     # 6. matryoshka prefix kNN: 128d coarse over 1M x 768d corpus + 768d
     #    rerank of top-100 — through the product pipeline (TwoStageIndex:
     #    one fused coarse launch + one fused rerank launch), 32 queries

@@ -76,7 +76,7 @@ class VerticalBatch:
     (``src/batch.rs:212-214``).
     """
 
-    __slots__ = ("rows", "_norms2", "_inv_norms")
+    __slots__ = ("rows", "_norms2", "_inv_norms", "_tile_summary")
 
     def __init__(self, rows: jax.Array, dtype=jnp.float32):
         """``dtype=jnp.bfloat16`` stores the corpus half-precision: the
@@ -96,6 +96,7 @@ class VerticalBatch:
         # L2/cosine scan would cost a second full corpus read per call.
         self._norms2 = None
         self._inv_norms = None
+        self._tile_summary = None
 
     def norms2(self) -> jax.Array:
         """Per-row squared L2 norms, computed once and cached."""
@@ -111,6 +112,22 @@ class VerticalBatch:
 
             self._inv_norms = _inv(self.rows)
         return self._inv_norms
+
+    def tile_summary(self):
+        """Per-HBM-tile (centroid, radius) bounds for tile-skip pruning
+        (:mod:`innr_tpu.prune`), built lazily in one corpus pass and
+        cached. Powers ``batch_knn*(..., prune=True)``,
+        :func:`batch_knn_adaptive` and :func:`batch_l2_squared_pruning`
+        on large corpora."""
+        if self._tile_summary is None:
+            from innr_tpu.kernels.pruned_knn import pruned_tile_n
+            from innr_tpu.prune import build_tile_summary
+
+            tile_n = pruned_tile_n(
+                self.num_vectors, self.dimension, self.rows.dtype
+            )
+            self._tile_summary = build_tile_summary(self.rows, tile_n)
+        return self._tile_summary
 
     # -- constructors (reference src/batch.rs:103/138/167) ------------------
 
@@ -391,12 +408,25 @@ def batch_l2_squared_pruning(
 
     The reference prunes per-dimension as soon as the monotone partial sum
     exceeds ``threshold``; its survivor set is therefore exactly
-    ``{i : full_dist[i] <= threshold}``. On TPU the full scan is one fused
-    pass, so we compute it and filter — identical results without the
-    SIMT-hostile per-row early exit. Returns ``(indices, distances)``.
+    ``{i : full_dist[i] <= threshold}``. On TPU a small corpus is one
+    fused full pass + filter; a large corpus runs the tile-skipping
+    threshold scan (:mod:`innr_tpu.kernels.pruned_knn`) — HBM tiles whose
+    centroid/radius lower bound exceeds the threshold are never read,
+    which is the reference's early-exit realized at the bandwidth level.
+    Identical survivor sets either way. Returns ``(indices, distances)``.
     """
     q = _check_query(query, batch, "batch_l2_squared_pruning")
-    dists = np.asarray(_l2sq_scores(q, batch.rows))
+    if _use_fused(batch.num_vectors):
+        from innr_tpu.kernels.pruned_knn import l2_squared_pruning_scan
+
+        dists = np.asarray(
+            l2_squared_pruning_scan(
+                q, batch.rows, batch.norms2(), batch.tile_summary(),
+                float(threshold),
+            )
+        )
+    else:
+        dists = np.asarray(_l2sq_scores(q, batch.rows))
     keep = ~(dists > np.float32(threshold))  # NaN distances are kept out
     keep &= ~np.isnan(dists)
     idx = np.nonzero(keep)[0]
@@ -432,15 +462,18 @@ def _result(vals, idx) -> BatchKnnResult:
     )
 
 
-def batch_knn(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
+def batch_knn(query, batch: VerticalBatch, k: int, prune: bool = False) -> BatchKnnResult:
     """Exact k nearest neighbors by squared L2 (reference ``src/batch.rs:385``).
 
     Scores ascending. Selection is total-order top-k, equivalent to feeding
     every candidate through :class:`innr_tpu.ops.topk.TopK`.
 
-    TPU-native extension: ``query`` may be a (Q, D) batch — all Q queries
+    TPU-native extensions: ``query`` may be a (Q, D) batch — all Q queries
     share one corpus scan (one kernel launch on the fused path) and the
-    result arrays are (Q, k).
+    result arrays are (Q, k). ``prune=True`` runs the tile-skipping scan
+    (:mod:`innr_tpu.prune`): identical exact results, but HBM tiles whose
+    centroid/radius bound proves them loser-only are never read — a real
+    bandwidth win on tile-coherent corpora.
     """
     q = _check_query(query, batch, "batch_knn", allow_multi=True)
     if batch.num_vectors == 0 or k == 0:
@@ -449,7 +482,16 @@ def batch_knn(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
     if _use_fused(batch.num_vectors, k):
         from innr_tpu.kernels import knn as _kernels
 
-        if q.ndim == 2:
+        if prune:
+            from innr_tpu.kernels.pruned_knn import fused_knn_l2_pruned_batch
+
+            qs = q if q.ndim == 2 else q[None, :]
+            vals, idx = fused_knn_l2_pruned_batch(
+                qs, batch.rows, batch.tile_summary(), k, norms2=batch.norms2()
+            )
+            if q.ndim == 1:
+                vals, idx = vals[0], idx[0]
+        elif q.ndim == 2:
             vals, idx = _kernels.fused_knn_l2_batch(
                 q, batch.rows, k, norms2=batch.norms2()
             )
@@ -464,15 +506,17 @@ def batch_knn(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
     return _result(vals, idx)
 
 
-def batch_knn_dot(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
+def batch_knn_dot(query, batch: VerticalBatch, k: int, prune: bool = False) -> BatchKnnResult:
     """Top-k by dot product — MIPS (reference ``src/batch.rs:731``).
 
     Scores descending. NaN scores sort first, matching the reference's
     descending ``total_cmp`` sort.
 
-    TPU-native extension: ``query`` may be a (Q, D) batch — all Q queries
+    TPU-native extensions: ``query`` may be a (Q, D) batch — all Q queries
     share one corpus scan (one MXU matmul / one fused kernel launch) and
-    the result arrays are (Q, k).
+    the result arrays are (Q, k). ``prune=True``: tile-skipping scan —
+    exact same results, provably-losing HBM tiles never read (see
+    :func:`batch_knn`).
     """
     q = _check_query(query, batch, "batch_knn_dot", allow_multi=True)
     if batch.num_vectors == 0 or k == 0:
@@ -481,7 +525,16 @@ def batch_knn_dot(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
     if _use_fused(batch.num_vectors, k):
         from innr_tpu.kernels import knn as _kernels
 
-        if q.ndim == 2:
+        if prune:
+            from innr_tpu.kernels.pruned_knn import fused_knn_dot_pruned_batch
+
+            qs = q if q.ndim == 2 else q[None, :]
+            vals, idx = fused_knn_dot_pruned_batch(
+                qs, batch.rows, batch.tile_summary(), k
+            )
+            if q.ndim == 1:
+                vals, idx = vals[0], idx[0]
+        elif q.ndim == 2:
             vals, idx = _kernels.fused_knn_dot_batch(q, batch.rows, k)
         else:
             vals, idx = _kernels.fused_knn_dot(q, batch.rows, k)
@@ -628,6 +681,14 @@ def batch_knn_adaptive(
     are rectangular (Q, k); when a query has fewer than k survivors its
     tail entries carry index ``-1`` and score NaN (per-query trimming
     would be ragged).
+
+    Large corpora run the tile-skipping EXACT scan instead
+    (:mod:`innr_tpu.kernels.pruned_knn`): the pruning happens at the HBM
+    level (loser-only tiles are never read), warmup extrapolation is
+    unnecessary, and — within the documented approximation contract,
+    which only permits losing true neighbors — results are simply the
+    exact top-k. The reference's re-tightening note applies doubly: this
+    version is never less accurate.
     """
     q = _check_query(query, batch, "batch_knn_adaptive", allow_multi=True)
     if warmup_dims <= 0:
@@ -638,6 +699,9 @@ def batch_knn_adaptive(
     warmup_dims = min(int(warmup_dims), batch.dimension)
     multi = q.ndim == 2
     qs = q if multi else q[None, :]
+    if _use_fused(batch.num_vectors, k):
+        res = batch_knn(q, batch, k, prune=True)
+        return res
     vals, idx, alive = _knn_adaptive(qs, batch.rows, k, warmup_dims)
     vals, idx = np.asarray(vals), np.asarray(idx)
     keep = np.take_along_axis(np.asarray(alive), idx, axis=1)
@@ -651,11 +715,13 @@ def batch_knn_adaptive(
 
 def _use_fused(num_rows: int, k: int = 1) -> bool:
     """Dispatch gate for the Pallas fused kernel (analog of the reference's
-    per-module SIMD length thresholds). k beyond the kernel's running-best
-    buffer cap (512, multi-lane) falls back to the XLA top-k path."""
+    per-module SIMD length thresholds). There is no k cap: beyond the
+    kernel's single-pass VMEM budget the fused path runs exclusion-bounded
+    multi-pass scans (kernels/knn.py::_fused_knn_multi) — the XLA
+    multi-query matmul fallback measured ~30x slower on-chip (PERF.md)."""
     if config.reference_forced():
         return False
-    if num_rows < config.MIN_ROWS_PALLAS or k > 512:
+    if num_rows < config.MIN_ROWS_PALLAS:
         return False
     try:
         from innr_tpu.kernels import knn as _kernels  # noqa: F401

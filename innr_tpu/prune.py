@@ -1,0 +1,253 @@
+"""Tile summaries and survivor planning for HBM-skipping scans.
+
+The reference prunes per *row* with data-dependent early exit
+(``src/batch.rs:320-365`` threshold pruning, ``:439-558`` adaptive warmup
+extrapolation) — a pattern that maps poorly to a SIMT-free vector unit.
+The TPU-native redesign prunes per *HBM tile*: at container build time each
+corpus tile of ``tile_n`` rows is summarized by its centroid ``c`` and
+covering radius ``r = max_i ||row_i - c||``; at query time Cauchy-Schwarz
+gives exact per-tile score bounds
+
+- dot:  for every row in the tile,  ``q.c - |q| r  <=  q.row  <=  q.c + |q| r``
+- L2^2: ``(max(0, ||q-c|| - r))^2  <=  ||q-row||^2  <=  (||q-c|| + r)^2``
+
+Sorting the per-tile *guaranteed* bounds (every row beats them) and
+accumulating tile row counts until ``k`` rows are covered yields a
+threshold ``t0`` such that at least k rows score at least ``t0``; every
+tile whose *optimistic* bound cannot reach ``t0`` is provably loser-only
+and its HBM read is skipped entirely (see
+:mod:`innr_tpu.kernels.pruned_knn` for how the skip becomes a real DMA
+elision). Unlike the reference's adaptive scan, the result is EXACT — the
+bounds are sound, so no true neighbor can be pruned.
+
+Pruning power depends on tile coherence: a corpus in random order has
+every tile centered on the global mean and nothing prunes (the scan then
+degrades gracefully to the ordinary full read, never below it minus the
+tiny bound pass). :func:`cluster_order` provides a device-side k-means
+ordering pass for corpora that arrive unordered — the IVF-style layout
+step any pruning index needs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from innr_tpu.utils.padding import round_up
+
+__all__ = ["TileSummary", "build_tile_summary", "cluster_order"]
+
+
+class TileSummary:
+    """Per-tile (centroid, radius, row-count) summary of an (N, D) corpus.
+
+    ``tile_n`` must equal the scan kernel's corpus tile height — the
+    summary is built for a specific tiling (see
+    :func:`innr_tpu.kernels.pruned_knn.pruned_tile_n`).
+    """
+
+    __slots__ = ("tile_n", "centroids", "radii", "counts", "n_rows")
+
+    def __init__(self, tile_n, centroids, radii, counts, n_rows):
+        self.tile_n = int(tile_n)
+        self.centroids = centroids  # (n_tiles, D) f32
+        self.radii = radii          # (n_tiles,) f32
+        self.counts = counts        # (n_tiles,) int32 rows per tile
+        self.n_rows = int(n_rows)
+
+    @property
+    def n_tiles(self) -> int:
+        return int(self.centroids.shape[0])
+
+    def memory_bytes(self) -> int:
+        return (
+            int(self.centroids.size) * 4
+            + int(self.radii.size) * 4
+            + int(self.counts.size) * 4
+        )
+
+
+@partial(jax.jit, static_argnames=("tile_n",))
+def _summarize(rows: jax.Array, tile_n: int):
+    n, d = rows.shape
+    n_tiles = -(-n // tile_n)
+    pad = n_tiles * tile_n - n
+    rp = jnp.pad(rows.astype(jnp.float32), ((0, pad), (0, 0)))
+    valid = (
+        jnp.arange(n_tiles * tile_n, dtype=jnp.int32).reshape(n_tiles, tile_n)
+        < n
+    )
+    r3 = rp.reshape(n_tiles, tile_n, d)
+    cnt = jnp.sum(valid, axis=1).astype(jnp.int32)
+    cent = jnp.sum(jnp.where(valid[..., None], r3, 0.0), axis=1) / jnp.maximum(
+        cnt, 1
+    ).astype(jnp.float32)[:, None]
+    diff = r3 - cent[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=2)
+    d2 = jnp.where(valid, d2, 0.0)
+    radii = jnp.sqrt(jnp.max(d2, axis=1))
+    return cent, radii, cnt
+
+
+def build_tile_summary(rows: jax.Array, tile_n: int) -> TileSummary:
+    """One pass over the corpus -> :class:`TileSummary` (device arrays).
+
+    The ragged final tile is summarized over its real rows only. NaN/inf
+    rows poison their tile's radius to NaN, which the survivor planner
+    treats as "never prunable" — a tile containing non-finite rows is
+    always scanned (the conservative direction)."""
+    cent, radii, cnt = _summarize(rows, tile_n)
+    return TileSummary(tile_n, cent, radii, cnt, int(rows.shape[0]))
+
+
+@partial(jax.jit, static_argnames=("mode", "k", "fast"))
+def plan_survivors(qs, summary_cent, summary_rad, summary_cnt, k: int,
+                   mode: str, fast: bool = False):
+    """Survivor tile plan for a (Q, D) query batch.
+
+    Returns ``(order (n_tiles,) int32, n_surv () int32)``: ``order`` lists
+    surviving tile indices ascending first (preserving the scan's
+    lowest-index tie-break), then repeats the LAST survivor for dead slots
+    — consecutive equal indices make the Pallas pipeline skip the tile's
+    DMA entirely.
+
+    Soundness: per query, tiles are ranked by their guaranteed bound
+    (every row in a tile beats it) and row counts accumulated until >= k
+    rows are covered; ``t0`` = the guaranteed bound at that point, so the
+    true k-th best score >= t0. A tile is dead only if its optimistic
+    bound is strictly worse than t0 for EVERY query — all comparisons are
+    written so NaN bounds keep tiles alive.
+    """
+    n_tiles = summary_cent.shape[0]
+    qd = jnp.matmul(
+        qs, summary_cent.T, preferred_element_type=jnp.float32
+    )  # (Q, n_tiles)
+    qn = jnp.sqrt(jnp.sum(qs * qs, axis=1, keepdims=True))  # (Q, 1)
+    if mode == "dot":
+        guaranteed = qd - qn * summary_rad[None, :]
+        optimistic = qd + qn * summary_rad[None, :]
+        better = lambda a, b: a >= b  # larger score = better
+        gkeys = guaranteed
+    else:  # l2: distances, smaller = better
+        qq = jnp.sum(qs * qs, axis=1, keepdims=True)
+        cc = jnp.sum(summary_cent * summary_cent, axis=1)[None, :]
+        qc = jnp.sqrt(jnp.maximum(qq + cc - 2.0 * qd, 0.0))  # ||q - c||
+        guaranteed = (qc + summary_rad[None, :]) ** 2
+        lower = jnp.maximum(qc - summary_rad[None, :], 0.0)
+        optimistic = lower * lower
+        better = lambda a, b: a <= b
+        gkeys = -guaranteed  # rank by smallest guaranteed distance first
+    if fast:
+        # k fits inside a single tile (the caller statically verified a
+        # tile with >= k rows exists): t0 = the best guaranteed bound
+        # among eligible tiles — one masked max, no per-query argsort
+        # (the argsort dominated plan cost at serving batch sizes).
+        eligible = (summary_cnt >= k)[None, :]
+        masked = jnp.where(
+            eligible & ~jnp.isnan(gkeys), gkeys, -jnp.inf
+        )
+        t0g = jnp.max(masked, axis=1, keepdims=True)  # best gkey
+        t0 = t0g if mode == "dot" else -t0g
+    else:
+        # Rank tiles by guaranteed bound (best first); NaN bounds sort
+        # last (they can't *guarantee* anything) but keep their tiles
+        # alive below.
+        order_g = jnp.argsort(
+            jnp.where(jnp.isnan(gkeys), jnp.inf, -gkeys), axis=1
+        )  # ascending -gkeys == gkeys descending: best guarantee first
+        cnt_sorted = summary_cnt[order_g]  # (Q, n_tiles)
+        cum = jnp.cumsum(cnt_sorted, axis=1)
+        # First position where cumulative rows >= k.
+        pos = jnp.sum((cum < k).astype(jnp.int32), axis=1)  # (Q,)
+        pos = jnp.minimum(pos, n_tiles - 1)
+        t0 = jnp.take_along_axis(
+            jnp.take_along_axis(guaranteed, order_g, axis=1), pos[:, None],
+            axis=1,
+        )  # (Q, 1)
+    # Tile dead for a query iff optimistic bound strictly fails t0;
+    # NaN comparisons are False -> tile stays alive.
+    if mode == "dot":
+        dead_q = optimistic < t0
+    else:
+        dead_q = optimistic > t0
+    alive = ~jnp.all(dead_q, axis=0)  # (n_tiles,)
+    n_surv = jnp.sum(alive.astype(jnp.int32))
+    # Survivors first in ascending tile order (stable: False < True).
+    order = jnp.argsort(~alive, stable=True).astype(jnp.int32)
+    last = order[jnp.maximum(n_surv - 1, 0)]
+    idxs = jnp.arange(n_tiles, dtype=jnp.int32)
+    order = jnp.where(idxs < n_surv, order, last)
+    return order, n_surv
+
+
+@jax.jit
+def plan_threshold_survivors(qs, summary_cent, summary_rad, threshold):
+    """Survivor plan for a fixed L2^2 threshold scan
+    (``batch_l2_squared_pruning``): a tile is dead iff its distance lower
+    bound ``(max(0, ||q-c|| - r))^2`` exceeds ``threshold`` for every
+    query — no row in it can pass. NaN bounds keep tiles alive. Returns
+    ``(order, n_surv, alive)`` with the same repeat-the-last-survivor
+    tail as :func:`plan_survivors`."""
+    n_tiles = summary_cent.shape[0]
+    qd = jnp.matmul(qs, summary_cent.T, preferred_element_type=jnp.float32)
+    qq = jnp.sum(qs * qs, axis=1, keepdims=True)
+    cc = jnp.sum(summary_cent * summary_cent, axis=1)[None, :]
+    qc = jnp.sqrt(jnp.maximum(qq + cc - 2.0 * qd, 0.0))
+    lower = jnp.maximum(qc - summary_rad[None, :], 0.0)
+    dead_q = lower * lower > threshold  # NaN -> False -> alive
+    alive = ~jnp.all(dead_q, axis=0)
+    n_surv = jnp.sum(alive.astype(jnp.int32))
+    order = jnp.argsort(~alive, stable=True).astype(jnp.int32)
+    last = order[jnp.maximum(n_surv - 1, 0)]
+    idxs = jnp.arange(n_tiles, dtype=jnp.int32)
+    order = jnp.where(idxs < n_surv, order, last)
+    return order, n_surv, alive
+
+
+def cluster_order(rows, n_clusters: int = 256, n_iters: int = 5, seed: int = 0):
+    """Device-side mini k-means ordering pass: returns a permutation that
+    groups rows by nearest centroid — the layout step that makes tile
+    pruning effective on corpora that arrive in random order (IVF-style).
+
+    Runs ``n_iters`` Lloyd steps on a row sample, then assigns every row
+    in one MXU pass. O(N * n_clusters * D) compute, one extra corpus read
+    per iteration. Returns a host int64 permutation array.
+    """
+    rows = jnp.asarray(rows)
+    n = int(rows.shape[0])
+    n_clusters = int(min(n_clusters, max(n, 1)))
+
+    @partial(jax.jit, static_argnames=("iters", "kc"))
+    def _fit(r, iters: int, kc: int):
+        key = jax.random.PRNGKey(seed)
+        idx0 = jax.random.choice(key, r.shape[0], (kc,), replace=False)
+        cent = r[idx0].astype(jnp.float32)
+        r32 = r.astype(jnp.float32)
+        rr = jnp.sum(r32 * r32, axis=1)
+
+        def step(cent, _):
+            d2 = (
+                rr[:, None]
+                - 2.0 * jnp.matmul(r32, cent.T, preferred_element_type=jnp.float32)
+                + jnp.sum(cent * cent, axis=1)[None, :]
+            )
+            assign = jnp.argmin(d2, axis=1)
+            one_hot = jax.nn.one_hot(assign, kc, dtype=jnp.float32)
+            sums = jnp.matmul(one_hot.T, r32, preferred_element_type=jnp.float32)
+            cnts = jnp.sum(one_hot, axis=0)[:, None]
+            new_cent = jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1.0), cent)
+            return new_cent, None
+
+        cent, _ = jax.lax.scan(step, cent, None, length=iters)
+        d2 = (
+            rr[:, None]
+            - 2.0 * jnp.matmul(r32, cent.T, preferred_element_type=jnp.float32)
+            + jnp.sum(cent * cent, axis=1)[None, :]
+        )
+        return jnp.argmin(d2, axis=1)
+
+    assign = _fit(rows, n_iters, n_clusters)
+    return np.argsort(np.asarray(assign), kind="stable")

@@ -1,0 +1,184 @@
+"""Tile-skip pruning: summaries, survivor planning, and the pruned scan.
+
+The pruned scan must be EXACT (bit-identical indices to the full fused
+scan — the centroid/radius bounds are sound), prune aggressively on
+tile-coherent corpora, and never prune tiles containing NaN rows.
+VERDICT r2 item 2 (the HBM-level early exit, SURVEY.md §7 hard part).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import innr_tpu as it
+from innr_tpu import prune
+from innr_tpu.kernels import knn as kknn
+from innr_tpu.kernels import pruned_knn as kpruned
+
+
+def _clustered(rng, n=4096, d=32, n_centers=16, noise=0.05, sort=True):
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32) * 3
+    assign = rng.integers(0, n_centers, n)
+    if sort:
+        assign = np.sort(assign)
+    rows = centers[assign] + noise * rng.standard_normal((n, d)).astype(
+        np.float32
+    )
+    return rows.astype(np.float32)
+
+
+class TestTileSummary:
+    def test_bounds_cover_rows(self, rng):
+        rows = rng.standard_normal((1000, 16)).astype(np.float32)
+        s = prune.build_tile_summary(jnp.asarray(rows), 256)
+        assert s.n_tiles == 4
+        assert int(np.sum(np.asarray(s.counts))) == 1000
+        cent = np.asarray(s.centroids)
+        rad = np.asarray(s.radii)
+        for t in range(s.n_tiles):
+            blk = rows[t * 256 : (t + 1) * 256]
+            d = np.linalg.norm(blk - cent[t], axis=1)
+            assert d.max() <= rad[t] + 1e-3
+
+    def test_ragged_tail_counts(self, rng):
+        rows = rng.standard_normal((700, 8)).astype(np.float32)
+        s = prune.build_tile_summary(jnp.asarray(rows), 256)
+        assert np.asarray(s.counts).tolist() == [256, 256, 188]
+        # padded zero rows must not inflate the tail radius
+        blk = rows[512:]
+        cent = np.asarray(s.centroids)[2]
+        assert np.allclose(cent, blk.mean(axis=0), atol=1e-4)
+
+
+class TestPlanSurvivors:
+    def test_prunes_clustered_corpus(self, rng):
+        rows = _clustered(rng, n=4096, d=32)
+        s = prune.build_tile_summary(jnp.asarray(rows), 256)
+        qs = jnp.asarray(rows[:4] + 0.01)
+        order, n_surv = prune.plan_survivors(
+            qs, s.centroids, s.radii, s.counts, 5, "dot"
+        )
+        assert 0 < int(n_surv) < s.n_tiles
+        # dead slots repeat the last survivor
+        o = np.asarray(order)
+        ns = int(n_surv)
+        assert np.all(o[ns:] == o[ns - 1])
+        # survivors ascend (stable tie-break preservation)
+        assert np.all(np.diff(o[:ns]) > 0)
+
+    def test_random_order_corpus_keeps_everything(self, rng):
+        # Incoherent tiles: bounds cannot prove anything; nothing prunes,
+        # the scan degrades to the full read (never worse than that).
+        rows = _clustered(rng, n=2048, d=16, sort=False)
+        s = prune.build_tile_summary(jnp.asarray(rows), 256)
+        qs = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+        _, n_surv = prune.plan_survivors(
+            qs, s.centroids, s.radii, s.counts, 3, "dot"
+        )
+        assert int(n_surv) >= s.n_tiles - 2
+
+    def test_nan_tile_stays_alive(self, rng):
+        rows = _clustered(rng, n=2048, d=16)
+        rows[1500] = np.nan
+        s = prune.build_tile_summary(jnp.asarray(rows), 256)
+        qs = jnp.asarray(rng.standard_normal((1, 16)).astype(np.float32))
+        order, n_surv = prune.plan_survivors(
+            qs, s.centroids, s.radii, s.counts, 3, "dot"
+        )
+        assert 1500 // 256 in np.asarray(order)[: int(n_surv)].tolist()
+
+
+class TestPrunedScanExactness:
+    @pytest.mark.parametrize("mode", ["dot", "l2"])
+    def test_matches_full_scan_bit_for_bit(self, rng, mode):
+        rows = _clustered(rng, n=3000, d=24)
+        s = prune.build_tile_summary(jnp.asarray(rows), 256)
+        qs = jnp.asarray(rng.standard_normal((5, 24)).astype(np.float32))
+        if mode == "dot":
+            pv, pi = kpruned.fused_knn_dot_pruned_batch(qs, jnp.asarray(rows), s, 7)
+            fv, fi = kknn.fused_knn_dot_batch(qs, jnp.asarray(rows), 7)
+        else:
+            pv, pi = kpruned.fused_knn_l2_pruned_batch(qs, jnp.asarray(rows), s, 7)
+            fv, fi = kknn.fused_knn_l2_batch(qs, jnp.asarray(rows), 7)
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(fi))
+        np.testing.assert_array_equal(np.asarray(pv), np.asarray(fv))
+
+    def test_duplicate_scores_keep_stable_tiebreak(self, rng):
+        # Quantized rows force exact ties across tile boundaries; the
+        # survivor list is ascending so lowest-index-first must hold.
+        rows = rng.integers(-2, 3, (2048, 16)).astype(np.float32)
+        rows = rows[np.argsort(rows[:, 0], kind="stable")]  # some coherence
+        s = prune.build_tile_summary(jnp.asarray(rows), 256)
+        q = rng.integers(-2, 3, 16).astype(np.float32)
+        qs = jnp.asarray(q[None, :])
+        pv, pi = kpruned.fused_knn_dot_pruned_batch(qs, jnp.asarray(rows), s, 9)
+        fv, fi = kknn.fused_knn_dot_batch(qs, jnp.asarray(rows), 9)
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(fi))
+
+    def test_nan_rows_still_win(self, rng):
+        # NaN scores sort greatest under total order; the NaN row's tile
+        # must not be pruned and the NaN must surface exactly as in the
+        # full scan.
+        rows = _clustered(rng, n=2048, d=16)
+        rows[700] = np.nan
+        s = prune.build_tile_summary(jnp.asarray(rows), 256)
+        qs = jnp.asarray(rng.standard_normal((1, 16)).astype(np.float32))
+        pv, pi = kpruned.fused_knn_dot_pruned_batch(qs, jnp.asarray(rows), s, 3)
+        assert int(np.asarray(pi)[0, 0]) == 700
+        assert np.isnan(np.asarray(pv)[0, 0])
+
+
+class TestPublicPruneAPI:
+    def test_batch_knn_dot_prune_equals_plain(self, rng):
+        rows = _clustered(rng, n=8192, d=256, n_centers=32)
+        vb = it.VerticalBatch.from_rows(rows)
+        qs = rng.standard_normal((3, 256)).astype(np.float32)
+        plain = it.batch_knn_dot(qs, vb, 5)
+        pruned = it.batch_knn_dot(qs, vb, 5, prune=True)
+        np.testing.assert_array_equal(plain.indices, pruned.indices)
+        np.testing.assert_array_equal(plain.scores, pruned.scores)
+
+    def test_batch_knn_l2_prune_equals_plain_single_query(self, rng):
+        rows = _clustered(rng, n=8192, d=256, n_centers=32)
+        vb = it.VerticalBatch.from_rows(rows)
+        q = rng.standard_normal(256).astype(np.float32)
+        plain = it.batch_knn(q, vb, 4)
+        pruned = it.batch_knn(q, vb, 4, prune=True)
+        np.testing.assert_array_equal(plain.indices, pruned.indices)
+
+    def test_adaptive_large_corpus_exact(self, rng):
+        rows = _clustered(rng, n=8192, d=256, n_centers=32)
+        vb = it.VerticalBatch.from_rows(rows)
+        q = rng.standard_normal(256).astype(np.float32)
+        exact = it.batch_knn(q, vb, 5)
+        adaptive = it.batch_knn_adaptive(q, vb, 5, 32)
+        np.testing.assert_array_equal(exact.indices, adaptive.indices)
+
+    def test_l2_pruning_threshold_large_corpus(self, rng):
+        rows = _clustered(rng, n=8192, d=256, n_centers=32)
+        vb = it.VerticalBatch.from_rows(rows)
+        q = (rows[100] + 0.01).astype(np.float32)
+        l2 = np.sum((rows.astype(np.float64) - q) ** 2, axis=1)
+        thr = float(np.quantile(l2, 0.01))
+        idx, dists = it.batch_l2_squared_pruning(q, vb, thr)
+        want = set(np.nonzero(l2 <= thr - 1e-3)[0].tolist())
+        got = set(idx.tolist())
+        assert want <= got
+        assert got <= set(np.nonzero(l2 <= thr + 1e-3)[0].tolist())
+
+    def test_cluster_order_improves_pruning(self, rng):
+        rows = _clustered(rng, n=4096, d=32, sort=False)
+        perm = prune.cluster_order(rows, n_clusters=16, n_iters=4)
+        assert sorted(perm.tolist()) == list(range(4096))
+        ordered = rows[perm]
+        s_rand = prune.build_tile_summary(jnp.asarray(rows), 256)
+        s_ord = prune.build_tile_summary(jnp.asarray(ordered), 256)
+        qs = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32) * 3)
+        _, ns_rand = prune.plan_survivors(
+            qs, s_rand.centroids, s_rand.radii, s_rand.counts, 3, "l2"
+        )
+        _, ns_ord = prune.plan_survivors(
+            qs, s_ord.centroids, s_ord.radii, s_ord.counts, 3, "l2"
+        )
+        assert int(ns_ord) < int(ns_rand)
