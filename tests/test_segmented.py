@@ -56,7 +56,9 @@ class TestSegmentedCorpus:
     @pytest.mark.parametrize("mode", ["dot", "l2", "cosine"])
     def test_delete_excluded_exactly(self, rng, mode):
         d = 16
-        sc = it.SegmentedCorpus(d)
+        # auto_compact off: this test asserts raw tombstone state (120
+        # dead > the default 25% compaction trigger).
+        sc = it.SegmentedCorpus(d, auto_compact=False)
         rows = rng.standard_normal((400, d)).astype(np.float32)
         sc.add(rows[:250])
         sc.add(rows[250:])
@@ -126,13 +128,13 @@ class TestSegmentedCorpus:
         rows = rng.standard_normal((200, d)).astype(np.float32)
         sc.add(rows)
         calls = []
-        real = kknn.fused_knn_dot_batch
+        real = kknn.fused_knn_keys_batch
 
         def spy(*a, **kw):
             calls.append(1)
             return real(*a, **kw)
 
-        monkeypatch.setattr(kknn, "fused_knn_dot_batch", spy)
+        monkeypatch.setattr(kknn, "fused_knn_keys_batch", spy)
         scores, ids = sc.knn_dot(rows[:2], 3)
         assert calls, "segment scan should ride the fused kernel"
         want_s, want_i = _oracle(rows[:2], rows, np.arange(200), 3, "dot")
@@ -173,6 +175,68 @@ class TestSegmentedCorpus:
         # id counter persists: new rows never reuse deleted/old ids
         a, b = loaded.add(rows[:2])
         assert a == 60
+
+    def test_auto_compaction_on_dead_fraction(self, rng):
+        d = 8
+        sc = it.SegmentedCorpus(d)  # defaults: max_dead_frac 0.25
+        rows = rng.standard_normal((200, d)).astype(np.float32)
+        sc.add(rows)
+        sc.delete(np.arange(60))  # 30% dead -> compaction fires
+        assert sc.num_deleted == 0
+        assert sc.num_segments == 1
+        assert sc.num_vectors == 140
+        q = rng.standard_normal(d).astype(np.float32)
+        _, ids = sc.knn_dot(q, 5)
+        assert all(int(g) >= 60 for g in ids)
+
+    def test_auto_compaction_on_segment_count(self, rng):
+        d = 8
+        sc = it.SegmentedCorpus(d, max_segments=4)
+        for _ in range(6):
+            sc.add(rng.standard_normal((10, d)).astype(np.float32))
+        assert sc.num_segments <= 4 + 1
+        assert sc.num_vectors == 60
+
+    def test_delete_heavy_workload_stays_fused_and_exact(self, rng, monkeypatch):
+        """VERDICT r2 item 7 done-criterion: a delete-heavy workload
+        (50% tombstones attempted, many segments) never leaves the fused
+        path and always matches brute force."""
+        from innr_tpu import config
+        from innr_tpu.kernels import knn as kknn
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        d = 12
+        sc = it.SegmentedCorpus(d, max_segments=5)
+        all_rows, killed = {}, set()
+        for b in range(20):  # 20 segments added; auto-compaction tiers them
+            block = rng.standard_normal((40, d)).astype(np.float32)
+            a, e = sc.add(block)
+            for j, g in enumerate(range(a, e)):
+                all_rows[g] = block[j]
+            kill = rng.choice(list(set(all_rows) - killed),
+                              size=min(20, len(all_rows) - len(killed)),
+                              replace=False)
+            sc.delete(kill)
+            killed |= {int(x) for x in kill}
+        assert sc.num_segments <= 6
+        # every remaining segment rides the fused kernel
+        unfused = []
+        real = kknn.fused_knn_keys_batch
+
+        def spy(*a, **kw):
+            unfused.append(0)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(kknn, "fused_knn_keys_batch", spy)
+        qs = rng.standard_normal((3, d)).astype(np.float32)
+        scores, ids = sc.knn_dot(qs, 7)
+        assert len(unfused) == sc.num_segments
+        gids = np.array(sorted(set(all_rows) - killed), np.int64)
+        mat = np.stack([all_rows[g] for g in gids])
+        s = qs.astype(np.float64) @ mat.T
+        for i in range(3):
+            order = np.lexsort((gids, -s[i].astype(np.float32)))[:7]
+            np.testing.assert_array_equal(np.asarray(ids)[i], gids[order])
 
     def test_random_mutation_sequence_matches_oracle(self, rng):
         """Property-style: a random add/delete interleaving must always
