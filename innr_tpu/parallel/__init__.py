@@ -37,6 +37,10 @@ from innr_tpu.parallel.sharded_sparse import (  # noqa: F401
     ShardedSparseMaxSimCorpus,
 )
 from innr_tpu.parallel.grid import GridIndex, grid_mesh  # noqa: F401
+from innr_tpu.parallel.hierarchical import (  # noqa: F401
+    HierarchicalCorpus,
+    hierarchical_mesh,
+)
 from innr_tpu.parallel.sharded_maxsim import ShardedMaxSimCorpus  # noqa: F401
 from innr_tpu.parallel.sharded_pipeline import ShardedTwoStageIndex  # noqa: F401
 
