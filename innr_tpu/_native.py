@@ -50,8 +50,12 @@ def _load():
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
-        return None
-    if lib.innr_native_abi_version() != 3:
+        # Corrupt/truncated library (e.g. an interrupted build): rebuild
+        # in place rather than losing the native runtime forever — the
+        # same recovery as the stale-ABI path below (regression pin:
+        # tests/test_regression_pins.py::TestStaleAbiRebuildPin).
+        lib = None
+    if lib is None or lib.innr_native_abi_version() != 3:
         # Stale library from an older revision: rebuild in place (without
         # this, every environment holding a previously built .so would
         # silently lose the entire native runtime forever).
