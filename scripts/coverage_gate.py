@@ -18,7 +18,7 @@ Usage:
     python scripts/coverage_gate.py tests/test_dense.py   # subset
     python scripts/coverage_gate.py --threshold 0.85
 
-Writes ``COVERAGE.md`` (per-module table + worst uncovered runs) and
+Writes ``COVERAGE_LINES.md`` (per-module table + worst uncovered runs) and
 exits 1 when total statement coverage falls below the threshold.
 """
 
@@ -73,7 +73,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("tests", nargs="*", default=["tests/"])
     ap.add_argument("--threshold", type=float, default=0.80)
-    ap.add_argument("--report", default="COVERAGE.md")
+    ap.add_argument("--report", default="COVERAGE_LINES.md")
     args = ap.parse_args()
 
     prefix = str(PKG)
