@@ -22,6 +22,7 @@ EXAMPLES = [
     "sharded_search",
     "two_stage_pipeline",
     "serving_demo",
+    "pruned_scan_demo",
 ]
 
 

@@ -315,37 +315,48 @@ def _fused_knn_multi(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str):
     return jnp.concatenate(out_keys, axis=1), jnp.concatenate(out_idx, axis=1)
 
 
+def plan_geometry(n: int, d: int, dtype, n_q: int, k: int) -> tuple[int, int]:
+    """Tile geometry for one fused pass: ``(tile_n, bytes_per_row)``.
+
+    Extracted for testability (the VMEM budget model is contract-bearing:
+    a wrong formula scoped-VMEM OOMs only on real silicon, so the model's
+    invariants are asserted directly — tests/test_regression_pins.py and
+    tests/test_mutation_hardening.py).
+
+    Per-dtype terms: u8 is 1 byte/element in VMEM but the in-kernel widen
+    (u8 -> i32 -> f32) materializes ~8 more bytes/element of scoped VMEM —
+    budget 9 bytes/element (measured OOM at d=768 multi-query otherwise)
+    with an 8 MB budget (throughput peaks at ~1024-row tiles; PERF.md).
+    bf16: 2 bytes/element, consumed natively by the MXU. The (Q, T) score
+    tile, its int32 keys, and the iota/global-idx tiles add 12 bytes per
+    corpus lane per padded query; the running-best state (2 scratch + 2
+    output (Q, k_pad) i32 buffers) shrinks the tile budget at large k
+    (floor 1 MB keeps tiles viable). tile_n is rounded to 128 — it is the
+    LAST block dim of the aux streams and Mosaic requires lane-dim
+    divisibility.
+    """
+    if dtype == jnp.uint8:
+        bytes_per_row, budget = d * 9, 8 * 1024 * 1024
+    elif dtype == jnp.bfloat16:
+        bytes_per_row, budget = d * 2, 4 * 1024 * 1024
+    else:
+        bytes_per_row, budget = d * 4, 4 * 1024 * 1024
+    q_pad_est = round_up(n_q, _Q_TILE)
+    bytes_per_row += 12 * q_pad_est
+    topk_bytes = 16 * q_pad_est * round_up(k, _K_LANE)
+    budget = max(1024 * 1024, budget - topk_bytes)
+    tile_n = round_up(
+        _pick_tile_n(n, max(bytes_per_row // 4, 1), budget), 128
+    )
+    return tile_n, bytes_per_row
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mode"))
 def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str,
                    excl=None):
     n_q, d = qs.shape
     n, _ = rows.shape
-    # Per-dtype tile geometry. u8: 1 byte/element in VMEM, (32, 128) min
-    # tile, and the in-kernel widen (u8 -> i32 -> f32) materializes ~8 more
-    # bytes/element of scoped VMEM — budget 9 bytes/element (measured
-    # scoped-VMEM OOM at d=768 with multi-query batches otherwise) with an
-    # 8 MB budget (throughput peaks at ~1024-row tiles; PERF.md). bf16:
-    # 2 bytes/element, (16, 128) min tile, consumed natively by the MXU.
-    if rows.dtype == jnp.uint8:
-        sublane, bytes_per_row, budget = 32, d * 9, 8 * 1024 * 1024
-    elif rows.dtype == jnp.bfloat16:
-        sublane, bytes_per_row, budget = 16, d * 2, 4 * 1024 * 1024
-    else:
-        sublane, bytes_per_row, budget = 8, d * 4, 4 * 1024 * 1024
-    # The (Q, T) score tile, its int32 keys, and the iota/global-idx tiles
-    # also live per corpus lane — dominant for large query batches
-    # (e.g. Q=512 at d=128: 6 KB/lane of scores vs 512 B of corpus).
-    q_pad_est = round_up(n_q, _Q_TILE)
-    bytes_per_row += 12 * q_pad_est
-    # The running-best state (2 scratch + 2 output (Q, k_pad) i32 buffers)
-    # shares scoped VMEM with the tiles: at large k it dominates, so the
-    # tile budget shrinks to make room (floor 1 MB keeps tiles viable).
-    topk_bytes = 16 * q_pad_est * round_up(k, _K_LANE)
-    budget = max(1024 * 1024, budget - topk_bytes)
-    # tile_n must divide by 128: it is the LAST block dim of the aux
-    # streams (norms/mask), and Mosaic requires lane-dim divisibility.
-    sublane = max(sublane, 128)
-    tile_n = round_up(_pick_tile_n(n, max(bytes_per_row // 4, 1), budget), sublane)
+    tile_n, _ = plan_geometry(n, d, rows.dtype, n_q, k)
     d_pad = round_up(d, 128)
     q_pad = round_up(n_q, _Q_TILE)
     k_pad = round_up(k, _K_LANE)

@@ -80,35 +80,29 @@ def _pruned_kernel(n_rows, tile_n, k, mode, order_ref, nsurv_ref, q_ref,
     init_topk_state(best_keys, best_idx)
 
     @pl.when(i < nsurv_ref[0])
-    def _scan_tile():
-        from innr_tpu import config
-
-        rows = rows_ref[:]
-        qs_tile = q_ref[:]
-        precision = config.matmul_precision()
-        if rows.dtype == jnp.bfloat16:
-            qs_tile = qs_tile.astype(jnp.bfloat16)
-            precision = jax.lax.Precision.DEFAULT
-        scores = jax.lax.dot_general(
-            qs_tile,
-            rows,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
+    def _scan():
+        norms_tile = norms_ref[:] if mode != "dot" else None
+        _scan_tile_into(
+            q_ref[:], rows_ref[:], norms_tile, mode, tile_id, tile_n,
+            n_rows, best_keys, best_idx, k,
         )
-        if mode == "l2":
-            scores = norms_ref[:] - 2.0 * scores
-
-        keys = f32_keys(scores)
-        if mode == "l2":
-            keys = ~keys
-        lane = jax.lax.broadcasted_iota(jnp.int32, (n_q, rows.shape[0]), 1)
-        global_idx = tile_id * tile_n + lane
-        keys = jnp.where(global_idx < n_rows, keys, _INT_MIN)
-        update_topk(keys, global_idx, best_keys, best_idx, k)
 
     keys_out[:] = best_keys[:]
     idx_out[:] = best_idx[:]
+
+
+def _scan_tile_into(q_tile, rows, norms_tile, mode, tile_id, tile_n,
+                    n_rows, best_keys, best_idx, k):
+    """Score one survivor tile and merge into the running best — the ONE
+    body both the static (CPU-testable interpret) and dynamic
+    (emit_pipeline, real hardware) pruned kernels execute, so the CPU
+    differential suite covers exactly the math the silicon runs."""
+    keys = _pruned_body_scores(q_tile, rows, norms_tile, mode)
+    n_q = q_tile.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_q, rows.shape[0]), 1)
+    global_idx = tile_id * tile_n + lane
+    keys = jnp.where(global_idx < n_rows, keys, _INT_MIN)
+    update_topk(keys, global_idx, best_keys, best_idx, k)
 
 
 def _pruned_body_scores(qs_tile, rows, norms_tile, mode):
@@ -153,11 +147,10 @@ def _pruned_outer_kernel(n_rows, tile_n, k, mode, d_pad, order_ref,
         step = pl.program_id(0)
         tile_id = order_ref[step]
         norms_tile = maybe_norms[0][:] if mode != "dot" else None
-        keys = _pruned_body_scores(q_ref[:], rows_vmem[:], norms_tile, mode)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (n_q, tile_n), 1)
-        global_idx = tile_id * tile_n + lane
-        keys = jnp.where(global_idx < n_rows, keys, _INT_MIN)
-        update_topk(keys, global_idx, keys_out, idx_out, k)
+        _scan_tile_into(
+            q_ref[:], rows_vmem[:], norms_tile, mode, tile_id, tile_n,
+            n_rows, keys_out, idx_out, k,
+        )
 
     in_specs = [
         pl.BlockSpec((tile_n, d_pad), lambda i: (order_ref[i], 0)),
@@ -340,26 +333,35 @@ def _pruned_run(qs, rows, aux, summary, k: int, mode: str):
     return vals, idx
 
 
+def _tile_dists(q_row, rows, norms_tile, tile_id, tile_n, n_rows):
+    """L2^2 distances (sans ||q||^2) for one tile — shared by the static
+    (interpret-tested) and dynamic threshold kernels; out-of-range lanes
+    pinned to +inf."""
+    from innr_tpu import config
+
+    scores = jax.lax.dot_general(
+        q_row, rows,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=config.matmul_precision(),
+    )
+    dists = norms_tile - 2.0 * scores
+    lane = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
+    return jnp.where(tile_id * tile_n + lane < n_rows, dists, jnp.inf)
+
+
 def _threshold_outer_kernel(n_rows, tile_n, d_pad, order_ref, nsurv_ref,
                             q_ref, rows_hbm, norms_hbm, out_hbm):
     """Dynamic-grid threshold scan: distances written tile-by-tile for
     survivors only; dead tiles' output blocks are never touched (caller
     masks them)."""
-    from innr_tpu import config
 
     def inner(rows_vmem, norms_vmem, out_vmem):
         step = pl.program_id(0)
         tile_id = order_ref[step]
-        scores = jax.lax.dot_general(
-            q_ref[0:1, :], rows_vmem[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=config.matmul_precision(),
-        )
-        dists = norms_vmem[:] - 2.0 * scores
-        lane = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
-        out_vmem[:] = jnp.where(
-            tile_id * tile_n + lane < n_rows, dists, jnp.inf
+        out_vmem[:] = _tile_dists(
+            q_ref[0:1, :], rows_vmem[:], norms_vmem[:], tile_id, tile_n,
+            n_rows,
         )
 
     pltpu.emit_pipeline(
@@ -435,17 +437,9 @@ def _threshold_kernel_1q(n_rows, tile_n, order_ref, nsurv_ref, q_ref,
                          rows_ref, norms_ref, out_ref):
     i = pl.program_id(0)
     tile_id = order_ref[i]
-    from innr_tpu import config
-
-    scores = jax.lax.dot_general(
-        q_ref[0:1, :], rows_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=config.matmul_precision(),
+    out_ref[:] = _tile_dists(
+        q_ref[0:1, :], rows_ref[:], norms_ref[:], tile_id, tile_n, n_rows
     )
-    dists = norms_ref[:] - 2.0 * scores
-    lane = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1)
-    out_ref[:] = jnp.where(tile_id * tile_n + lane < n_rows, dists, jnp.inf)
 
 
 def l2_squared_pruning_scan(q, rows, norms2, summary, threshold: float):

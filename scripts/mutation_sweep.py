@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Generated mutation sweep over the contract-bearing modules.
+
+The reference runs ``cargo-mutants`` weekly over its contract-bearing
+kernels (``/root/reference/.github/workflows/mutants.yml:30-35``) to
+measure whether the differential/property oracles would catch injected
+bugs. ``mutation_check.py`` keeps a *curated* 18-mutant list (proves the
+harness works); this script is the generative analog (proves the suite is
+mutation-hard): it enumerates every applicable single-node AST mutation —
+arithmetic-operator swaps, comparison flips, boolean-operator swaps,
+bitwise-invert drops, numeric-constant perturbations — across ``ops/``,
+``kernels/``, ``utils/order.py``, ``batch.py``, ``prune.py`` and
+``segmented.py``, applies a deterministic sample (or all of them), runs
+the module's mapped test files per mutant in a fresh subprocess, and
+reports the kill rate. Survivors are listed for triage and written to
+``MUTATION_REPORT.md``.
+
+Usage:
+    python scripts/mutation_sweep.py --sample 40        # CI default
+    python scripts/mutation_sweep.py --list             # count sites
+    python scripts/mutation_sweep.py --all --threshold 0.9
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import copy
+import random
+import subprocess
+import sys
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+# module -> test files that must kill its mutants (kept tight so a
+# per-mutant run stays ~30-60 s).
+TARGETS: dict[str, tuple[str, ...]] = {
+    "innr_tpu/ops/dense.py": ("tests/test_dense.py",),
+    "innr_tpu/ops/dense_f64.py": ("tests/test_dense_f64.py",),
+    "innr_tpu/ops/binary.py": ("tests/test_binary.py",),
+    "innr_tpu/ops/ternary.py": ("tests/test_ternary.py",),
+    "innr_tpu/ops/scalar.py": ("tests/test_scalar.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/ops/quant.py": ("tests/test_quant_fastmath.py",),
+    "innr_tpu/ops/slot.py": ("tests/test_slot.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/ops/sparse.py": ("tests/test_sparse.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/ops/sparse_ext.py": ("tests/test_sparse.py",),
+    "innr_tpu/ops/maxsim.py": ("tests/test_maxsim.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/ops/topk.py": ("tests/test_topk.py",),
+    "innr_tpu/ops/fast_math.py": ("tests/test_quant_fastmath.py",),
+    "innr_tpu/utils/order.py": ("tests/test_topk.py", "tests/test_kernels.py"),
+    "innr_tpu/kernels/knn.py": ("tests/test_kernels.py", "tests/test_prune.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/kernels/packed_knn.py": ("tests/test_packed_knn.py",),
+    "innr_tpu/kernels/slot_knn.py": ("tests/test_slot.py",),
+    "innr_tpu/kernels/maxsim_kernel.py": ("tests/test_maxsim.py",),
+    "innr_tpu/kernels/pruned_knn.py": ("tests/test_prune.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/prune.py": ("tests/test_prune.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/batch.py": ("tests/test_batch.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/segmented.py": ("tests/test_segmented.py",),
+}
+
+_BINOP_SWAPS = {
+    ast.Mult: ast.Add,
+    ast.Add: ast.Sub,
+    ast.Sub: ast.Add,
+    ast.Div: ast.Mult,
+    ast.FloorDiv: ast.Mult,
+    ast.BitXor: ast.BitAnd,
+    ast.BitAnd: ast.BitOr,
+    ast.BitOr: ast.BitAnd,
+    ast.LShift: ast.RShift,
+    ast.RShift: ast.LShift,
+}
+_CMP_SWAPS = {
+    ast.Lt: ast.LtE,
+    ast.LtE: ast.Lt,
+    ast.Gt: ast.GtE,
+    ast.GtE: ast.Gt,
+    ast.Eq: ast.NotEq,
+    ast.NotEq: ast.Eq,
+}
+
+
+@dataclass(frozen=True)
+class Site:
+    path: str
+    index: int  # enumeration index within the module walk
+    kind: str
+    lineno: int
+    descr: str
+
+
+def _sites_in(tree: ast.AST) -> list[tuple[str, ast.AST, str]]:
+    """Enumerate mutable nodes in a deterministic walk order."""
+    out = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.BinOp) and type(node.op) in _BINOP_SWAPS:
+            out.append(("binop", node, type(node.op).__name__))
+        elif isinstance(node, ast.Compare) and len(node.ops) == 1 and type(
+            node.ops[0]
+        ) in _CMP_SWAPS:
+            out.append(("cmp", node, type(node.ops[0]).__name__))
+        elif isinstance(node, ast.BoolOp):
+            out.append(("boolop", node, type(node.op).__name__))
+        elif isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Invert):
+            out.append(("invert", node, "Invert"))
+        elif (
+            isinstance(node, ast.Constant)
+            and isinstance(node.value, (int, float))
+            and not isinstance(node.value, bool)
+            and node.value not in (0, 1)  # shape/axis literals dominate
+        ):
+            out.append(("const", node, repr(node.value)))
+    return out
+
+
+def _mutate(tree: ast.AST, index: int) -> ast.AST:
+    """Apply the index-th site mutation to a (deep-copied) tree."""
+    tree = copy.deepcopy(tree)
+    kind, node, _ = _sites_in(tree)[index]
+    if kind == "binop":
+        node.op = _BINOP_SWAPS[type(node.op)]()
+    elif kind == "cmp":
+        node.ops = [_CMP_SWAPS[type(node.ops[0])]()]
+    elif kind == "boolop":
+        node.op = ast.Or() if isinstance(node.op, ast.And) else ast.And()
+    elif kind == "invert":
+        # drop the ~ entirely (the key-flip class of bug)
+        node.op = ast.UAdd()
+    elif kind == "const":
+        node.value = node.value + 1 if isinstance(node.value, int) else -node.value
+    return tree
+
+
+def enumerate_sites() -> list[Site]:
+    sites: list[Site] = []
+    for path in sorted(TARGETS):
+        src = (REPO / path).read_text()
+        tree = ast.parse(src)
+        for i, (kind, node, descr) in enumerate(_sites_in(tree)):
+            sites.append(Site(path, i, kind, getattr(node, "lineno", 0), descr))
+    return sites
+
+
+def run_site(site: Site, timeout: int = 1200) -> str:
+    src_path = REPO / site.path
+    original = src_path.read_text()
+    tree = ast.parse(original)
+    mutated = ast.unparse(ast.fix_missing_locations(_mutate(tree, site.index)))
+    src_path.write_text(mutated)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "-x", "-q",
+             "-p", "no:cacheprovider", *TARGETS[site.path]],
+            cwd=REPO, capture_output=True, text=True, timeout=timeout,
+        )
+        return "KILLED" if proc.returncode != 0 else "SURVIVED"
+    except subprocess.TimeoutExpired:
+        return "TIMEOUT"  # counts as killed: the mutant broke the suite
+    finally:
+        src_path.write_text(original)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sample", type=int, default=40,
+                    help="deterministic sample size (0 = all sites)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--threshold", type=float, default=0.9)
+    ap.add_argument("--report", default="MUTATION_REPORT.md")
+    args = ap.parse_args()
+
+    sites = enumerate_sites()
+    if args.list:
+        by_mod: dict[str, int] = {}
+        for s in sites:
+            by_mod[s.path] = by_mod.get(s.path, 0) + 1
+        for path, cnt in sorted(by_mod.items()):
+            print(f"{cnt:5d}  {path}")
+        print(f"{len(sites):5d}  TOTAL mutable sites")
+        return 0
+
+    chosen = sites
+    if not args.all and args.sample and args.sample < len(sites):
+        chosen = random.Random(args.seed).sample(sites, args.sample)
+
+    killed, survivors = 0, []
+    t0 = time.time()
+    for i, s in enumerate(chosen):
+        verdict = run_site(s)
+        ok = verdict in ("KILLED", "TIMEOUT")
+        killed += ok
+        tag = f"{s.path}:{s.lineno} [{s.kind} {s.descr}]"
+        print(f"[{i + 1}/{len(chosen)}] {verdict:9s} {tag}", flush=True)
+        if not ok:
+            survivors.append(tag)
+    rate = killed / max(len(chosen), 1)
+    dt = time.time() - t0
+
+    lines = [
+        "# Mutation sweep report",
+        "",
+        f"- sites enumerated: {len(sites)} across {len(TARGETS)} modules",
+        f"- mutants run: {len(chosen)} (seed {args.seed})",
+        f"- kill rate: **{rate:.1%}** in {dt / 60:.1f} min",
+        "",
+        "## Survivors (triage)",
+        "",
+    ]
+    lines += [f"- `{t}`" for t in survivors] or ["- none"]
+    (REPO / args.report).write_text("\n".join(lines) + "\n")
+    print(f"\nkill rate {rate:.1%} ({killed}/{len(chosen)}); "
+          f"report -> {args.report}")
+    return 0 if rate >= args.threshold else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,223 @@
+"""Killers for mutation-sweep survivors (MUTATION_REPORT.md triage).
+
+Each test targets a specific surviving mutant from the generated AST
+sweep (scripts/mutation_sweep.py) — a behavior the suite could not
+previously observe. Survivors judged *equivalent* (pure perf knobs with
+no observable semantics: maxsim tile floor, pruned-knn aux-rank guard
+for an unused rank) are documented in MUTATION_REPORT triage instead.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import innr_tpu as it
+
+
+class TestScalarAffineScoreValues:
+    """Kills scalar.py `(alpha/255)*mixed + offset*sum(q)` sign flips:
+    the multi-query affine correction is a per-query constant, so index
+    checks alone cannot see it — values must match the per-pair oracle."""
+
+    def test_multi_scores_match_pairwise_oracle(self, rng):
+        from innr_tpu.ops.scalar import batch_knn_u8_multi
+
+        rows = rng.standard_normal((80, 24)).astype(np.float32) + 1.0
+        qs = rng.standard_normal((3, 24)).astype(np.float32)
+        params = it.QuantizationParams.fit(rows)
+        corpus = it.QuantizedU8Batch.quantize(rows, params)
+        vals, idx = batch_knn_u8_multi(qs, corpus, params, 5)
+        for i in range(3):
+            for j in range(5):
+                row = int(np.asarray(idx)[i, j])
+                want = float(
+                    it.asymmetric_dot_u8(
+                        qs[i], it.quantize_u8(rows[row], params), params
+                    )
+                )
+                assert float(np.asarray(vals)[i, j]) == pytest.approx(
+                    want, rel=1e-5
+                )
+
+
+class TestMinhashSimilarityValues:
+    """Kills slot.py `1 - counts/s` arithmetic mutants: the similarity
+    transform is monotone either way, so only VALUE checks see it."""
+
+    def test_minhash_knn_values(self, rng):
+        sk = rng.integers(0, 50, (30, 16)).astype(np.uint32)
+        sims, idx = it.minhash_knn(sk[3], sk, 4)
+        for r, s_val in zip(np.asarray(idx), np.asarray(sims)):
+            matches = int(np.sum(sk[3] == sk[int(r)]))
+            assert float(s_val) == pytest.approx(matches / 16)
+
+    def test_minhash_knn_batch_values(self, rng):
+        sk = rng.integers(0, 50, (30, 16)).astype(np.uint32)
+        sims, idx = it.minhash_knn_batch(sk[:2], sk, 3)
+        for i in range(2):
+            for r, s_val in zip(np.asarray(idx)[i], np.asarray(sims)[i]):
+                matches = int(np.sum(sk[i] == sk[int(r)]))
+                assert float(s_val) == pytest.approx(matches / 16)
+
+
+class TestSparseMaxsimPaddedPair:
+    """Kills sparse.py tuple-arity mutants: the padded-pair fast path in
+    sparse MaxSim was never driven with an actual 2-tuple."""
+
+    def test_padded_pair_doc_tokens(self):
+        q = [
+            (np.array([1, 3], np.uint32), np.array([1.0, 2.0], np.float32)),
+        ]
+        d_idx = np.array([[1, 9], [3, 0xFFFFFFFF]], np.uint32)
+        d_val = np.array([[4.0, 1.0], [5.0, 0.0]], np.float32)
+        got = float(it.sparse_maxsim(q, (d_idx, d_val)))
+        # token q0 vs doc tokens: dot(d0) = 1*4 = 4, dot(d1) = 2*5 = 10
+        assert got == pytest.approx(10.0)
+
+
+class TestVarianceEmptyGuard:
+    """Kills batch.py empty-guard mutants: 0 vectors must yield zeros,
+    never NaN from an empty mean."""
+
+    def test_empty_corpus_variance_zeros(self):
+        vb = it.VerticalBatch.from_rows(np.zeros((0, 5), np.float32))
+        v = np.asarray(it.batch_dimension_variance(vb))
+        assert v.shape == (5,)
+        assert not np.any(np.isnan(v))
+        np.testing.assert_array_equal(v, np.zeros(5, np.float32))
+
+    def test_single_vector_variance_zeros(self, rng):
+        vb = it.VerticalBatch.from_rows(
+            rng.standard_normal((1, 4)).astype(np.float32)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(it.batch_dimension_variance(vb)), np.zeros(4)
+        )
+
+
+class TestForceReferenceU8Multi:
+    """Kills scalar.py dispatch-gate boolop mutants: force_reference must
+    keep the multi-query u8 path off the fused kernel."""
+
+    def test_forced_reference_never_calls_fused(self, rng, monkeypatch):
+        from innr_tpu import config
+        from innr_tpu.kernels import knn as kknn
+        from innr_tpu.ops.scalar import batch_knn_u8_multi
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        calls = []
+        monkeypatch.setattr(
+            kknn, "fused_knn_u8_batch",
+            lambda *a, **kw: calls.append(1) or (_ for _ in ()).throw(
+                AssertionError("fused path used under force_reference")
+            ),
+        )
+        rows = rng.standard_normal((64, 16)).astype(np.float32)
+        qs = rng.standard_normal((2, 16)).astype(np.float32)
+        params = it.QuantizationParams.fit(rows)
+        corpus = it.QuantizedU8Batch.quantize(rows, params)
+        config.force_reference(True)
+        try:
+            vals, idx = batch_knn_u8_multi(qs, corpus, params, 3)
+        finally:
+            config.force_reference(False)
+        assert not calls
+        assert np.asarray(idx).shape == (2, 3)
+
+
+class TestMaxsimBatchEmptyGuards:
+    """Kills maxsim.py empty-guard boolop mutants."""
+
+    def test_empty_docs(self, rng):
+        qs = rng.standard_normal((2, 3, 8)).astype(np.float32)
+        docs = np.zeros((0, 4, 8), np.float32)
+        vals, idx = it.maxsim_knn_batch(qs, docs, 3)
+        assert vals.shape == (2, 0) and idx.shape == (2, 0)
+
+    def test_k_zero(self, rng):
+        qs = rng.standard_normal((2, 3, 8)).astype(np.float32)
+        docs = rng.standard_normal((5, 4, 8)).astype(np.float32)
+        vals, idx = it.maxsim_knn_batch(qs, docs, 0)
+        assert vals.shape == (2, 0) and idx.shape == (2, 0)
+
+
+class TestSlotHammingU64HighBits:
+    """Kills slot.py u64-dispatch mutants: u64 slots differing only in
+    their HIGH 32 bits must count as differing (the generic jnp path
+    would silently truncate them without the pair conversion)."""
+
+    def test_high_bit_difference_counts(self):
+        a = np.array([1 << 40, 5, 7], np.uint64)
+        b = np.array([1 << 41, 5, 7], np.uint64)
+        assert int(it.slot_hamming(a, b)) == 1
+        c = np.array([(1 << 40) | 3, 5], np.uint64)
+        d = np.array([(1 << 41) | 3, 5], np.uint64)
+        assert int(it.slot_hamming(c, d)) == 1
+
+
+class TestClusterOrderGroupsClusters:
+    """Kills prune.py k-means distance mutants: perfectly separable
+    clusters must come out contiguous in the ordering."""
+
+    def test_separable_clusters_contiguous(self, rng):
+        from innr_tpu.prune import cluster_order
+
+        centers = np.eye(4, 8, dtype=np.float32) * 100
+        assign = rng.integers(0, 4, 200)
+        rows = centers[assign] + 0.01 * rng.standard_normal((200, 8)).astype(
+            np.float32
+        )
+        # over-provision centroids so every true cluster is captured
+        perm = cluster_order(rows, n_clusters=8, n_iters=6)
+        ordered_assign = assign[perm]
+        # True clusters must not interleave: a handful of runs at most
+        # (random init may merge/split clusters, but a mutated distance
+        # scatters assignments into ~O(n) runs).
+        changes = int(np.sum(ordered_assign[1:] != ordered_assign[:-1]))
+        assert changes <= 10, changes
+
+
+class TestFusedGeometryBudget:
+    """Kills knn.py tile-geometry mutants: the VMEM budget model only
+    fails on real silicon (scoped-VMEM OOM), so its invariants are
+    asserted directly against the 16 MB wall."""
+
+    @pytest.mark.parametrize("dtype_name,n_q,d,k", [
+        ("uint8", 32, 768, 10),
+        ("float32", 32, 128, 10),
+        ("float32", 32, 128, 2048),
+        ("float32", 512, 128, 512),
+        ("bfloat16", 32, 128, 10),
+        ("float32", 1, 1536, 4096),
+    ])
+    def test_tile_plus_topk_fits_scoped_vmem(self, dtype_name, n_q, d, k):
+        from innr_tpu.kernels.knn import _K_LANE, _Q_TILE, plan_geometry
+        from innr_tpu.utils.padding import round_up
+
+        dtype = getattr(jnp, dtype_name)
+        tile_n, bytes_per_row = plan_geometry(10_000_000, d, dtype, n_q, k)
+        topk = 16 * round_up(n_q, _Q_TILE) * round_up(k, _K_LANE)
+        # Only the raw dtype tile is double-buffered by the pipeline;
+        # widen temps / score lanes are single compute-scoped copies.
+        raw = {"uint8": 1, "bfloat16": 2, "float32": 4}[dtype_name] * d
+        live = tile_n * (bytes_per_row + raw) + topk  # 2x raw + 1x rest
+        assert live <= 16 * 1024 * 1024, live
+        assert tile_n % 128 == 0
+        assert tile_n >= 128
+
+    def test_query_batch_term_matters(self):
+        """The per-lane query term must scale with the batch: a Q=512
+        batch must get a smaller corpus tile than Q=1 at the same d."""
+        from innr_tpu.kernels.knn import plan_geometry
+
+        t1, _ = plan_geometry(10_000_000, 128, jnp.float32, 1, 10)
+        t512, _ = plan_geometry(10_000_000, 128, jnp.float32, 512, 10)
+        assert t512 < t1
+
+    def test_large_k_shrinks_tiles(self):
+        from innr_tpu.kernels.knn import plan_geometry
+
+        t_small, _ = plan_geometry(10_000_000, 128, jnp.float32, 32, 10)
+        t_large, _ = plan_geometry(10_000_000, 128, jnp.float32, 32, 4096)
+        assert t_large <= t_small

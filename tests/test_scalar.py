@@ -127,6 +127,31 @@ class TestBatchKnnU8:
         params = it.QuantizationParams.from_range(0.0, 1.0)
         assert it.batch_knn_u8(np.zeros(4, np.float32), [], params, 3) == []
 
+    def test_multi_query_matches_single(self, rng):
+        """Mutation-sweep survivor regression: the multi-query u8 path's
+        empty-guard polarity (``n == 0 or k == 0``) was not observable
+        from this module's tests — a flipped guard silently returned
+        empty results for every non-empty corpus."""
+        from innr_tpu.ops.scalar import batch_knn_u8_multi
+
+        rows = rng.standard_normal((150, 32)).astype(np.float32)
+        qs = rng.standard_normal((3, 32)).astype(np.float32)
+        params = it.QuantizationParams.fit(rows)
+        corpus = it.QuantizedU8Batch.quantize(rows, params)
+        vals, idx = batch_knn_u8_multi(qs, corpus, params, 4)
+        assert np.asarray(idx).shape == (3, 4)
+        for i in range(3):
+            single = it.batch_knn_u8(qs[i], corpus, params, 4)
+            assert [int(g) for g, _ in single] == list(np.asarray(idx)[i])
+        # empty corpus / k=0 still yield (Q, 0)
+        empty = it.QuantizedU8Batch.quantize(
+            np.zeros((0, 32), np.float32), params
+        )
+        v0, i0 = batch_knn_u8_multi(qs, empty, params, 3)
+        assert np.asarray(i0).shape == (3, 0)
+        v1, i1 = batch_knn_u8_multi(qs, corpus, params, 0)
+        assert np.asarray(i1).shape == (3, 0)
+
     def test_memory_4x(self, rng):
         rows = rng.standard_normal((10, 768)).astype(np.float32)
         params = it.QuantizationParams.fit(rows)
