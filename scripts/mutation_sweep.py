@@ -82,6 +82,33 @@ _CMP_SWAPS = {
     ast.NotEq: ast.Eq,
 }
 
+# Functions whose mutants are EQUIVALENT by design (pure performance
+# knobs: tile-size heuristics, VMEM budget constants, thread-count
+# choice). Any legal value yields correct results — only throughput (or
+# a silicon-only OOM, gated separately by the plan_geometry invariant
+# tests) changes — so mutating them measures nothing. The cargo-mutants
+# `exclude_re` analog.
+EXCLUDED_FUNCS = {
+    "_pick_tile_n",
+    "_pick_tile_n_mq",
+    "_pick_tile",
+    "pruned_tile_n",
+    "plan_geometry",
+    "single_pass_k",
+    "_n_threads",
+    "memory_bytes",
+}
+
+
+def _excluded_ranges(tree: ast.AST) -> list[tuple[int, int]]:
+    out = []
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and (
+            node.name in EXCLUDED_FUNCS
+        ):
+            out.append((node.lineno, node.end_lineno or node.lineno))
+    return out
+
 
 @dataclass(frozen=True)
 class Site:
@@ -93,9 +120,18 @@ class Site:
 
 
 def _sites_in(tree: ast.AST) -> list[tuple[str, ast.AST, str]]:
-    """Enumerate mutable nodes in a deterministic walk order."""
+    """Enumerate mutable nodes in a deterministic walk order, skipping
+    excluded (perf-knob) function bodies."""
+    excl = _excluded_ranges(tree)
+
+    def _is_excluded(node) -> bool:
+        ln = getattr(node, "lineno", None)
+        return ln is not None and any(a <= ln <= b for a, b in excl)
+
     out = []
     for node in ast.walk(tree):
+        if _is_excluded(node):
+            continue
         if isinstance(node, ast.BinOp) and type(node.op) in _BINOP_SWAPS:
             out.append(("binop", node, type(node.op).__name__))
         elif isinstance(node, ast.Compare) and len(node.ops) == 1 and type(

@@ -221,3 +221,92 @@ class TestFusedGeometryBudget:
         t_small, _ = plan_geometry(10_000_000, 128, jnp.float32, 32, 10)
         t_large, _ = plan_geometry(10_000_000, 128, jnp.float32, 32, 4096)
         assert t_large <= t_small
+
+
+class TestSweepRound2Killers:
+    """Killers for the second sampled sweep's real survivors."""
+
+    def test_ternary_plane_length_contract_each_side(self):
+        # `or` -> `and` in the plane-shape check must not slip through
+        pos = np.zeros(2, np.uint32)
+        bad = np.zeros(3, np.uint32)
+        with pytest.raises(it.ContractError):
+            it.PackedTernary(bad, np.zeros(2, np.uint32), 40)
+        with pytest.raises(it.ContractError):
+            it.PackedTernary(pos, bad, 40)
+
+    def test_quantized_u8_dimension_check_polarity(self):
+        codes = np.arange(8, dtype=np.uint8)
+        q = it.QuantizedU8(codes, dimension=8)  # matching: must pass
+        assert q.dimension == 8
+        with pytest.raises(it.ContractError):
+            it.QuantizedU8(codes, dimension=9)
+
+    def test_generic_slot_hamming_counts_differing_not_equal(self):
+        a = np.array([1, 2, 3, 4], np.uint32)
+        b = np.array([1, 9, 3, 8], np.uint32)
+        assert int(it.slot_hamming(a, b)) == 2
+        c = np.array([5, 6], np.uint16)
+        d = np.array([5, 7], np.uint16)
+        assert int(it.slot_hamming(c, d)) == 1
+
+    def test_pruned_order_front_loads_survivors(self, rng):
+        """argsort(~alive) invert-drop: survivors must occupy the FRONT
+        of the plan so the dynamic pipeline's first n_surv steps scan
+        exactly the live tiles — verified end-to-end under STRONG pruning
+        (queries inside one cluster of a separable corpus)."""
+        from innr_tpu import prune
+        from innr_tpu.kernels import knn as kknn
+        from innr_tpu.kernels import pruned_knn as kpruned
+
+        centers = np.eye(8, 16, dtype=np.float32) * 50
+        assign = np.sort(rng.integers(0, 8, 4096))
+        rows = (centers[assign] + 0.01 * rng.standard_normal((4096, 16))).astype(
+            np.float32
+        )
+        s = prune.build_tile_summary(jnp.asarray(rows), 256)
+        qs = jnp.asarray(
+            centers[:1] + 0.01 * rng.standard_normal((2, 16)).astype(np.float32)
+        )
+        order, n_surv = prune.plan_survivors(
+            qs, s.centroids, s.radii, s.counts, 5, "dot"
+        )
+        assert int(n_surv) <= 12  # pruning engaged (some tiles dead)
+        o = np.asarray(order)[: int(n_surv)]
+        # every survivor slot must be a tile whose bound can win
+        pv, pi = kpruned.fused_knn_dot_pruned_batch(qs, jnp.asarray(rows), s, 5)
+        fv, fi = kknn.fused_knn_dot_batch(qs, jnp.asarray(rows), 5)
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(fi))
+        # and the winners' tiles must all appear among the survivors
+        for t in (np.asarray(fi) // 256).ravel():
+            assert int(t) in set(o.tolist())
+
+    def test_slot_knn_batch_k_zero(self, rng):
+        sk = rng.integers(0, 50, (20, 8)).astype(np.uint32)
+        counts, idx = it.slot_knn_u32_batch(sk[:2], sk, 0)
+        assert np.asarray(idx).shape == (2, 0)
+
+    def test_ternary_knn_batch_fallback_values(self, rng):
+        """The jnp fallback arm of ternary_knn_batch (small corpora) must
+        produce the same dots as the pairwise oracle."""
+        rows = rng.standard_normal((30, 40)).astype(np.float32)
+        enc = [it.encode_ternary(r, 0.4) for r in rows]
+        corpus = it.PackedTernaryBatch.encode(rows, 0.4)
+        q_enc = it.encode_ternary(rows[3], 0.4)
+        qp = np.asarray(q_enc.pos)[None, :]
+        qn = np.asarray(q_enc.neg)[None, :]
+        from innr_tpu.ops.ternary import ternary_knn_batch
+
+        dots, idx = ternary_knn_batch((qp, qn), corpus, 4)
+        for j in range(4):
+            want = int(it.ternary_dot(q_enc, enc[int(np.asarray(idx)[0, j])]))
+            assert int(np.asarray(dots)[0, j]) == want
+
+    def test_sparse_join_empty_query(self):
+        corpus = it.SparseCorpus(
+            [(np.array([1, 2], np.uint32), np.array([1.0, 2.0], np.float32))]
+        )
+        vals, idx = it.sparse_knn(
+            (np.zeros(0, np.uint32), np.zeros(0, np.float32)), corpus, 1
+        )
+        assert float(np.asarray(vals)[0]) == 0.0
