@@ -76,7 +76,8 @@ class VerticalBatch:
     (``src/batch.rs:212-214``).
     """
 
-    __slots__ = ("rows", "_norms2", "_inv_norms", "_tile_summary")
+    __slots__ = ("rows", "_norms2", "_inv_norms", "_tile_summary",
+                 "_tile_summary_norm")
 
     def __init__(self, rows: jax.Array, dtype=jnp.float32):
         """``dtype=jnp.bfloat16`` stores the corpus half-precision: the
@@ -97,6 +98,7 @@ class VerticalBatch:
         self._norms2 = None
         self._inv_norms = None
         self._tile_summary = None
+        self._tile_summary_norm = None
 
     def norms2(self) -> jax.Array:
         """Per-row squared L2 norms, computed once and cached."""
@@ -113,16 +115,26 @@ class VerticalBatch:
             self._inv_norms = _inv(self.rows)
         return self._inv_norms
 
-    def tile_summary(self):
+    def tile_summary(self, normalized: bool = False):
         """Per-HBM-tile (centroid, radius) bounds for tile-skip pruning
         (:mod:`innr_tpu.prune`), built lazily in one corpus pass and
         cached. Powers ``batch_knn*(..., prune=True)``,
         :func:`batch_knn_adaptive` and :func:`batch_l2_squared_pruning`
-        on large corpora."""
-        if self._tile_summary is None:
-            from innr_tpu.kernels.pruned_knn import pruned_tile_n
-            from innr_tpu.prune import build_tile_summary
+        on large corpora. ``normalized=True``: the unit-row summary the
+        cosine pruned scan plans against (cached separately)."""
+        from innr_tpu.kernels.pruned_knn import pruned_tile_n
+        from innr_tpu.prune import build_tile_summary
 
+        if normalized:
+            if self._tile_summary_norm is None:
+                tile_n = pruned_tile_n(
+                    self.num_vectors, self.dimension, self.rows.dtype
+                )
+                self._tile_summary_norm = build_tile_summary(
+                    self.rows, tile_n, normalized=True
+                )
+            return self._tile_summary_norm
+        if self._tile_summary is None:
             tile_n = pruned_tile_n(
                 self.num_vectors, self.dimension, self.rows.dtype
             )
@@ -545,7 +557,7 @@ def batch_knn_dot(query, batch: VerticalBatch, k: int, prune: bool = False) -> B
     return _result(vals, idx)
 
 
-def batch_knn_cosine(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
+def batch_knn_cosine(query, batch: VerticalBatch, k: int, prune: bool = False) -> BatchKnnResult:
     """Top-k by cosine similarity (reference ``src/batch.rs:766``).
 
     Precomputes corpus norms once, then one MXU matvec (the fused Pallas
@@ -553,8 +565,10 @@ def batch_knn_cosine(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
     descending. A zero-norm query scores everything 0.0 (both paths; the
     fused scan pre-normalizes queries on-device, so there is no host sync).
 
-    TPU-native extension: ``query`` may be a (Q, D) batch — all Q queries
-    share one corpus scan and the result arrays are (Q, k).
+    TPU-native extensions: ``query`` may be a (Q, D) batch — all Q queries
+    share one corpus scan and the result arrays are (Q, k). ``prune=True``:
+    tile-skipping scan over unit-row bounds — exact same results,
+    provably-losing HBM tiles never read (see :func:`batch_knn`).
     """
     q = _check_query(query, batch, "batch_knn_cosine", allow_multi=True)
     if batch.num_vectors == 0 or k == 0:
@@ -563,7 +577,19 @@ def batch_knn_cosine(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
     if _use_fused(batch.num_vectors, k):
         from innr_tpu.kernels import knn as _kernels
 
-        if q.ndim == 1:
+        if prune:
+            from innr_tpu.kernels.pruned_knn import (
+                fused_knn_cosine_pruned_batch,
+            )
+
+            qs = q if q.ndim == 2 else q[None, :]
+            vals, idx = fused_knn_cosine_pruned_batch(
+                qs, batch.rows, batch.tile_summary(normalized=True), k,
+                inv=batch.inv_norms(),
+            )
+            if q.ndim == 1:
+                vals, idx = vals[0], idx[0]
+        elif q.ndim == 1:
             q = q[None, :]
             vals, idx = _kernels.fused_knn_cosine_batch(
                 q, batch.rows, k, inv=batch.inv_norms()

@@ -106,7 +106,9 @@ def _scan_tile_into(q_tile, rows, norms_tile, mode, tile_id, tile_n,
 
 
 def _pruned_body_scores(qs_tile, rows, norms_tile, mode):
-    """Shared score computation for one survivor tile (dot or l2)."""
+    """Shared score computation for one survivor tile (dot, l2, or
+    cosine — cosine streams per-row inverse norms like the full fused
+    scan and expects pre-normalized queries)."""
     from innr_tpu import config
 
     precision = config.matmul_precision()
@@ -122,6 +124,8 @@ def _pruned_body_scores(qs_tile, rows, norms_tile, mode):
     )
     if mode == "l2":
         scores = norms_tile - 2.0 * scores
+    elif mode == "cosine":
+        scores = scores * norms_tile
     keys = f32_keys(scores)
     if mode == "l2":
         keys = ~keys
@@ -299,6 +303,22 @@ def fused_knn_l2_pruned_batch(qs, rows, summary, k: int, norms2=None):
     return _pruned_run(qs, rows, norms2, summary, k, "l2")
 
 
+def fused_knn_cosine_pruned_batch(qs, rows, summary_norm, k: int, inv=None):
+    """Exact top-k cosine with tile-skip pruning. ``summary_norm``: a
+    :class:`~innr_tpu.prune.TileSummary` built with ``normalized=True``
+    (unit rows) — cosine over the raw corpus equals dot over the unit
+    corpus, so the survivor plan is the dot plan against the normalized
+    queries. The scan itself streams per-row inverse norms (``inv``)
+    like the full fused cosine kernel; zero-norm rows/queries score
+    exactly 0.0 (the reference guard)."""
+    from innr_tpu.kernels.knn import _unit_queries, inv_norms
+
+    if inv is None:
+        inv = inv_norms(rows)
+    qs_n = _unit_queries(jnp.asarray(qs, jnp.float32))
+    return _pruned_run(qs_n, rows, inv, summary_norm, k, "cosine")
+
+
 def _pruned_run(qs, rows, aux, summary, k: int, mode: str):
     from innr_tpu.prune import plan_survivors
 
@@ -315,8 +335,11 @@ def _pruned_run(qs, rows, aux, summary, k: int, mode: str):
     # some tile holds >= k rows: every non-final tile holds exactly
     # tile_n rows by construction, so this is static.
     fast = k <= summary.tile_n or summary.n_tiles == 1
+    # Cosine plans as DOT against the unit-row summary with the already
+    # pre-normalized queries (|q_hat| = 1 folds into the dot bounds).
+    plan_mode = "dot" if mode == "cosine" else mode
     order, n_surv = plan_survivors(
-        qs, summary.centroids, summary.radii, summary.counts, k, mode,
+        qs, summary.centroids, summary.radii, summary.counts, k, plan_mode,
         fast=fast,
     )
     # Real hardware: dynamic-grid inner pipeline (only survivor tiles are

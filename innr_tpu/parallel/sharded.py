@@ -75,6 +75,76 @@ def _local_topk(qs, rows_shard, aux_shard, n_total, k, mode, use_fused):
     )
 
 
+def _local_topk_pruned(qs, rows_shard, aux_shard, cent, rad, cnt, n_total,
+                       k_local, k, mode, tile_n):
+    """Per-shard tile-skip body: plan survivors over THIS shard's tile
+    summaries, run the pruned scan locally, emit raw keys + global
+    indices (the same contract as :func:`_local_topk`)."""
+    from innr_tpu.kernels import should_interpret
+    from innr_tpu.kernels.pruned_knn import _pruned_raw, _pruned_raw_dynamic
+    from innr_tpu.prune import plan_survivors
+
+    base = jax.lax.axis_index(AXIS) * rows_shard.shape[0]
+    plan_mode = "dot" if mode == "cosine" else mode
+    fast = k_local <= tile_n
+    order, n_surv = plan_survivors(
+        qs, cent, rad, cnt, k_local, plan_mode, fast=fast
+    )
+    raw = _pruned_raw if should_interpret() else _pruned_raw_dynamic
+    keys, lidx = raw(
+        qs, rows_shard, aux_shard, order, n_surv, k_local, mode, tile_n
+    )
+    gidx = base + lidx
+    keys = jnp.where(gidx < n_total, keys, _INT_MIN)
+    return keys, gidx
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "k_local", "mode", "n_total", "mesh", "tile_n"),
+)
+def _sharded_knn_pruned(
+    qs, rows_sharded, aux_sharded, cent, rad, cnt, k: int, k_local: int,
+    mode: str, n_total: int, mesh: Mesh, tile_n: int,
+):
+    single = qs.ndim == 1
+    if single:
+        qs = qs[None, :]
+    if mode == "cosine":
+        from innr_tpu.kernels.knn import _unit_queries
+
+        qs = _unit_queries(qs)
+    has_aux = mode != "dot"
+    body = partial(
+        _local_topk_pruned, n_total=n_total, k_local=k_local, k=k,
+        mode=mode, tile_n=tile_n,
+    )
+    if not has_aux:
+        body = partial(
+            lambda q_, r_, c_, ra_, cn_, f_: f_(q_, r_, None, c_, ra_, cn_),
+            f_=body,
+        )
+    local = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS, None))
+        + ((P(AXIS),) if has_aux else ())
+        + (P(AXIS, None), P(AXIS), P(AXIS)),
+        out_specs=(P(None, AXIS), P(None, AXIS)),
+        check_vma=False,
+    )
+    args = (qs, rows_sharded) + ((aux_sharded,) if has_aux else ()) + (
+        cent, rad, cnt,
+    )
+    keys, gidx = local(*args)
+    merged_keys, pos = jax.lax.top_k(keys, k)
+    idx = jnp.take_along_axis(gidx, pos, axis=1)
+    vals = decode_keys(merged_keys, mode, True, qs)
+    if single:
+        return vals[0], idx[0]
+    return vals, idx
+
+
 @partial(
     jax.jit, static_argnames=("k", "k_local", "mode", "n_total", "mesh", "use_fused")
 )
@@ -186,6 +256,34 @@ class ShardedCorpus:
         self.rows = jax.device_put(rows, sharding)
         self._norms2 = None
         self._inv_norms = None
+        self._summaries = {}
+
+    def tile_summary(self, normalized: bool = False):
+        """Per-shard tile summaries for distributed tile-skip pruning:
+        each device summarizes its OWN rows under shard_map (no gather),
+        and the arrays stay sharded alongside the corpus. Returns
+        ``(centroids, radii, counts, tile_n)`` with the leading tile axis
+        sharded over the mesh."""
+        key = bool(normalized)
+        if key not in self._summaries:
+            from innr_tpu.kernels.pruned_knn import pruned_tile_n
+            from innr_tpu.prune import _summarize
+
+            tile_n = pruned_tile_n(
+                self.shard_rows, self.dimension, self.rows.dtype
+            )
+            body = partial(_summarize, tile_n=tile_n, normalized=normalized)
+            cent, rad, cnt = jax.jit(
+                jax.shard_map(
+                    body,
+                    mesh=self.mesh,
+                    in_specs=P(AXIS, None),
+                    out_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
+                    check_vma=False,
+                )
+            )(self.rows)
+            self._summaries[key] = (cent, rad, cnt, tile_n)
+        return self._summaries[key]
 
     def _aux(self, mode: str):
         """Cached per-row norm streams, computed once, sharded with the
@@ -255,6 +353,7 @@ class ShardedCorpus:
         )
         self._norms2 = None
         self._inv_norms = None
+        self._summaries = {}
         return self
 
     @property
@@ -272,20 +371,23 @@ class ShardedCorpus:
     def memory_bytes(self) -> int:
         return int(self.rows.size) * 4
 
-    def knn_dot(self, query, k: int):
+    def knn_dot(self, query, k: int, prune: bool = False):
         """Distributed MIPS top-k: returns (scores, global indices),
-        scores descending (total order)."""
-        return sharded_knn_dot(query, self, k)
+        scores descending (total order). ``prune=True``: each shard runs
+        the tile-skip scan over its own tile summaries — exact results,
+        loser-only HBM tiles never read on any device."""
+        return sharded_knn_dot(query, self, k, prune=prune)
 
-    def knn_l2(self, query, k: int):
+    def knn_l2(self, query, k: int, prune: bool = False):
         """Distributed L2^2 top-k: returns (distances, global indices),
-        ascending."""
-        return sharded_knn_l2(query, self, k)
+        ascending. ``prune=True``: per-shard tile-skip scan."""
+        return sharded_knn_l2(query, self, k, prune=prune)
 
-    def knn_cosine(self, query, k: int):
+    def knn_cosine(self, query, k: int, prune: bool = False):
         """Distributed cosine top-k: returns (similarities, global
-        indices), descending. Zero-norm rows/queries score 0.0."""
-        return sharded_knn_cosine(query, self, k)
+        indices), descending. Zero-norm rows/queries score 0.0.
+        ``prune=True``: per-shard tile-skip scan over unit-row bounds."""
+        return sharded_knn_cosine(query, self, k, prune=prune)
 
     def knn_filtered(self, query, k: int, predicate):
         """Distributed L2^2 kNN with predicate pushdown: returns
@@ -337,37 +439,50 @@ def _plan_local_k(corpus: ShardedCorpus, k: int) -> tuple[int, bool]:
     return k_local, use_fused
 
 
-def _run(query, corpus: ShardedCorpus, k: int, mode: str, op: str):
+def _run(query, corpus: ShardedCorpus, k: int, mode: str, op: str,
+         prune: bool = False):
     q, k = _check(query, corpus, k, op)
     if k == 0:
         return _empty(q)
     k_local, use_fused = _plan_local_k(corpus, k)
+    if prune and use_fused:
+        from innr_tpu.kernels.knn import single_pass_k
+
+        n_q = int(q.shape[0]) if q.ndim == 2 else 1
+        if k_local <= single_pass_k(n_q):
+            cent, rad, cnt, tile_n = corpus.tile_summary(
+                normalized=(mode == "cosine")
+            )
+            return _sharded_knn_pruned(
+                q, corpus.rows, corpus._aux(mode), cent, rad, cnt, k,
+                k_local, mode, corpus.n_true, corpus.mesh, tile_n,
+            )
     return _sharded_knn(
         q, corpus.rows, corpus._aux(mode), k, k_local, mode, corpus.n_true,
         corpus.mesh, use_fused,
     )
 
 
-def sharded_knn_dot(query, corpus: ShardedCorpus, k: int):
+def sharded_knn_dot(query, corpus: ShardedCorpus, k: int, prune: bool = False):
     """Distributed batch_knn_dot over a :class:`ShardedCorpus`.
 
     ``query`` may be (D,) or a (Q, D) batch — all queries share the
     per-shard scan and one collective merge.
     """
-    return _run(query, corpus, k, "dot", "sharded_knn_dot")
+    return _run(query, corpus, k, "dot", "sharded_knn_dot", prune=prune)
 
 
-def sharded_knn_l2(query, corpus: ShardedCorpus, k: int):
+def sharded_knn_l2(query, corpus: ShardedCorpus, k: int, prune: bool = False):
     """Distributed batch_knn (L2^2) over a :class:`ShardedCorpus`.
     Accepts (D,) or (Q, D) queries."""
-    return _run(query, corpus, k, "l2", "sharded_knn_l2")
+    return _run(query, corpus, k, "l2", "sharded_knn_l2", prune=prune)
 
 
-def sharded_knn_cosine(query, corpus: ShardedCorpus, k: int):
+def sharded_knn_cosine(query, corpus: ShardedCorpus, k: int, prune: bool = False):
     """Distributed batch_knn_cosine over a :class:`ShardedCorpus`.
     Accepts (D,) or (Q, D) queries; zero-norm semantics match the
     single-chip fused path (queries pre-normalize on device)."""
-    return _run(query, corpus, k, "cosine", "sharded_knn_cosine")
+    return _run(query, corpus, k, "cosine", "sharded_knn_cosine", prune=prune)
 
 
 def sharded_knn_filtered(query, corpus: ShardedCorpus, k: int, predicate):

@@ -70,12 +70,23 @@ class TileSummary:
         )
 
 
-@partial(jax.jit, static_argnames=("tile_n",))
-def _summarize(rows: jax.Array, tile_n: int):
+@partial(jax.jit, static_argnames=("tile_n", "normalized"))
+def _summarize(rows: jax.Array, tile_n: int, normalized: bool = False):
     n, d = rows.shape
     n_tiles = -(-n // tile_n)
     pad = n_tiles * tile_n - n
-    rp = jnp.pad(rows.astype(jnp.float32), ((0, pad), (0, 0)))
+    rows32 = rows.astype(jnp.float32)
+    if normalized:
+        # Unit-row summary (cosine pruning): cos(q, r) = q_hat . r_hat,
+        # so bounds over the normalized corpus are the dot bounds with
+        # |q| = 1. Zero/tiny-norm rows become zero rows (their cosine is
+        # exactly 0.0 by contract — consistent with q_hat . 0).
+        from innr_tpu.config import NORM_EPSILON
+
+        norms = jnp.sqrt(jnp.sum(rows32 * rows32, axis=1, keepdims=True))
+        ok = norms > NORM_EPSILON
+        rows32 = jnp.where(ok, rows32 / jnp.where(ok, norms, 1.0), 0.0)
+    rp = jnp.pad(rows32, ((0, pad), (0, 0)))
     valid = (
         jnp.arange(n_tiles * tile_n, dtype=jnp.int32).reshape(n_tiles, tile_n)
         < n
@@ -92,14 +103,18 @@ def _summarize(rows: jax.Array, tile_n: int):
     return cent, radii, cnt
 
 
-def build_tile_summary(rows: jax.Array, tile_n: int) -> TileSummary:
+def build_tile_summary(rows: jax.Array, tile_n: int,
+                       normalized: bool = False) -> TileSummary:
     """One pass over the corpus -> :class:`TileSummary` (device arrays).
 
     The ragged final tile is summarized over its real rows only. NaN/inf
     rows poison their tile's radius to NaN, which the survivor planner
     treats as "never prunable" — a tile containing non-finite rows is
-    always scanned (the conservative direction)."""
-    cent, radii, cnt = _summarize(rows, tile_n)
+    always scanned (the conservative direction).
+
+    ``normalized=True`` summarizes the UNIT rows (cosine pruning: plan
+    survivors with mode "dot" against pre-normalized queries)."""
+    cent, radii, cnt = _summarize(rows, tile_n, normalized)
     return TileSummary(tile_n, cent, radii, cnt, int(rows.shape[0]))
 
 

@@ -182,3 +182,46 @@ class TestPublicPruneAPI:
             qs, s_ord.centroids, s_ord.radii, s_ord.counts, 3, "l2"
         )
         assert int(ns_ord) < int(ns_rand)
+
+
+class TestCosinePrunedScan:
+    """Cosine pruning: unit-row summaries make cosine a dot plan; results
+    must be bit-identical to the full fused cosine scan, including
+    zero-norm rows (score exactly 0.0)."""
+
+    def test_matches_full_cosine_bit_for_bit(self, rng):
+        from innr_tpu.kernels.pruned_knn import fused_knn_cosine_pruned_batch
+
+        rows = _clustered(rng, n=3000, d=24)
+        rows[100] = 0.0  # zero-norm row: cosine contract 0.0
+        s = prune.build_tile_summary(jnp.asarray(rows), 256, normalized=True)
+        qs = jnp.asarray(rng.standard_normal((4, 24)).astype(np.float32))
+        pv, pi = fused_knn_cosine_pruned_batch(qs, jnp.asarray(rows), s, 7)
+        fv, fi = kknn.fused_knn_cosine_batch(qs, jnp.asarray(rows), 7)
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(fi))
+        np.testing.assert_array_equal(np.asarray(pv), np.asarray(fv))
+
+    def test_public_api_prune_equals_plain(self, rng):
+        rows = _clustered(rng, n=8192, d=256, n_centers=32)
+        vb = it.VerticalBatch.from_rows(rows)
+        qs = rng.standard_normal((3, 256)).astype(np.float32)
+        plain = it.batch_knn_cosine(qs, vb, 5)
+        pruned = it.batch_knn_cosine(qs, vb, 5, prune=True)
+        np.testing.assert_array_equal(plain.indices, pruned.indices)
+        np.testing.assert_array_equal(plain.scores, pruned.scores)
+
+    def test_normalized_summary_prunes_direction_clusters(self, rng):
+        # Directional clusters with WILDLY different magnitudes: the raw
+        # summary cannot prune cosine (magnitude noise), the unit one can.
+        dirs = rng.standard_normal((8, 32)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        assign = np.sort(rng.integers(0, 8, 2048))
+        scale = rng.uniform(0.1, 100.0, 2048).astype(np.float32)
+        rows = (dirs[assign] * scale[:, None]).astype(np.float32)
+        rows += 0.001 * rng.standard_normal((2048, 32)).astype(np.float32)
+        s = prune.build_tile_summary(jnp.asarray(rows), 256, normalized=True)
+        q = jnp.asarray(dirs[:1])
+        order, n_surv = prune.plan_survivors(
+            q, s.centroids, s.radii, s.counts, 3, "dot", fast=True
+        )
+        assert int(n_surv) < s.n_tiles

@@ -978,3 +978,65 @@ class TestHierarchicalMerge:
                 rng.standard_normal((10, 8)).astype(np.float32),
                 mesh=default_mesh(),
             )
+
+
+class TestShardedPruned:
+    """Distributed tile-skip pruning: per-shard summaries + pruned local
+    scans must match the unpruned distributed result exactly."""
+
+    def _clustered(self, rng, n=4096, d=32):
+        centers = 5.0 * rng.standard_normal((16, d)).astype(np.float32)
+        assign = np.sort(rng.integers(0, 16, n))
+        return (
+            centers[assign]
+            + 0.05 * rng.standard_normal((n, d)).astype(np.float32)
+        ).astype(np.float32)
+
+    @pytest.fixture
+    def small_gate(self, monkeypatch):
+        # 8-device CPU mesh shards are small; lower the fused gate so the
+        # pruned branch actually engages (and verify it does).
+        from innr_tpu import config
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 64)
+
+    @pytest.mark.parametrize("mode", ["dot", "l2", "cosine"])
+    def test_pruned_matches_flat(self, rng, devices_ok, small_gate,
+                                 monkeypatch, mode):
+        import innr_tpu.parallel.sharded as sh
+
+        planned = []
+        real = sh._sharded_knn_pruned
+
+        def spy(*a, **kw):
+            planned.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(sh, "_sharded_knn_pruned", spy)
+        rows = self._clustered(rng)
+        sc = ShardedCorpus(rows)
+        q = rng.standard_normal(32).astype(np.float32)
+        fn = {"dot": sc.knn_dot, "l2": sc.knn_l2, "cosine": sc.knn_cosine}[mode]
+        pv, pi = fn(q, 6, prune=True)
+        assert planned, "pruned distributed path must engage"
+        fv, fi = fn(q, 6)
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(fi))
+        np.testing.assert_allclose(np.asarray(pv), np.asarray(fv), rtol=1e-6)
+
+    def test_pruned_batch_queries(self, rng, devices_ok, small_gate):
+        rows = self._clustered(rng)
+        sc = ShardedCorpus(rows)
+        qs = rng.standard_normal((3, 32)).astype(np.float32)
+        pv, pi = sc.knn_dot(qs, 5, prune=True)
+        dots = qs.astype(np.float64) @ rows.astype(np.float64).T
+        for i in range(3):
+            want = np.argsort(-dots[i].astype(np.float32), kind="stable")[:5]
+            np.testing.assert_array_equal(np.asarray(pi)[i], want)
+
+    def test_summary_is_sharded_and_cached(self, rng, devices_ok):
+        rows = self._clustered(rng)
+        sc = ShardedCorpus(rows)
+        cent, rad, cnt, tile_n = sc.tile_summary()
+        assert cent.shape[0] == int(np.asarray(cnt).shape[0])
+        assert int(np.asarray(cnt).sum()) == sc.n_pad
+        assert sc.tile_summary() is sc.tile_summary()
