@@ -200,7 +200,7 @@ def _pruned_raw_dynamic(qs, rows, aux, order, n_surv, k: int, mode: str,
         rows_p,
     ]
     if mode != "dot":
-        aux2 = aux if aux.ndim == 2 else aux[None, :]
+        aux2 = aux[None, :]  # always a 1-D per-row stream here
         # Lane-dim tiling is 128: pad the (1, N) norm stream so the
         # clamped final block never reads past the allocation (cheap —
         # 4 bytes/row).
@@ -245,7 +245,7 @@ def _pruned_raw(qs, rows, aux, order, n_surv, k: int, mode: str, tile_n: int):
     ]
     inputs = [qs_p, rows_p]
     if mode != "dot":
-        aux2 = aux if aux.ndim == 2 else aux[None, :]
+        aux2 = aux[None, :]  # always a 1-D per-row stream here
         in_specs.append(
             pl.BlockSpec(
                 (aux2.shape[0], tile_n), lambda i, o, s: (0, o[i]),

@@ -144,7 +144,6 @@ def plan_survivors(qs, summary_cent, summary_rad, summary_cnt, k: int,
     if mode == "dot":
         guaranteed = qd - qn * summary_rad[None, :]
         optimistic = qd + qn * summary_rad[None, :]
-        better = lambda a, b: a >= b  # larger score = better
         gkeys = guaranteed
     else:  # l2: distances, smaller = better
         qq = jnp.sum(qs * qs, axis=1, keepdims=True)
@@ -153,7 +152,6 @@ def plan_survivors(qs, summary_cent, summary_rad, summary_cnt, k: int,
         guaranteed = (qc + summary_rad[None, :]) ** 2
         lower = jnp.maximum(qc - summary_rad[None, :], 0.0)
         optimistic = lower * lower
-        better = lambda a, b: a <= b
         gkeys = -guaranteed  # rank by smallest guaranteed distance first
     if fast:
         # k fits inside a single tile (the caller statically verified a

@@ -41,7 +41,7 @@ TARGETS: dict[str, tuple[str, ...]] = {
     "innr_tpu/ops/dense.py": ("tests/test_dense.py",),
     "innr_tpu/ops/dense_f64.py": ("tests/test_dense_f64.py",),
     "innr_tpu/ops/binary.py": ("tests/test_binary.py",),
-    "innr_tpu/ops/ternary.py": ("tests/test_ternary.py",),
+    "innr_tpu/ops/ternary.py": ("tests/test_ternary.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/ops/scalar.py": ("tests/test_scalar.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/ops/quant.py": ("tests/test_quant_fastmath.py",),
     "innr_tpu/ops/slot.py": ("tests/test_slot.py", "tests/test_mutation_hardening.py"),

@@ -310,3 +310,40 @@ class TestSweepRound2Killers:
             (np.zeros(0, np.uint32), np.zeros(0, np.float32)), corpus, 1
         )
         assert float(np.asarray(vals)[0]) == 0.0
+
+
+class TestSweepRound3Killers:
+    """Killers for the third sampled sweep's real survivors."""
+
+    def test_ternary_set_out_of_range_ignored_each_side(self, rng):
+        t = it.encode_ternary(rng.standard_normal(10).astype(np.float32), 0.3)
+        same = t.set(10, 1)   # idx == dimension: ignored
+        assert np.array_equal(np.asarray(same.pos), np.asarray(t.pos))
+        same2 = t.set(-1, 1)  # negative: ignored
+        assert np.array_equal(np.asarray(same2.pos), np.asarray(t.pos))
+        changed = t.set(3, 1)  # in range: takes effect
+        assert changed.get(3) == 1
+
+    def test_u8_multi_fused_arm_scores(self, rng, monkeypatch):
+        """The FUSED arm's affine correction values (the jnp-arm test
+        cannot see it)."""
+        from innr_tpu import config
+        from innr_tpu.ops.scalar import batch_knn_u8_multi
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        rows = rng.standard_normal((64, 16)).astype(np.float32) + 1.0
+        qs = rng.standard_normal((2, 16)).astype(np.float32)
+        params = it.QuantizationParams.fit(rows)
+        corpus = it.QuantizedU8Batch.quantize(rows, params)
+        vals, idx = batch_knn_u8_multi(qs, corpus, params, 4)
+        for i in range(2):
+            for j in range(4):
+                row = int(np.asarray(idx)[i, j])
+                want = float(
+                    it.asymmetric_dot_u8(
+                        qs[i], it.quantize_u8(rows[row], params), params
+                    )
+                )
+                assert float(np.asarray(vals)[i, j]) == pytest.approx(
+                    want, rel=1e-4, abs=1e-4
+                )
