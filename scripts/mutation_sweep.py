@@ -58,7 +58,7 @@ TARGETS: dict[str, tuple[str, ...]] = {
     "innr_tpu/kernels/pruned_knn.py": ("tests/test_prune.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/prune.py": ("tests/test_prune.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/batch.py": ("tests/test_batch.py", "tests/test_mutation_hardening.py"),
-    "innr_tpu/segmented.py": ("tests/test_segmented.py",),
+    "innr_tpu/segmented.py": ("tests/test_segmented.py", "tests/test_mutation_hardening.py"),
 }
 
 _BINOP_SWAPS = {
@@ -92,12 +92,16 @@ EXCLUDED_FUNCS = {
     "_pick_tile_n",
     "_pick_tile_n_mq",
     "_pick_tile",
+    "_pick_tile_docs",
     "pruned_tile_n",
     "plan_geometry",
     "single_pass_k",
     "_n_threads",
     "memory_bytes",
 }
+
+# Module-level constants that are pure perf/bucketing knobs.
+EXCLUDED_CONSTS = {"_TOPK_VMEM_BUDGET", "_K_MAX_PASS", "_W_CHUNK"}
 
 
 def _excluded_ranges(tree: ast.AST) -> list[tuple[int, int]]:
@@ -107,6 +111,37 @@ def _excluded_ranges(tree: ast.AST) -> list[tuple[int, int]]:
             node.name in EXCLUDED_FUNCS
         ):
             out.append((node.lineno, node.end_lineno or node.lineno))
+        elif isinstance(node, ast.Assign) and any(
+            isinstance(t, ast.Name) and t.id in EXCLUDED_CONSTS
+            for t in node.targets
+        ):
+            out.append((node.lineno, node.end_lineno or node.lineno))
+    return out
+
+
+def _annotation_nodes(tree: ast.AST) -> set[int]:
+    """ids of nodes inside type annotations (mutating them is a no-op)."""
+    out: set[int] = set()
+
+    def mark(sub):
+        if sub is None:
+            return
+        for n in ast.walk(sub):
+            out.add(id(n))
+
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            mark(node.returns)
+            for a in (
+                node.args.args + node.args.posonlyargs + node.args.kwonlyargs
+            ):
+                mark(a.annotation)
+            if node.args.vararg:
+                mark(node.args.vararg.annotation)
+            if node.args.kwarg:
+                mark(node.args.kwarg.annotation)
+        elif isinstance(node, ast.AnnAssign):
+            mark(node.annotation)
     return out
 
 
@@ -123,8 +158,11 @@ def _sites_in(tree: ast.AST) -> list[tuple[str, ast.AST, str]]:
     """Enumerate mutable nodes in a deterministic walk order, skipping
     excluded (perf-knob) function bodies."""
     excl = _excluded_ranges(tree)
+    ann = _annotation_nodes(tree)
 
     def _is_excluded(node) -> bool:
+        if id(node) in ann:
+            return True
         ln = getattr(node, "lineno", None)
         return ln is not None and any(a <= ln <= b for a, b in excl)
 

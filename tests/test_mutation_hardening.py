@@ -347,3 +347,77 @@ class TestSweepRound3Killers:
                 assert float(np.asarray(vals)[i, j]) == pytest.approx(
                     want, rel=1e-4, abs=1e-4
                 )
+
+
+class TestSweepRound4Killers:
+    """Killers for the fourth sampled sweep's real survivors."""
+
+    def test_segmented_compaction_boundary(self, rng):
+        sc = it.SegmentedCorpus(4, max_segments=3)
+        for _ in range(3):
+            sc.add(rng.standard_normal((5, 4)).astype(np.float32))
+        assert sc.num_segments == 3  # AT the limit: no compaction
+        sc.add(rng.standard_normal((5, 4)).astype(np.float32))
+        assert sc.num_segments == 1  # one past: compacted
+
+    def test_segmented_force_reference_never_fused(self, rng, monkeypatch):
+        from innr_tpu import config
+        from innr_tpu.kernels import knn as kknn
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        monkeypatch.setattr(
+            kknn, "fused_knn_keys_batch",
+            lambda *a, **kw: (_ for _ in ()).throw(
+                AssertionError("fused under force_reference")
+            ),
+        )
+        sc = it.SegmentedCorpus(6)
+        sc.add(rng.standard_normal((64, 6)).astype(np.float32))
+        config.force_reference(True)
+        try:
+            scores, ids = sc.knn_dot(rng.standard_normal(6).astype(np.float32), 3)
+        finally:
+            config.force_reference(False)
+        assert len(ids) == 3
+
+    def test_binary_empty_words_masking_guard(self):
+        # dimension 0 -> zero words: the padding-bit mask must not index
+        # into an empty final word
+        p = it.PackedBinary(np.zeros(0, np.uint32), 0)
+        assert p.dimension == 0
+
+    def test_ternary_interleaved_u64_dim_33(self, rng):
+        # word-count arithmetic: ceil(33/32)=2 differs from ceil(33/33)=1,
+        # so a +1 mutant of the u64 width constant breaks this roundtrip
+        t = it.encode_ternary(rng.standard_normal(33).astype(np.float32), 0.3)
+        back = it.PackedTernary.from_interleaved_u64(t.to_interleaved_u64(), 33)
+        for i in range(33):
+            assert back.get(i) == t.get(i), i
+
+    def test_maxsim_empty_each_side(self, rng):
+        doc = [rng.standard_normal(8).astype(np.float32)]
+        assert float(it.maxsim([], doc)) == 0.0
+        assert float(it.maxsim(doc, [])) == 0.0
+
+    def test_threshold_survivor_bounds_sound_property(self, rng):
+        """Any mutant of the lower-bound formula must violate soundness:
+        every tile containing a row within the threshold must be alive."""
+        from innr_tpu import prune
+
+        for trial in range(5):
+            rows = rng.standard_normal((1024, 12)).astype(np.float32) * (
+                1.0 + 3.0 * rng.random()
+            )
+            s = prune.build_tile_summary(jnp.asarray(rows), 128)
+            q = rng.standard_normal(12).astype(np.float32)
+            l2 = np.sum((rows.astype(np.float64) - q) ** 2, axis=1)
+            thr = float(np.quantile(l2, 0.05))
+            _, _, alive = prune.plan_threshold_survivors(
+                jnp.asarray(q[None, :]), s.centroids, s.radii,
+                jnp.float32(thr),
+            )
+            alive = np.asarray(alive)
+            for t in range(s.n_tiles):
+                tile_rows = l2[t * 128 : (t + 1) * 128]
+                if np.any(tile_rows <= thr - 1e-3):
+                    assert alive[t], (trial, t)
