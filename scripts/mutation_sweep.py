@@ -93,6 +93,7 @@ EXCLUDED_FUNCS = {
     "_pick_tile_n_mq",
     "_pick_tile",
     "_pick_tile_docs",
+    "_pick_tile_docs_mq",
     "pruned_tile_n",
     "plan_geometry",
     "single_pass_k",

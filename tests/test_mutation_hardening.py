@@ -421,3 +421,109 @@ class TestSweepRound4Killers:
                 tile_rows = l2[t * 128 : (t + 1) * 128]
                 if np.any(tile_rows <= thr - 1e-3):
                     assert alive[t], (trial, t)
+
+
+class TestSweepRound5Killers:
+    """Killers for the fifth sampled sweep's real survivors."""
+
+    def test_segmented_dead_frac_boundary(self, rng):
+        sc = it.SegmentedCorpus(4)  # max_dead_frac 0.25
+        sc.add(rng.standard_normal((100, 4)).astype(np.float32))
+        sc.delete(np.arange(20))  # 20% dead: below the trigger
+        assert sc.num_deleted == 20
+        sc.delete(np.arange(20, 30))  # 30%: compaction fires
+        assert sc.num_deleted == 0 and sc.num_vectors == 70
+
+    def test_maxsim_knn_batch_contracts_each_clause(self, rng):
+        docs = rng.standard_normal((4, 3, 8)).astype(np.float32)
+        with pytest.raises(it.ContractError):
+            it.maxsim_knn_batch(rng.standard_normal((2, 8)).astype(np.float32), docs, 2)
+        with pytest.raises(it.ContractError):
+            it.maxsim_knn_batch(
+                rng.standard_normal((2, 3, 9)).astype(np.float32), docs, 2
+            )
+
+    def test_sparse_knn_batch_accepts_2d_padded_queries(self):
+        corpus = it.SparseCorpus(
+            [(np.array([1, 2], np.uint32), np.array([1.0, 2.0], np.float32)),
+             (np.array([3], np.uint32), np.array([5.0], np.float32))]
+        )
+        q_idx = np.array([[1, 0xFFFFFFFF], [3, 0xFFFFFFFF]], np.uint32)
+        q_val = np.array([[2.0, 0.0], [1.0, 0.0]], np.float32)
+        vals, idx = it.sparse_knn_batch((q_idx, q_val), corpus, 1)
+        assert int(np.asarray(idx)[0, 0]) == 0
+        assert int(np.asarray(idx)[1, 0]) == 1
+
+    def test_threshold_bounds_sound_with_offset_clusters(self, rng):
+        """Large-mean data makes the centroid-norm term dominate, so any
+        arithmetic mutant of the ||q-c|| expansion flips liveness."""
+        from innr_tpu import prune
+
+        # two far-apart clusters with large means: tiles 0-1 near +20,
+        # tiles 2-3 near -20; query near +20, small threshold -> the far
+        # tiles are provably dead, and the centroid-norm term dominates
+        # so arithmetic mutants of the expansion flip liveness.
+        rows = np.concatenate([
+            rng.standard_normal((256, 8)) + 20.0,
+            rng.standard_normal((256, 8)) - 20.0,
+        ]).astype(np.float32)
+        s = prune.build_tile_summary(jnp.asarray(rows), 128)
+        q = (rng.standard_normal(8) + 20.0).astype(np.float32)
+        l2 = np.sum((rows.astype(np.float64) - q) ** 2, axis=1)
+        thr = float(np.quantile(l2, 0.1))
+        _, _, alive = prune.plan_threshold_survivors(
+            jnp.asarray(q[None, :]), s.centroids, s.radii, jnp.float32(thr)
+        )
+        alive = np.asarray(alive)
+        for t in range(s.n_tiles):
+            if np.any(l2[t * 128 : (t + 1) * 128] <= thr - 1e-3):
+                assert alive[t], t
+        # and at least one tile must be provably dead on this data
+        assert not alive.all()
+
+    def test_quake_magic_constant_pinned(self):
+        from innr_tpu.ops import fast_math
+
+        assert fast_math._MAGIC == 0x5F375A86  # reference src/fast_math.rs:55
+
+    def test_binary_knn_force_reference(self, rng, monkeypatch):
+        from innr_tpu import config
+        from innr_tpu.kernels import packed_knn as kp
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        monkeypatch.setattr(
+            kp, "fused_binary_knn",
+            lambda *a, **kw: (_ for _ in ()).throw(
+                AssertionError("fused under force_reference")
+            ),
+        )
+        rows = rng.standard_normal((64, 32)).astype(np.float32)
+        corpus = it.PackedBinaryBatch.encode(rows, 0.0)
+        config.force_reference(True)
+        try:
+            counts, idx = it.binary_knn(it.encode_binary(rows[2], 0.0), corpus, 3)
+        finally:
+            config.force_reference(False)
+        assert int(np.asarray(idx)[0]) == 2
+
+    def test_dense_f64_native_x64_arm(self, rng):
+        import jax
+
+        from innr_tpu.ops import dense_f64
+
+        a = rng.standard_normal(64)
+        b = rng.standard_normal(64)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            got = float(dense_f64.l2_distance_squared_f64(a, b, impl="native"))
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        want = float(np.sum((a - b) ** 2))
+        assert got == pytest.approx(want, rel=1e-12)
+
+    def test_host_total_keys_order_negatives(self):
+        from innr_tpu.ops.topk import _total_keys
+
+        vals = np.array([-2.0, -1.0, -0.0, 0.0, 1.0, 2.0], np.float32)
+        keys = _total_keys(vals)
+        assert list(np.argsort(keys, kind="stable")) == list(range(6))
