@@ -249,7 +249,7 @@ def _knn_kernel(n_rows, k, mode, has_excl, q_ref, rows_ref, *rest):
     if mode == "l2m":
         # Predicate pushdown: non-passing rows can never win
         # (reference src/batch.rs:842-845 pins them to f32::MAX).
-        keys = jnp.where(norms_ref[1:2, :] > 0.0, keys, _INT_MIN)
+        keys = jnp.where(norms_ref[1:, :] > 0.0, keys, _INT_MIN)
 
     keys, global_idx = masked_global_idx(step, n_q, tile_n, n_rows, keys)
     if has_excl:

@@ -24,7 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from innr_tpu.kernels import should_interpret
 from innr_tpu.utils.order import top_k_total
-from innr_tpu.utils.padding import pad_axis_to, round_up
+from innr_tpu.utils.padding import LANE, SUBLANE, pad_axis_to, round_up
 
 
 def _pick_tile_docs(n: int, td: int, d: int) -> int:
@@ -95,13 +95,13 @@ def fused_maxsim_scores(q_tokens: jax.Array, docs: jax.Array, doc_mask=None):
     tq, d = q_tokens.shape
     n, td, _ = docs.shape
 
-    tile_docs = _pick_tile_docs(n, round_up(td, 8), round_up(d, 128))
+    tile_docs = _pick_tile_docs(n, round_up(td, SUBLANE), round_up(d, LANE))
     # No doc-axis padding: an XLA pad of the corpus is a full HBM copy;
     # Pallas runs a ragged final block and rows past n are sliced away.
     n_pad = round_up(n, tile_docs)
-    d_pad = round_up(d, 128)
-    tq_pad = round_up(tq, 8)
-    td_pad = round_up(td, 8)
+    d_pad = round_up(d, LANE)
+    tq_pad = round_up(tq, SUBLANE)
+    td_pad = round_up(td, SUBLANE)
 
     docs_p = pad_axis_to(pad_axis_to(docs, 1, td_pad), 2, d_pad)
     q_p = pad_axis_to(pad_axis_to(q_tokens, 0, tq_pad), 1, d_pad)
@@ -226,11 +226,11 @@ def fused_maxsim_scores_batch(q_batch: jax.Array, docs: jax.Array, doc_mask=None
     n, td, _ = docs.shape
 
     tile_docs = _pick_tile_docs_mq(
-        n, round_up(td, 8), round_up(d, 128), b, round_up(tq, 8)
+        n, round_up(td, SUBLANE), round_up(d, LANE), b, round_up(tq, SUBLANE)
     )
-    d_pad = round_up(d, 128)
-    tq_pad = round_up(tq, 8)
-    td_pad = round_up(td, 8)
+    d_pad = round_up(d, LANE)
+    tq_pad = round_up(tq, SUBLANE)
+    td_pad = round_up(td, SUBLANE)
 
     docs_p = pad_axis_to(pad_axis_to(docs, 1, td_pad), 2, d_pad)
     # Flatten the query batch into one (B*Tq_pad, D) token matrix so the

@@ -33,7 +33,12 @@ __all__ = [
 def _tokens_2d(tokens, name: str) -> jax.Array:
     """Coerce a token list / 2-D array into (T, D) f32, checking ragged
     inputs (the reference's shared-dimension assert)."""
-    if isinstance(tokens, (jnp.ndarray, np.ndarray)) and getattr(tokens, "ndim", 0) == 2:
+    if isinstance(tokens, (jnp.ndarray, np.ndarray)):
+        if tokens.ndim != 2:
+            raise ContractError(
+                f"innr_tpu::maxsim: {name} tokens must be a (T, D) array "
+                f"or a list of equal-length vectors, got ndim={tokens.ndim}"
+            )
         return jnp.asarray(tokens, dtype=jnp.float32)
     toks = list(tokens)
     if not toks:

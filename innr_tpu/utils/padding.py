@@ -11,6 +11,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Hardware tiling constants (v4/v5 register shape for f32): the VPU/MXU
+# lane (last-dim) width and the sublane (second-minor) height. Pallas
+# block shapes must be multiples of these; they are properties of the
+# silicon, not tunables.
+LANE = 128
+SUBLANE = 8
+
 
 def round_up(x: int, multiple: int) -> int:
     """Smallest multiple of ``multiple`` that is >= ``x``."""

@@ -527,3 +527,146 @@ class TestSweepRound5Killers:
         vals = np.array([-2.0, -1.0, -0.0, 0.0, 1.0, 2.0], np.float32)
         keys = _total_keys(vals)
         assert list(np.argsort(keys, kind="stable")) == list(range(6))
+
+
+class TestSeed0SweepSurvivors:
+    """Killers for the seed-0 sweep survivors (sixth triage)."""
+
+    def test_segmented_rejects_3d_queries(self, rng):
+        # segmented.py query-shape contract: `ndim != 2 OR dim mismatch`.
+        # A 3-D batch whose axis 1 happens to equal the corpus dim must
+        # still be rejected (an `and` mutant would let it through).
+        d = 8
+        sc = it.SegmentedCorpus(d)
+        sc.add(rng.standard_normal((20, d)).astype(np.float32))
+        bad = rng.standard_normal((2, d, 3)).astype(np.float32)
+        with pytest.raises(it.ContractError):
+            sc.knn_dot(bad, 3)
+
+    def test_packed_ternary_eq_observes_contents(self):
+        # ternary.py __eq__ and-chain: an `or` mutant would short-circuit
+        # on isinstance and call everything equal.
+        a = it.encode_ternary([1.0, -1.0, 0.0, 1.0], 0.5)
+        b = it.encode_ternary([1.0, -1.0, 0.0, -1.0], 0.5)
+        c = it.encode_ternary([1.0, -1.0, 0.0], 0.5)
+        assert a != b  # same dim, different planes
+        assert a != c  # different dim
+        assert a != "not-a-ternary"
+        assert a == it.encode_ternary([1.0, -1.0, 0.0, 1.0], 0.5)
+
+    def test_encode_ternary_boundary_values_are_zero(self):
+        # encode bands are STRICT (> t / < -t, reference src/ternary.rs:170):
+        # values exactly at +-threshold must encode to 0.
+        t = 0.5
+        enc = it.encode_ternary([t, -t, 0.25, -0.25, 0.75, -0.75], t)
+        assert [enc.get(i) for i in range(6)] == [0, 0, 0, 0, 1, -1]
+        # batch encoder shares the planes contract
+        pos, neg = it.encode_ternary_batch(
+            np.array([[t, -t, 0.75, -0.75]], dtype=np.float32), t
+        )
+        got = it.PackedTernaryBatch(pos, neg, 4)
+        single = it.encode_ternary([t, -t, 0.75, -0.75], t)
+        assert np.asarray(got.pos[0]).tolist() == np.asarray(single.pos).tolist()
+        assert np.asarray(got.neg[0]).tolist() == np.asarray(single.neg).tolist()
+
+    def test_ternary_knn_batch_1d_planes_raise_contract_error(self, rng):
+        # ternary.py plane-shape contract: 1-D planes must raise
+        # ContractError via the ndim clause (an `and` mutant evaluates
+        # shape[1] on a 1-D array and dies with IndexError instead).
+        rows = rng.standard_normal((10, 64)).astype(np.float32)
+        corpus = it.PackedTernaryBatch.encode(rows, 0.3)
+        qp = np.asarray(corpus.pos[0])  # (W,) 1-D
+        qn = np.asarray(corpus.neg[0])
+        with pytest.raises(it.ContractError):
+            from innr_tpu.ops.ternary import ternary_knn_batch
+            ternary_knn_batch((qp, qn), corpus, 2)
+
+    def test_threshold_plan_keeps_exact_boundary_tile(self):
+        # prune.py `lower^2 > threshold`: a tile whose distance lower
+        # bound hits the threshold EXACTLY may still hold a passing row
+        # (row filter is inclusive) — `>=` would prune it. Exact f32
+        # arithmetic: q=0, centroid=5, radius=1 -> lower=4, lower^2=16.
+        from innr_tpu import prune
+
+        qs = jnp.zeros((1, 1), dtype=jnp.float32)
+        cent = jnp.asarray([[5.0]], dtype=jnp.float32)
+        rad = jnp.asarray([1.0], dtype=jnp.float32)
+        _, n_surv, alive = prune.plan_threshold_survivors(qs, cent, rad, 16.0)
+        assert bool(np.asarray(alive)[0]) and int(n_surv) == 1
+        # strictly beyond the threshold the tile must die
+        _, n_surv2, alive2 = prune.plan_threshold_survivors(
+            qs, cent, rad, 15.9999
+        )
+        assert not bool(np.asarray(alive2)[0]) and int(n_surv2) == 0
+
+    def test_pruned_scan_masked_tail_steps_add_nothing(self, rng):
+        # pruned_knn.py `pl.when(i < n_surv)`: steps at/after n_surv
+        # revisit the LAST SURVIVOR's block; an `<=` mutant would scan it
+        # twice and duplicate its rows in the running best. Exactness +
+        # uniqueness over a plan that actually prunes kills it.
+        from innr_tpu import prune
+        from innr_tpu.kernels import knn as kknn
+        from innr_tpu.kernels import pruned_knn as kpruned
+
+        d = 16
+        rows = rng.standard_normal((512, d)).astype(np.float32)
+        rows[:256] += 60.0  # tile 0: far cluster -> pruned for near queries
+        s = prune.build_tile_summary(jnp.asarray(rows), 256)
+        qs = jnp.asarray(rows[256:259] + 0.01)
+        order, n_surv = prune.plan_survivors(
+            qs, s.centroids, s.radii, s.counts, 5, "l2"
+        )
+        assert int(n_surv) == 1  # the far tile is dead -> a masked step runs
+        pv, pi = kpruned.fused_knn_l2_pruned_batch(qs, jnp.asarray(rows), s, 5)
+        fv, fi = kknn.fused_knn_l2_batch(qs, jnp.asarray(rows), 5)
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(fi))
+        np.testing.assert_array_equal(np.asarray(pv), np.asarray(fv))
+        for row in np.asarray(pi):
+            assert len(set(row.tolist())) == len(row)
+
+    def test_maxsim_rejects_non_2d_ndarray_tokens(self):
+        # maxsim.py token coercion: ndarray inputs must be (T, D);
+        # 1-D / 3-D arrays raise ContractError, not a downstream shape
+        # error from inside the jitted score matmul.
+        docs = [[1.0, 0.0, 0.0, 0.0]]
+        with pytest.raises(it.ContractError):
+            it.maxsim(np.ones(4, dtype=np.float32), docs)
+        with pytest.raises(it.ContractError):
+            it.maxsim(np.ones((2, 2, 4), dtype=np.float32), docs)
+        with pytest.raises(it.ContractError):
+            it.maxsim(docs, np.ones(4, dtype=np.float32))
+
+    def test_adaptive_empty_and_k_zero_early_return(self, rng):
+        # batch.py `num_vectors == 0 OR k == 0` early return: each clause
+        # alone must produce the empty result (an `and` mutant falls
+        # through into the warmup scan).
+        vb_empty = it.VerticalBatch.from_rows(np.zeros((0, 8), np.float32))
+        q = rng.standard_normal(8).astype(np.float32)
+        r = it.batch_knn_adaptive(q, vb_empty, 3, warmup_dims=4)
+        assert r.indices.shape == (0,) and r.scores.shape == (0,)
+        vb = it.VerticalBatch.from_rows(
+            rng.standard_normal((10, 8)).astype(np.float32)
+        )
+        r2 = it.batch_knn_adaptive(q, vb, 0, warmup_dims=4)
+        assert r2.indices.shape == (0,)
+
+    def test_fused_masked_multiquery_matches_oracle(self, rng):
+        # knn.py l2m predicate pushdown, MULTI-query: the mask row of the
+        # aux block must gate every query's keys (mask polarity `> 0.0`
+        # and the aux-row slice are only observable when masked rows
+        # would otherwise win).
+        from innr_tpu.kernels import knn as kknn
+
+        n, d, k = 300, 12, 6
+        rows = rng.standard_normal((n, d)).astype(np.float32)
+        qs = rows[:3] + 0.001  # nearest rows are the queries themselves...
+        mask = np.ones(n, dtype=bool)
+        mask[:3] = False  # ...and they are masked out
+        vals, idx = kknn.fused_knn_l2_masked_batch(
+            jnp.asarray(qs), jnp.asarray(rows), jnp.asarray(mask), k
+        )
+        d2 = ((qs[:, None, :] - rows[None, :, :]) ** 2).sum(-1)
+        d2[:, ~mask] = np.inf
+        want = np.argsort(d2, axis=1, kind="stable")[:, :k]
+        np.testing.assert_array_equal(np.asarray(idx), want)
+        assert not np.isin(np.asarray(idx), [0, 1, 2]).any()
