@@ -319,6 +319,18 @@ def fused_knn_cosine_pruned_batch(qs, rows, summary_norm, k: int, inv=None):
     return _pruned_run(qs_n, rows, inv, summary_norm, k, "cosine")
 
 
+def _fast_plan_ok(k: int, summary) -> bool:
+    """Perf-only plan selection: the masked-max fast threshold (no
+    per-query argsort; it dominated plan cost at serving batch sizes) is
+    worthwhile when some tile statically holds >= k rows (every non-final
+    tile holds exactly tile_n). EITHER choice is sound —
+    ``plan_survivors``'s eligible-count mask degrades the fast threshold
+    to "prune nothing" when no tile qualifies — so this function is a
+    pure performance knob (excluded from mutation like the tile pickers).
+    """
+    return k <= summary.tile_n or summary.n_tiles == 1
+
+
 def _pruned_run(qs, rows, aux, summary, k: int, mode: str):
     from innr_tpu.prune import plan_survivors
 
@@ -331,10 +343,7 @@ def _pruned_run(qs, rows, aux, summary, k: int, mode: str):
         from innr_tpu.kernels.knn import _fused_knn
 
         return _fused_knn(qs, rows, aux, k, mode)
-    # Fast threshold (masked max, no per-query argsort) is sound whenever
-    # some tile holds >= k rows: every non-final tile holds exactly
-    # tile_n rows by construction, so this is static.
-    fast = k <= summary.tile_n or summary.n_tiles == 1
+    fast = _fast_plan_ok(k, summary)
     # Cosine plans as DOT against the unit-row summary with the already
     # pre-normalized queries (|q_hat| = 1 folds into the dot bounds).
     plan_mode = "dot" if mode == "cosine" else mode

@@ -114,13 +114,10 @@ def slot_hamming(a, b) -> int:
     n = min(a.size, b.size)
     if n == 0:
         return 0
-    if a.dtype == np.uint64 or b.dtype == np.uint64:
-        a32 = _u64_to_u32_pairs(a[:n])
-        b32 = _u64_to_u32_pairs(b[:n])
-        return int(np.sum(np.any(a32 != b32, axis=1)))
-    return int(
-        jnp.sum((jnp.asarray(a[:n]) != jnp.asarray(b[:n])).astype(jnp.int32))
-    )
+    # Host-side numpy comparison: exact for every integer width including
+    # u64 (which cannot round-trip through jnp with x64 off), and NaN
+    # slots count as differing exactly like Rust's PartialEq.
+    return int(np.sum(a[:n] != b[:n]))
 
 
 def slot_compare_counts(a, b) -> SlotCounts:

@@ -241,13 +241,18 @@ def cluster_order(rows, n_clusters: int = 256, n_iters: int = 5, seed: int = 0):
         r32 = r.astype(jnp.float32)
         rr = jnp.sum(r32 * r32, axis=1)
 
-        def step(cent, _):
+        def nearest(cent):
+            # ONE L2^2-expansion shared by the Lloyd steps and the final
+            # assignment, so the two can never drift apart.
             d2 = (
                 rr[:, None]
                 - 2.0 * jnp.matmul(r32, cent.T, preferred_element_type=jnp.float32)
                 + jnp.sum(cent * cent, axis=1)[None, :]
             )
-            assign = jnp.argmin(d2, axis=1)
+            return jnp.argmin(d2, axis=1)
+
+        def step(cent, _):
+            assign = nearest(cent)
             one_hot = jax.nn.one_hot(assign, kc, dtype=jnp.float32)
             sums = jnp.matmul(one_hot.T, r32, preferred_element_type=jnp.float32)
             cnts = jnp.sum(one_hot, axis=0)[:, None]
@@ -255,12 +260,7 @@ def cluster_order(rows, n_clusters: int = 256, n_iters: int = 5, seed: int = 0):
             return new_cent, None
 
         cent, _ = jax.lax.scan(step, cent, None, length=iters)
-        d2 = (
-            rr[:, None]
-            - 2.0 * jnp.matmul(r32, cent.T, preferred_element_type=jnp.float32)
-            + jnp.sum(cent * cent, axis=1)[None, :]
-        )
-        return jnp.argmin(d2, axis=1)
+        return nearest(cent)
 
     assign = _fit(rows, n_iters, n_clusters)
     return np.argsort(np.asarray(assign), kind="stable")

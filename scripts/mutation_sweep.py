@@ -95,6 +95,7 @@ EXCLUDED_FUNCS = {
     "_pick_tile_docs",
     "_pick_tile_docs_mq",
     "pruned_tile_n",
+    "_fast_plan_ok",
     "plan_geometry",
     "single_pass_k",
     "_n_threads",
@@ -103,6 +104,21 @@ EXCLUDED_FUNCS = {
 
 # Module-level constants that are pure perf/bucketing knobs.
 EXCLUDED_CONSTS = {"_TOPK_VMEM_BUDGET", "_K_MAX_PASS", "_W_CHUNK"}
+
+# Functions that only execute on real TPU silicon: the emit_pipeline
+# dynamic-grid kernels are rejected by the CPU interpreter
+# (`should_interpret()` routes tests to the static twins), so a CPU
+# mutant run can never observe them. Their score math is the SAME body
+# the static kernels run (`_scan_tile_into` / `_tile_dists`, which stay
+# mutable), and the DMA plumbing is exercised on-chip by the probes,
+# examples and bench.
+EXCLUDED_SILICON_FUNCS = {
+    "_pruned_outer_kernel",
+    "_pruned_raw_dynamic",
+    "_threshold_outer_kernel",
+    "_threshold_raw_dynamic",
+}
+EXCLUDED_FUNCS = EXCLUDED_FUNCS | EXCLUDED_SILICON_FUNCS
 
 
 def _excluded_ranges(tree: ast.AST) -> list[tuple[int, int]]:
@@ -121,7 +137,11 @@ def _excluded_ranges(tree: ast.AST) -> list[tuple[int, int]]:
 
 
 def _annotation_nodes(tree: ast.AST) -> set[int]:
-    """ids of nodes inside type annotations (mutating them is a no-op)."""
+    """ids of nodes whose mutation measures nothing: type annotations
+    (no-ops at runtime) and keyword-argument DEFAULT constants (caller-
+    overridable tuning knobs — n_iters/n_clusters/seed-style parameters
+    whose every legal value is correct; logic that *consumes* them stays
+    mutable)."""
     out: set[int] = set()
 
     def mark(sub):
@@ -141,6 +161,10 @@ def _annotation_nodes(tree: ast.AST) -> set[int]:
                 mark(node.args.vararg.annotation)
             if node.args.kwarg:
                 mark(node.args.kwarg.annotation)
+            for d in node.args.defaults:
+                mark(d)
+            for d in node.args.kw_defaults:
+                mark(d)
         elif isinstance(node, ast.AnnAssign):
             mark(node.annotation)
     return out

@@ -670,3 +670,190 @@ class TestSeed0SweepSurvivors:
         want = np.argsort(d2, axis=1, kind="stable")[:, :k]
         np.testing.assert_array_equal(np.asarray(idx), want)
         assert not np.isin(np.asarray(idx), [0, 1, 2]).any()
+
+
+class TestSeed0TriageB:
+    """Killers for the second seed-0 sample (seventh triage)."""
+
+    def test_u8_single_query_fused_affine_values(self, rng, monkeypatch):
+        # scalar.py single-query fused arm: the `offset * sum(q)` affine
+        # term is a per-query constant — indices can't see a sign/op
+        # flip, values vs the per-pair oracle can.
+        from innr_tpu import config
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        rows = rng.standard_normal((40, 16)).astype(np.float32) + 1.0
+        q = rng.standard_normal(16).astype(np.float32)
+        params = it.QuantizationParams.fit(rows)
+        corpus = it.QuantizedU8Batch.quantize(rows, params)
+        res = it.batch_knn_u8(q, corpus, params, 5)
+        for row, score in res:
+            want = float(
+                it.asymmetric_dot_u8(q, it.quantize_u8(rows[row], params), params)
+            )
+            assert score == pytest.approx(want, rel=1e-5)
+
+    def test_u8_single_query_gate_clauses(self, rng, monkeypatch):
+        # scalar.py dispatch gate `n >= MIN_ROWS and not forced`: under
+        # force_reference the fused kernel must NOT run even on a large
+        # corpus (an `or` mutant would still take the fused arm).
+        from innr_tpu import config
+        from innr_tpu.kernels import knn as kern
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        rows = rng.standard_normal((32, 16)).astype(np.float32)
+        q = rng.standard_normal(16).astype(np.float32)
+        params = it.QuantizationParams.fit(rows)
+        corpus = it.QuantizedU8Batch.quantize(rows, params)
+
+        def boom(*a, **k):
+            raise AssertionError("fused u8 kernel under force_reference")
+
+        monkeypatch.setattr(kern, "fused_knn_u8_batch", boom)
+        config.force_reference(True)
+        try:
+            res = it.batch_knn_u8(q, corpus, params, 3)
+        finally:
+            config.force_reference(False)
+        assert len(res) == 3
+
+    def test_slot_fused_gate_boundary_inclusive(self, rng, monkeypatch):
+        # slot.py `n >= MIN_ROWS_PALLAS`: the boundary corpus size must
+        # take the fused path (`>` would silently fall back at n == MIN).
+        from innr_tpu import config
+        from innr_tpu.ops.slot import SketchCorpus, _use_fused_slot
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 16)
+        sc = SketchCorpus(rng.integers(0, 2**32, (16, 8), dtype=np.uint32))
+        assert _use_fused_slot(16, 2, sc.slots_t, 1)
+        assert not _use_fused_slot(15, 2, sc.slots_t, 1)
+
+    def test_segmented_fused_gate_boundary_inclusive(self, rng, monkeypatch):
+        # segmented.py per-segment gate `n_seg >= MIN_ROWS_PALLAS`: a
+        # boundary-sized segment must scan fused.
+        from innr_tpu import config
+        from innr_tpu.parallel import _scan
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 64)
+        seen = []
+        real = _scan.local_scan_keys
+
+        def spy(qs, rows, aux, n_total, k, mode, use_fused, base):
+            seen.append(use_fused)
+            return real(qs, rows, aux, n_total, k, mode, use_fused, base)
+
+        monkeypatch.setattr(_scan, "local_scan_keys", spy)
+        d = 8
+        sc = it.SegmentedCorpus(d)
+        sc.add(rng.standard_normal((64, d)).astype(np.float32))
+        sc.knn_dot(rng.standard_normal((2, d)).astype(np.float32), 3)
+        assert seen == [True]
+
+    def test_slot_knn_batch_k_nonpositive(self, rng, monkeypatch):
+        # slot.py `n == 0 or k <= 0`: k == 0 AND k < 0 must both return
+        # (Q, 0) WITHOUT touching a kernel (a `k < 0` mutant would hand
+        # the fused scan k=0 on a fused-eligible corpus).
+        from innr_tpu import config
+        from innr_tpu.kernels import slot_knn as kslot
+        from innr_tpu.ops.slot import SketchCorpus, slot_knn_u32_batch
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+
+        def boom(*a, **kw):
+            raise AssertionError("fused slot kernel invoked with k <= 0")
+
+        monkeypatch.setattr(kslot, "fused_slot_knn_batch", boom)
+        corpus = SketchCorpus(rng.integers(0, 2**32, (10, 8), dtype=np.uint32))
+        qs = rng.integers(0, 2**32, (3, 8), dtype=np.uint32)
+        for k in (0, -2):
+            counts, idx = slot_knn_u32_batch(qs, corpus, k)
+            assert counts.shape == (3, 0) and idx.shape == (3, 0)
+
+    def test_maxsim_batch_accepts_nested_list_docs(self, rng):
+        # maxsim_kernel.py dtype coercion `!= bfloat16`: non-array doc
+        # input must be coerced to f32 (an `==` mutant leaves a Python
+        # list to crash on .shape).
+        from innr_tpu.kernels.maxsim_kernel import fused_maxsim_scores_batch
+
+        q = rng.standard_normal((2, 3, 8)).astype(np.float32)
+        docs = rng.standard_normal((4, 5, 8)).astype(np.float32)
+        got_list = fused_maxsim_scores_batch(q, docs.tolist())
+        got_arr = fused_maxsim_scores_batch(q, docs)
+        np.testing.assert_array_equal(np.asarray(got_list), np.asarray(got_arr))
+
+    def test_maxsim_cosine_epsilon_norm_token_is_zero(self):
+        # maxsim.py zero-norm guard `n > NORM_EPSILON` is STRICT: a token
+        # whose norm is exactly epsilon (1e-9f survives sqrt(x*x)
+        # round-trip) must contribute 0, not be normalized by 1e-9.
+        x = np.float32(1e-9)
+        assert np.float32(np.sqrt(np.float32(x * x))) == np.float32(1e-9)
+        q = np.array([[x, 0.0, 0.0, 0.0]], dtype=np.float32)
+        d = np.array([[1.0, 0.0, 0.0, 0.0]], dtype=np.float32)
+        assert float(it.maxsim_cosine(q, d)) == 0.0
+
+    def test_cosine_epsilon_sq_boundary_is_zero(self):
+        # dense.py `aa > NORM_EPSILON_SQ` is STRICT: a vector whose
+        # squared norm lands EXACTLY on the epsilon (constructed in f32
+        # ulp space) is still "zero-norm" -> cosine 0.0.
+        from innr_tpu.config import NORM_EPSILON_SQ
+
+        x = np.float32(7.071061e-10)
+        y = np.float32(7.071075e-10)
+        aa = np.float32(np.float32(x * x) + np.float32(y * y))
+        assert aa == np.float32(NORM_EPSILON_SQ)  # construction holds
+        a = np.array([x, y], dtype=np.float32)
+        b = np.array([1.0, 0.0], dtype=np.float32)
+        assert float(it.cosine(a, b)) == 0.0
+        assert float(it.cosine(b, a)) == 0.0
+
+    def test_cluster_order_groups_separated_clusters(self, rng):
+        # prune.py k-means distance `rr - 2*q@c + cc`: with wildly
+        # separated clusters every centroid must land inside one true
+        # cluster, so the permutation's label sequence has at most
+        # n_clusters runs, each label-pure. A sign-flipped distance
+        # scrambles the assignment.
+        from innr_tpu import prune
+
+        # All-positive centers: a sign-flipped distance maps every row to
+        # the most-negative centroid (no negated twin exists to hide in),
+        # collapsing distinct clusters onto one centroid -> impure runs.
+        d, per = 8, 64
+        centers = np.array([0.0, 500.0, 1000.0, 1500.0], dtype=np.float32)
+        rows = np.concatenate([
+            c + rng.standard_normal((per, d)).astype(np.float32)
+            for c in centers
+        ])
+        labels = np.repeat(np.arange(4), per)
+        # Shuffle: a degenerate everything-to-one-centroid assignment
+        # yields an identity permutation, which on pre-ordered input
+        # would trivially look "grouped".
+        shuf = rng.permutation(4 * per)
+        rows, labels = rows[shuf], labels[shuf]
+        perm = np.asarray(prune.cluster_order(rows, n_clusters=32, n_iters=4))
+        assert sorted(perm.tolist()) == list(range(4 * per))
+        runs = labels[perm]
+        change = np.flatnonzero(np.diff(runs)) + 1
+        segments = np.split(runs, change)
+        assert len(segments) <= 32
+        for seg in segments:
+            assert len(set(seg.tolist())) == 1
+
+    def test_pruned_large_k_stays_exact(self, rng):
+        # k > tile_n over 2 tiles: whatever plan path `_fast_plan_ok`
+        # selects (both are sound — the eligible-count mask degrades the
+        # fast threshold to "prune nothing" when no tile holds >= k
+        # rows), the result must be bit-identical to the full scan.
+        from innr_tpu import prune
+        from innr_tpu.kernels import knn as kknn
+        from innr_tpu.kernels import pruned_knn as kpruned
+
+        d = 8
+        rows = rng.standard_normal((512, d)).astype(np.float32)
+        rows[:256] += 100.0  # two far-apart tiles
+        s = prune.build_tile_summary(jnp.asarray(rows), 256)
+        qs = jnp.asarray(rows[256:259] + 0.01)
+        k = 300  # > tile_n: needs rows from BOTH tiles
+        pv, pi = kpruned.fused_knn_l2_pruned_batch(qs, jnp.asarray(rows), s, k)
+        fv, fi = kknn.fused_knn_l2_batch(qs, jnp.asarray(rows), k)
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(fi))
+        np.testing.assert_array_equal(np.asarray(pv), np.asarray(fv))
