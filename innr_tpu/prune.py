@@ -118,6 +118,22 @@ def build_tile_summary(rows: jax.Array, tile_n: int,
     return TileSummary(tile_n, cent, radii, cnt, int(rows.shape[0]))
 
 
+def _pad_tail(order, n_surv, n_tiles: int):
+    """Fill the dead slots of ``order`` (positions >= ``n_surv``) by
+    repeating the LAST survivor's tile index. ANY valid tile id is sound
+    in the tail — the scan kernels gate their merge on ``i < n_surv``
+    (:mod:`innr_tpu.kernels.pruned_knn`), so tail steps contribute
+    nothing — repeating the last survivor is purely the DMA-revisit perf
+    choice (consecutive equal indices let a pipeline skip the re-fetch).
+    Excluded from the mutation sweep as a perf-only knob; the survivor
+    PREFIX, which is correctness, is pinned against the bound oracle in
+    ``tests/test_mutation_hardening.py``.
+    """
+    last = order[jnp.maximum(n_surv - 1, 0)]
+    idxs = jnp.arange(n_tiles, dtype=jnp.int32)
+    return jnp.where(idxs < n_surv, order, last)
+
+
 @partial(jax.jit, static_argnames=("mode", "k", "fast"))
 def plan_survivors(qs, summary_cent, summary_rad, summary_cnt, k: int,
                    mode: str, fast: bool = False):
@@ -190,10 +206,7 @@ def plan_survivors(qs, summary_cent, summary_rad, summary_cnt, k: int,
     n_surv = jnp.sum(alive.astype(jnp.int32))
     # Survivors first in ascending tile order (stable: False < True).
     order = jnp.argsort(~alive, stable=True).astype(jnp.int32)
-    last = order[jnp.maximum(n_surv - 1, 0)]
-    idxs = jnp.arange(n_tiles, dtype=jnp.int32)
-    order = jnp.where(idxs < n_surv, order, last)
-    return order, n_surv
+    return _pad_tail(order, n_surv, n_tiles), n_surv
 
 
 @jax.jit
@@ -214,10 +227,7 @@ def plan_threshold_survivors(qs, summary_cent, summary_rad, threshold):
     alive = ~jnp.all(dead_q, axis=0)
     n_surv = jnp.sum(alive.astype(jnp.int32))
     order = jnp.argsort(~alive, stable=True).astype(jnp.int32)
-    last = order[jnp.maximum(n_surv - 1, 0)]
-    idxs = jnp.arange(n_tiles, dtype=jnp.int32)
-    order = jnp.where(idxs < n_surv, order, last)
-    return order, n_surv, alive
+    return _pad_tail(order, n_surv, n_tiles), n_surv, alive
 
 
 def cluster_order(rows, n_clusters: int = 256, n_iters: int = 5, seed: int = 0):

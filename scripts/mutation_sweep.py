@@ -37,24 +37,28 @@ REPO = Path(__file__).resolve().parent.parent
 
 # module -> test files that must kill its mutants (kept tight so a
 # per-mutant run stays ~30-60 s).
+# Every module's mutant run includes tests/test_mutation_hardening.py —
+# that file is WHERE sweep-survivor killers land, so omitting it for a
+# module silently disarms its killers (a seed-0 maxsim_kernel survivor
+# stayed "alive" for exactly that reason).
 TARGETS: dict[str, tuple[str, ...]] = {
-    "innr_tpu/ops/dense.py": ("tests/test_dense.py",),
-    "innr_tpu/ops/dense_f64.py": ("tests/test_dense_f64.py",),
-    "innr_tpu/ops/binary.py": ("tests/test_binary.py",),
+    "innr_tpu/ops/dense.py": ("tests/test_dense.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/ops/dense_f64.py": ("tests/test_dense_f64.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/ops/binary.py": ("tests/test_binary.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/ops/ternary.py": ("tests/test_ternary.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/ops/scalar.py": ("tests/test_scalar.py", "tests/test_mutation_hardening.py"),
-    "innr_tpu/ops/quant.py": ("tests/test_quant_fastmath.py",),
+    "innr_tpu/ops/quant.py": ("tests/test_quant_fastmath.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/ops/slot.py": ("tests/test_slot.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/ops/sparse.py": ("tests/test_sparse.py", "tests/test_mutation_hardening.py"),
-    "innr_tpu/ops/sparse_ext.py": ("tests/test_sparse.py",),
+    "innr_tpu/ops/sparse_ext.py": ("tests/test_sparse.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/ops/maxsim.py": ("tests/test_maxsim.py", "tests/test_mutation_hardening.py"),
-    "innr_tpu/ops/topk.py": ("tests/test_topk.py",),
-    "innr_tpu/ops/fast_math.py": ("tests/test_quant_fastmath.py",),
-    "innr_tpu/utils/order.py": ("tests/test_topk.py", "tests/test_kernels.py"),
+    "innr_tpu/ops/topk.py": ("tests/test_topk.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/ops/fast_math.py": ("tests/test_quant_fastmath.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/utils/order.py": ("tests/test_topk.py", "tests/test_kernels.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/kernels/knn.py": ("tests/test_kernels.py", "tests/test_prune.py", "tests/test_mutation_hardening.py"),
-    "innr_tpu/kernels/packed_knn.py": ("tests/test_packed_knn.py",),
-    "innr_tpu/kernels/slot_knn.py": ("tests/test_slot.py",),
-    "innr_tpu/kernels/maxsim_kernel.py": ("tests/test_maxsim.py",),
+    "innr_tpu/kernels/packed_knn.py": ("tests/test_packed_knn.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/kernels/slot_knn.py": ("tests/test_slot.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/kernels/maxsim_kernel.py": ("tests/test_maxsim.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/kernels/pruned_knn.py": ("tests/test_prune.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/prune.py": ("tests/test_prune.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/batch.py": ("tests/test_batch.py", "tests/test_mutation_hardening.py"),
@@ -96,6 +100,7 @@ EXCLUDED_FUNCS = {
     "_pick_tile_docs_mq",
     "pruned_tile_n",
     "_fast_plan_ok",
+    "_pad_tail",
     "plan_geometry",
     "single_pass_k",
     "_n_threads",

@@ -857,3 +857,214 @@ class TestSeed0TriageB:
         fv, fi = kknn.fused_knn_l2_batch(qs, jnp.asarray(rows), k)
         np.testing.assert_array_equal(np.asarray(pi), np.asarray(fi))
         np.testing.assert_array_equal(np.asarray(pv), np.asarray(fv))
+
+
+class TestSeed0TriageC:
+    """Killers for the third seed-0 sample (eighth triage)."""
+
+    @staticmethod
+    def _clustered(rng, n_tiles=8, tile_n=64, d=8, spread=200.0):
+        centers = rng.standard_normal((n_tiles, d)).astype(np.float32) * spread
+        rows = np.repeat(centers, tile_n, axis=0)
+        rows += rng.standard_normal(rows.shape).astype(np.float32)
+        return rows
+
+    @staticmethod
+    def _oracle_bounds(qs, cent, rad, mode):
+        """The documented per-tile bound math (prune.py module docstring),
+        replayed in f64: (guaranteed, optimistic), each (Q, n_tiles)."""
+        qs, cent, rad = (np.asarray(a, np.float64) for a in (qs, cent, rad))
+        qd = qs @ cent.T
+        if mode == "dot":
+            qn = np.sqrt(np.sum(qs * qs, axis=1, keepdims=True))
+            return qd - qn * rad[None, :], qd + qn * rad[None, :]
+        qq = np.sum(qs * qs, axis=1, keepdims=True)
+        cc = np.sum(cent * cent, axis=1)[None, :]
+        qc = np.sqrt(np.maximum(qq + cc - 2.0 * qd, 0.0))
+        guaranteed = (qc + rad[None, :]) ** 2
+        optimistic = np.maximum(qc - rad[None, :], 0.0) ** 2
+        return guaranteed, optimistic
+
+    @pytest.mark.parametrize("mode", ["dot", "l2"])
+    @pytest.mark.parametrize("fast", [True, False])
+    def test_plan_survivors_matches_bound_oracle(self, rng, mode, fast):
+        # prune.py bound math (qq + cc - 2qd, qc +/- rad, dead_q
+        # direction, fast-path eligibility): the ALIVE SET must equal the
+        # documented formulas replayed independently in numpy f64.
+        # Mutants that distort bounds either prune a tile the oracle
+        # keeps or keep one it prunes; wide cluster separation makes the
+        # comparison margin >> f32 noise.
+        from innr_tpu import prune
+
+        tile_n, k = 64, 10
+        rows = self._clustered(rng, tile_n=tile_n)
+        s = prune.build_tile_summary(jnp.asarray(rows), tile_n)
+        qs = rows[rng.choice(len(rows), 5, replace=False)] + 0.01
+        order, n_surv = prune.plan_survivors(
+            jnp.asarray(qs), s.centroids, s.radii, s.counts, k, mode,
+            fast=fast,
+        )
+        cent = np.asarray(s.centroids)
+        rad = np.asarray(s.radii)
+        cnt = np.asarray(s.counts)
+        guaranteed, optimistic = self._oracle_bounds(qs, cent, rad, mode)
+        if fast:
+            # t0 = best guaranteed bound among tiles holding >= k rows.
+            elig = cnt >= k
+            if mode == "dot":
+                t0 = np.max(np.where(elig[None, :], guaranteed, -np.inf),
+                            axis=1, keepdims=True)
+            else:
+                t0 = np.min(np.where(elig[None, :], guaranteed, np.inf),
+                            axis=1, keepdims=True)
+        else:
+            sign = -1.0 if mode == "dot" else 1.0
+            order_g = np.argsort(sign * guaranteed, axis=1)
+            cum = np.cumsum(np.take_along_axis(
+                np.broadcast_to(cnt[None, :], guaranteed.shape), order_g,
+                axis=1), axis=1)
+            pos = np.minimum(np.sum(cum < k, axis=1), cnt.size - 1)
+            t0 = np.take_along_axis(
+                np.take_along_axis(guaranteed, order_g, axis=1),
+                pos[:, None], axis=1)
+        dead_q = optimistic < t0 if mode == "dot" else optimistic > t0
+        want_alive = ~np.all(dead_q, axis=0)
+        # Construction sanity: clear margins and real pruning pressure.
+        margin = np.min(np.abs(optimistic - t0) / np.maximum(np.abs(t0), 1.0))
+        assert margin > 1e-3, "degenerate construction: boundary tie"
+        assert 0 < want_alive.sum() < cnt.size
+        got_alive = np.zeros(cnt.size, bool)
+        got_alive[np.asarray(order)[: int(n_surv)]] = True
+        np.testing.assert_array_equal(got_alive, want_alive)
+        # Survivor prefix is the alive set in ascending tile order.
+        np.testing.assert_array_equal(
+            np.asarray(order)[: int(n_surv)], np.flatnonzero(want_alive)
+        )
+
+    def test_plan_threshold_survivors_matches_bound_oracle(self, rng):
+        # Same oracle discipline for the fixed-threshold planner
+        # (prune.py:216 qq+cc-2qd and the strict `>` dead test).
+        from innr_tpu import prune
+
+        tile_n = 64
+        rows = self._clustered(rng, tile_n=tile_n)
+        s = prune.build_tile_summary(jnp.asarray(rows), tile_n)
+        qs = rows[rng.choice(len(rows), 4, replace=False)] + 0.01
+        _, optimistic = self._oracle_bounds(qs, np.asarray(s.centroids),
+                                            np.asarray(s.radii), "l2")
+        lo = np.min(optimistic, axis=0)  # best-query bound per tile
+        vals = np.sort(lo)
+        threshold = float((vals[2] + vals[3]) / 2)  # mid-gap: 3 tiles pass
+        assert (vals[3] - vals[2]) / max(vals[3], 1.0) > 1e-3
+        order, n_surv, alive = prune.plan_threshold_survivors(
+            jnp.asarray(qs), s.centroids, s.radii, jnp.float32(threshold)
+        )
+        want_alive = lo <= threshold
+        np.testing.assert_array_equal(np.asarray(alive), want_alive)
+        np.testing.assert_array_equal(
+            np.asarray(order)[: int(n_surv)], np.flatnonzero(want_alive)
+        )
+
+    def test_segmented_overfetch_covers_tombstones(self, rng):
+        # segmented.py `need = k + seg.n_dead`: the scan is tombstone-
+        # oblivious (dead rows are pinned AFTER the fetch), so an
+        # under-fetching mutant loses genuine winners when the deleted
+        # rows dominate the segment's top ranks.
+        d, n, k = 8, 64, 10
+        rows = np.zeros((n, d), np.float32)
+        rows[:, 0] = np.arange(n, 0, -1, dtype=np.float32)  # descending
+        sc = it.SegmentedCorpus(d, auto_compact=False)
+        lo, hi = sc.add(rows)
+        sc.delete(range(lo, lo + 40))  # tombstone the top 40 scorers
+        q = np.zeros(d, np.float32)
+        q[0] = 1.0
+        scores, ids = sc.knn_dot(q, k)
+        np.testing.assert_array_equal(ids, np.arange(40, 50))
+        np.testing.assert_allclose(scores, np.arange(24, 14, -1), rtol=0)
+
+    def test_segmented_autocompact_dead_frac_strict(self, rng):
+        # segmented.py auto-compaction `dead/total > max_dead_frac` is
+        # STRICT: at exactly the threshold fraction nothing compacts; one
+        # more delete crosses it and compaction fires.
+        d = 4
+        sc = it.SegmentedCorpus(d, max_dead_frac=0.25)
+        sc.add(rng.standard_normal((16, d)).astype(np.float32))
+        sc.delete(range(4))  # 4/16 == 0.25 exactly
+        assert sc.num_deleted == 4  # no compaction at the boundary
+        sc.delete([4])  # 5/16 > 0.25
+        assert sc.num_deleted == 0  # compaction fired and dropped them
+        assert sc.num_vectors == 11
+
+    def test_segmented_autocompact_segment_count_strict(self, rng):
+        # ... and `len(segments) > max_segments` is strict too.
+        d = 4
+        sc = it.SegmentedCorpus(d, max_segments=3)
+        for _ in range(3):
+            sc.add(rng.standard_normal((4, d)).astype(np.float32))
+        assert sc.num_segments == 3
+        sc.add(rng.standard_normal((4, d)).astype(np.float32))
+        assert sc.num_segments == 1  # 4 > 3 folded everything
+
+    def test_ternary_interleaved_u64_exact_length(self, rng):
+        # ternary.py `-(-dimension // 32)`: the serialized word count is
+        # ceil(d/32) EXACTLY (reference src/ternary.rs:91 layout parity —
+        # 32 two-bit pairs per u64 word).
+        for d in (1, 31, 32, 33, 64, 100):
+            v = rng.integers(-1, 2, d).astype(np.float32)
+            packed = it.encode_ternary(v, 0.5)
+            words = packed.to_interleaved_u64()
+            assert words.shape == ((d + 31) // 32,)
+            rt = it.PackedTernary.from_interleaved_u64(words, d)
+            np.testing.assert_array_equal(
+                np.asarray(rt.pos), np.asarray(packed.pos)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(rt.neg), np.asarray(packed.neg)
+            )
+
+    def test_maxsim_knn_dispatch_boundaries(self, rng, monkeypatch):
+        # maxsim.py fused gate `n >= max(MIN_ROWS_PALLAS // 16, 64)`:
+        # pin BOTH constants. MIN=2048 puts the boundary at 128 (the //16
+        # term governs); MIN=256 puts it at 64 (the floor governs).
+        from innr_tpu import config
+        from innr_tpu.kernels import maxsim_kernel as kern
+        from innr_tpu.ops.maxsim import maxsim_knn
+
+        calls = []
+        real = kern.fused_maxsim_knn
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(kern, "fused_maxsim_knn", spy)
+        q = rng.standard_normal((3, 8)).astype(np.float32)
+
+        def docs(n):
+            return rng.standard_normal((n, 4, 8)).astype(np.float32)
+
+        for min_rows, boundary in ((2048, 128), (256, 64)):
+            monkeypatch.setattr(config, "MIN_ROWS_PALLAS", min_rows)
+            calls.clear()
+            maxsim_knn(q, docs(boundary), 3)
+            assert calls, f"n == {boundary} must take the fused kernel"
+            calls.clear()
+            maxsim_knn(q, docs(boundary - 1), 3)
+            assert not calls, f"n == {boundary - 1} must stay unfused"
+
+    def test_minhash_dtype_corpus_is_authoritative(self, rng):
+        # slot.py `_minhash_dtype` `== np.uint16`: a u16 QUERY against a
+        # raw u32 corpus must NOT narrow the corpus; u16 corpora resolve
+        # u16; dtype-less corpora fall back to the query's width.
+        from innr_tpu.ops.slot import SketchCorpus, _minhash_dtype
+
+        q16 = rng.integers(0, 2**16, 8).astype(np.uint16)
+        q32 = rng.integers(0, 2**32, 8, dtype=np.uint64).astype(np.uint32)
+        c32 = rng.integers(0, 2**32, (4, 8), dtype=np.uint64).astype(np.uint32)
+        c16 = c32.astype(np.uint16)
+        assert _minhash_dtype(q16, c32) == jnp.dtype(jnp.uint32)
+        assert _minhash_dtype(q32, c16) == jnp.dtype(jnp.uint16)
+        assert _minhash_dtype(q16, c32.tolist()) == jnp.dtype(jnp.uint16)
+        assert _minhash_dtype(q32, c32.tolist()) == jnp.dtype(jnp.uint32)
+        assert _minhash_dtype(q16, SketchCorpus(c32)) == jnp.dtype(jnp.uint32)
+        assert _minhash_dtype(q32, SketchCorpus(c16)) == jnp.dtype(jnp.uint16)
