@@ -346,7 +346,7 @@ def _pruned_run(qs, rows, aux, summary, k: int, mode: str):
     fast = _fast_plan_ok(k, summary)
     # Cosine plans as DOT against the unit-row summary with the already
     # pre-normalized queries (|q_hat| = 1 folds into the dot bounds).
-    plan_mode = "dot" if mode == "cosine" else mode
+    plan_mode = {"cosine": "dot"}.get(mode, mode)
     order, n_surv = plan_survivors(
         qs, summary.centroids, summary.radii, summary.counts, k, plan_mode,
         fast=fast,

@@ -41,8 +41,11 @@ def _num_words(dimension: int) -> int:
 def _mask_padding(words: jax.Array, dimension: int) -> jax.Array:
     """Zero padding bits past ``dimension``: distance ops popcount whole
     words (reference ``src/binary.rs:59-66``)."""
+    # rem != 0 implies dimension >= 1 implies >= 1 word: every caller
+    # passes a (words, dimension) pair whose word count the constructors
+    # validate, so no emptiness guard is needed.
     rem = dimension % _WORD_BITS
-    if rem != 0 and words.shape[-1] > 0:
+    if rem != 0:
         mask = np.uint32((1 << rem) - 1)
         words = words.at[..., -1].set(words[..., -1] & mask)
     return words

@@ -71,7 +71,9 @@ def sparse_dense_dot(sparse, dense) -> jax.Array:
     if idx.shape[-1] == 0 or dense.shape[-1] == 0:
         return jnp.float32(0.0)
     in_bounds = idx < dense.shape[-1]
-    gathered = dense[jnp.clip(idx.astype(jnp.int32), 0, dense.shape[-1] - 1)]
+    # OOB entries gather index 0 and are masked to 0.0 below (index 0 is
+    # always valid here: the empty-dense case returned early).
+    gathered = dense[jnp.where(in_bounds, idx.astype(jnp.int32), 0)]
     return jnp.sum(jnp.where(in_bounds, val * gathered, 0.0))
 
 

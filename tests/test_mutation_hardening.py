@@ -1068,3 +1068,128 @@ class TestSeed0TriageC:
         assert _minhash_dtype(q32, c32.tolist()) == jnp.dtype(jnp.uint32)
         assert _minhash_dtype(q16, SketchCorpus(c32)) == jnp.dtype(jnp.uint32)
         assert _minhash_dtype(q32, SketchCorpus(c16)) == jnp.dtype(jnp.uint16)
+
+
+class TestSeed2Survivors:
+    """Killers for the seed-2 sample (first unseen-seed triage)."""
+
+    def test_sparse_maxsim_tuple_inputs_match_list_inputs(self):
+        # sparse.py tuple-arity detection `len(query_tokens) == 2`: a
+        # prepadded (idx, val) pair must score identically to the
+        # equivalent token-pair list (a miscounting mutant routes tuples
+        # through pad_sparse and crashes or mis-scores).
+        q_tokens = [([1, 4], [1.0, 2.0]), ([2], [3.0])]
+        d_tokens = [([1], [5.0]), ([4, 2], [0.5, 1.0])]
+        want = float(it.sparse_maxsim(q_tokens, d_tokens))
+        # token 0: max(1*5, 2*0.5) = 5; token 1: max(0, 3*1) = 3
+        assert want == pytest.approx(8.0)
+        q_pair = it.pad_sparse(q_tokens)
+        d_pair = it.pad_sparse(d_tokens)
+        assert float(it.sparse_maxsim(q_pair, d_pair)) == pytest.approx(want)
+        assert float(it.sparse_maxsim(q_pair, d_tokens)) == pytest.approx(want)
+        assert float(it.sparse_maxsim(q_tokens, d_pair)) == pytest.approx(want)
+
+    def test_binary_knn_batch_values_and_guards(self, rng):
+        # binary.py binary_knn_batch: the (Q, W) validation must ACCEPT
+        # valid 2-D queries (an `ndim == 2` mutant rejects everything),
+        # `n == 0 or k == 0` must return (Q, 0) for EITHER arm, and a
+        # word-count mismatch must raise.
+        from innr_tpu.ops.binary import binary_knn_batch
+
+        rows = rng.standard_normal((20, 64)).astype(np.float32)
+        corpus = it.PackedBinaryBatch.encode(rows)
+        queries = it.encode_binary_batch(rows[:3])
+        counts, idx = binary_knn_batch(queries, corpus, 2)
+        assert counts.shape == (3, 2) and idx.shape == (3, 2)
+        assert (idx[:, 0] == np.arange(3)).all()  # self-hit first
+        assert (counts[:, 0] == 0).all()
+        counts0, idx0 = binary_knn_batch(queries, corpus, 0)
+        assert counts0.shape == (3, 0) and idx0.shape == (3, 0)
+        empty = it.PackedBinaryBatch.encode(np.zeros((0, 64), np.float32))
+        counts_e, idx_e = binary_knn_batch(queries, empty, 2)
+        assert counts_e.shape == (3, 0) and idx_e.shape == (3, 0)
+        with pytest.raises(it.ContractError):
+            binary_knn_batch(np.zeros((3, 1), np.uint32), corpus, 2)
+
+    def test_topk_negative_distance_total_order(self):
+        # topk.py `_total_key` `bits ^ 0x7FFFFFFF` for negatives: an
+        # AND mutant maps negative distances onto positive-key space,
+        # inverting their order. Mixed-sign inserts through the full
+        # insert/evict/threshold path must sort by f32::total_cmp.
+        t = it.TopK(3)
+        for i, d in enumerate([-0.5, 0.25, -2.0, -1.0, -0.0, 1.5]):
+            t.insert(i, d)
+        out = t.into_sorted()
+        assert [i for i, _ in out] == [2, 3, 0]
+        assert [d for _, d in out] == [-2.0, -1.0, -0.5]
+        t2 = it.TopK(2)
+        for i, d in enumerate([-0.5, -2.0]):
+            t2.insert(i, d)
+        assert t2.threshold() == -0.5
+
+    def test_slot_compare_counts_u64_hi_lo_composition(self):
+        # slot.py u64 (hi, lo) pair comparison: eq = hi_eq AND lo_eq,
+        # lt = hi_lt OR (hi_eq AND lo_lt). Slots are chosen so every
+        # and/or mutant flips at least one count: high words differ with
+        # the LOW words ordered the other way, and vice versa.
+        two32 = 1 << 32
+        a = np.array([2 * two32 + 1, 1 * two32 + 1, 1 * two32 + 5,
+                      1 * two32 + 7], dtype=np.uint64)
+        b = np.array([1 * two32 + 5, 1 * two32 + 5, 1 * two32 + 5,
+                      2 * two32 + 3], dtype=np.uint64)
+        c = it.slot_compare_counts(a, b)
+        #        a0 > b0 (hi), a1 < b1 (lo), a2 == b2, a3 < b3 (hi)
+        assert (c.eq, c.lt, c.gt) == (1, 2, 1)
+
+    def test_packed_binary_set_out_of_range_is_identity(self, rng):
+        # binary.py `idx >= dimension or idx < 0`: setting idx == d must
+        # NOT touch a padding bit (a `>` mutant flips one, corrupting
+        # every popcount-based distance).
+        d = 5
+        pb = it.encode_binary(np.array([1, -1, 1, -1, 1], np.float32))
+        for bad in (d, d + 3, -1):
+            same = pb.set(bad, True)
+            np.testing.assert_array_equal(
+                np.asarray(same.words), np.asarray(pb.words)
+            )
+        hit = pb.set(1, True)
+        assert int(it.binary_hamming(hit, pb)) == 1
+
+    def test_sparse_dense_dot_oob_masked_exactly(self):
+        # sparse_ext.py OOB handling: in-bounds entries contribute
+        # val * dense[idx], OOB entries contribute exactly 0.0 (the
+        # rewritten where-gather keeps the site mutation-observable via
+        # the in_bounds comparison alone).
+        from innr_tpu.ops.sparse_ext import sparse_dense_dot
+
+        dense = np.array([1.0, 10.0, 100.0], np.float32)
+        got = float(sparse_dense_dot(
+            ([0, 2, 3, 7], [1.0, 2.0, 5.0, 9.0]), dense
+        ))
+        assert got == pytest.approx(1.0 + 200.0)
+
+    def test_pruned_cosine_plans_in_dot_space(self, rng, monkeypatch):
+        # pruned_knn.py cosine -> dot plan-mode fold: the docstring
+        # contract is that cosine pruning plans as DOT against the
+        # unit-row summary (|q_hat| = 1). Pin the interface so a mode
+        # pass-through can't silently switch the planner's bound family.
+        from innr_tpu import prune
+        from innr_tpu.kernels import pruned_knn as kpruned
+
+        seen = []
+        real = prune.plan_survivors
+
+        def spy(qs, cent, rad, cnt, k, mode, fast=False):
+            seen.append(mode)
+            return real(qs, cent, rad, cnt, k, mode, fast=fast)
+
+        monkeypatch.setattr(kpruned, "plan_survivors", spy, raising=False)
+        monkeypatch.setattr(prune, "plan_survivors", spy)
+        rows = rng.standard_normal((512, 8)).astype(np.float32)
+        s = prune.build_tile_summary(jnp.asarray(rows), 256, normalized=True)
+        qs = jnp.asarray(rows[:2])
+        kpruned.fused_knn_cosine_pruned_batch(
+            qs, jnp.asarray(rows), s, 3,
+            inv=1.0 / jnp.linalg.norm(jnp.asarray(rows), axis=1),
+        )
+        assert seen == ["dot"]
