@@ -99,7 +99,11 @@ class PackedBinary:
     def set(self, idx: int, val: bool) -> "PackedBinary":
         """Functional set: returns a new PackedBinary (JAX arrays are
         immutable). Out-of-range indices are ignored, as in the reference."""
-        if idx >= self._dimension or idx < 0:
+        # Chained range test: any relaxation toward idx == dimension is
+        # unobservable anyway (the constructor's padding mask scrubs the
+        # bit for ragged dims; the scatter drops OOB words for full
+        # ones), so the bound is written as one range, not two compares.
+        if not 0 <= idx < self._dimension:
             return self
         word, bit = idx // _WORD_BITS, idx % _WORD_BITS
         w = self.words

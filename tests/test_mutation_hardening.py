@@ -1111,6 +1111,31 @@ class TestSeed2Survivors:
         with pytest.raises(it.ContractError):
             binary_knn_batch(np.zeros((3, 1), np.uint32), corpus, 2)
 
+    def test_binary_knn_k_zero_never_reaches_kernel(self, rng, monkeypatch):
+        # binary.py `n == 0 or k == 0` guards (single + batch): the jnp
+        # fallback tolerates k == 0, so an `and` mutant is only
+        # observable on the FUSED arm — k == 0 on a fused-eligible
+        # corpus must return empty WITHOUT invoking a Pallas kernel
+        # (whose k=0 block specs are invalid on silicon).
+        from innr_tpu import config
+        from innr_tpu.kernels import packed_knn as kern
+        from innr_tpu.ops.binary import binary_knn, binary_knn_batch
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+
+        def boom(*a, **kw):
+            raise AssertionError("fused binary kernel invoked with k == 0")
+
+        monkeypatch.setattr(kern, "fused_binary_knn", boom)
+        monkeypatch.setattr(kern, "fused_binary_knn_batch", boom)
+        rows = rng.standard_normal((32, 64)).astype(np.float32)
+        corpus = it.PackedBinaryBatch.encode(rows)
+        queries = it.encode_binary_batch(rows[:2])
+        counts, idx = binary_knn_batch(queries, corpus, 0)
+        assert counts.shape == (2, 0) and idx.shape == (2, 0)
+        c1, i1 = binary_knn(it.encode_binary(rows[0]), corpus, 0)
+        assert c1.shape == (0,) and i1.shape == (0,)
+
     def test_topk_negative_distance_total_order(self):
         # topk.py `_total_key` `bits ^ 0x7FFFFFFF` for negatives: an
         # AND mutant maps negative distances onto positive-key space,
