@@ -1218,3 +1218,216 @@ class TestSeed2Survivors:
             inv=1.0 / jnp.linalg.norm(jnp.asarray(rows), axis=1),
         )
         assert seen == ["dot"]
+
+
+class TestFusedGateContracts:
+    """ONE table for every MIN_ROWS-gated fused dispatch in the packed
+    families (binary/ternary, single + batch + scoring forms): the gate
+    must be boundary-INCLUSIVE (n == MIN fuses, n == MIN-1 does not),
+    force_reference must win over any corpus size, and the k-cap clause
+    (where present) must route k > cap to the fallback — each arm
+    observable only through which path runs, so each is pinned with a
+    call-recording spy. Kills the recurring and/or/>= gate-mutant class
+    wholesale instead of per-sampled-site."""
+
+    MIN = 16
+
+    def _spy(self, monkeypatch, mod, attr):
+        calls = []
+        real = getattr(mod, attr)
+
+        def wrap(*a, **kw):
+            calls.append(attr)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(mod, attr, wrap)
+        return calls
+
+    def _cases(self, rng):
+        from innr_tpu.kernels import hamming as kham
+        from innr_tpu.kernels import packed_knn as kpak
+
+        def bin_args(n):
+            rows = rng.standard_normal((n, 64)).astype(np.float32)
+            return it.PackedBinaryBatch.encode(rows), rows
+
+        def tern_args(n):
+            rows = rng.standard_normal((n, 64)).astype(np.float32)
+            return it.PackedTernaryBatch.encode(rows, 0.3), rows
+
+        return [
+            ("binary_knn", kpak, "fused_binary_knn", True,
+             lambda n, k: it.binary_knn(
+                 it.encode_binary(bin_args(n)[1][0]), bin_args(n)[0], k)),
+            ("binary_knn_batch", kpak, "fused_binary_knn_batch", True,
+             lambda n, k: it.ops.binary.binary_knn_batch(
+                 it.encode_binary_batch(bin_args(n)[1][:2]),
+                 bin_args(n)[0], k)),
+            ("batch_binary_hamming", kham, "batch_hamming_words", False,
+             lambda n, k: it.batch_binary_hamming(
+                 it.encode_binary(bin_args(n)[1][0]).words,
+                 bin_args(n)[0].words)),
+            ("ternary_knn", kpak, "fused_ternary_knn", True,
+             lambda n, k: it.ternary_knn(
+                 it.encode_ternary(tern_args(n)[1][0], 0.3),
+                 tern_args(n)[0], k)),
+            ("ternary_knn_batch", kpak, "fused_ternary_knn_batch", True,
+             lambda n, k: it.ops.ternary.ternary_knn_batch(
+                 [it.encode_ternary(r, 0.3) for r in tern_args(n)[1][:2]],
+                 tern_args(n)[0], k)),
+            ("batch_ternary_dot", kham, "batch_ternary_dot_words", False,
+             lambda n, k: it.batch_ternary_dot(
+                 it.encode_ternary(tern_args(n)[1][0], 0.3),
+                 tern_args(n)[0].pos, tern_args(n)[0].neg)),
+        ]
+
+    def test_boundary_inclusive_and_forced(self, rng, monkeypatch):
+        from innr_tpu import config
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", self.MIN)
+        for name, mod, attr, _, call in self._cases(rng):
+            calls = self._spy(monkeypatch, mod, attr)
+            call(self.MIN, 3)
+            assert calls, f"{name}: n == MIN must take the fused path"
+            calls.clear()
+            call(self.MIN - 1, 3)
+            assert not calls, f"{name}: n == MIN-1 must stay unfused"
+            config.force_reference(True)
+            try:
+                call(self.MIN, 3)
+            finally:
+                config.force_reference(False)
+            assert not calls, f"{name}: force_reference must win"
+
+    def test_k_cap_routes_to_fallback(self, rng, monkeypatch):
+        from innr_tpu import config
+        from innr_tpu.kernels import knn as kknn
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", self.MIN)
+        monkeypatch.setattr(kknn, "single_pass_k", lambda n_q: 4)
+        for name, mod, attr, has_cap, call in self._cases(rng):
+            if not has_cap:
+                continue
+            calls = self._spy(monkeypatch, mod, attr)
+            call(self.MIN, 4)
+            assert calls, f"{name}: k == cap must fuse"
+            calls.clear()
+            call(self.MIN, 5)
+            assert not calls, f"{name}: k > cap must take the fallback"
+
+    def test_k_zero_never_reaches_ternary_kernel(self, rng, monkeypatch):
+        # ternary twin of the binary k==0 killer (the jnp arm tolerates
+        # k=0; only the fused arm makes the or-guard observable).
+        from innr_tpu import config
+        from innr_tpu.kernels import packed_knn as kern
+        from innr_tpu.ops.ternary import ternary_knn_batch
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+
+        def boom(*a, **kw):
+            raise AssertionError("fused ternary kernel invoked with k == 0")
+
+        monkeypatch.setattr(kern, "fused_ternary_knn", boom)
+        monkeypatch.setattr(kern, "fused_ternary_knn_batch", boom)
+        rows = rng.standard_normal((32, 64)).astype(np.float32)
+        corpus = it.PackedTernaryBatch.encode(rows, 0.3)
+        q = it.encode_ternary(rows[0], 0.3)
+        d0, i0 = it.ternary_knn(q, corpus, 0)
+        assert d0.shape == (0,) and i0.shape == (0,)
+        db, ib = ternary_knn_batch([q, q], corpus, 0)
+        assert db.shape == (2, 0) and ib.shape == (2, 0)
+
+    def test_maxsim_forced_reference_stays_unfused(self, rng, monkeypatch):
+        from innr_tpu import config
+        from innr_tpu.kernels import maxsim_kernel as kern
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 256)  # thr = 64
+
+        def boom(*a, **kw):
+            raise AssertionError("fused maxsim under force_reference")
+
+        monkeypatch.setattr(kern, "fused_maxsim_knn", boom)
+        monkeypatch.setattr(kern, "fused_maxsim_knn_batch", boom, raising=False)
+        q = rng.standard_normal((3, 8)).astype(np.float32)
+        docs = rng.standard_normal((64, 4, 8)).astype(np.float32)
+        config.force_reference(True)
+        try:
+            vals, idx = it.maxsim_knn(q, docs, 3)
+        finally:
+            config.force_reference(False)
+        assert idx.shape == (3,)
+
+
+class TestSeed2SurvivorsB:
+    """Killers for the fourth seed-2 sample (tenth triage)."""
+
+    def test_topk_insert_batch_shape_contract(self, rng):
+        # topk.py `ids.shape != dists.shape`: mismatch raises, and a
+        # VALID batch insert must not (an Eq mutant inverts both).
+        t = it.TopK(3)
+        t.insert_batch(np.arange(6, dtype=np.uint32),
+                       np.array([5.0, 1.0, 3.0, 2.0, 4.0, 0.5], np.float32))
+        assert [i for i, _ in t.into_sorted()] == [5, 1, 3]
+        with pytest.raises(ValueError):
+            t.insert_batch(np.arange(3, dtype=np.uint32),
+                           np.zeros(4, np.float32))
+
+    def test_sparse_dense_dot_empty_arms(self):
+        # sparse_ext.py `idx empty or dense empty`: each arm must return
+        # 0.0 on its own (the and-mutant crashes on the empty-dense
+        # gather; the empty-idx arm keeps the f32 scalar contract).
+        from innr_tpu.ops.sparse_ext import sparse_dense_dot
+
+        assert float(sparse_dense_dot(
+            ([], []), np.array([1.0, 2.0], np.float32))) == 0.0
+        assert float(sparse_dense_dot(
+            ([0, 1], [1.0, 2.0]), np.zeros((0,), np.float32))) == 0.0
+        assert float(sparse_dense_dot(([], []), np.zeros(0, np.float32))) == 0.0
+
+    def test_packed_binary_batch_ctor_validation_arms(self, rng):
+        # binary.py PackedBinaryBatch ctor `ndim != 2 or wrong words`:
+        # each invalid arm must raise ContractError on its own.
+        words = np.zeros((4, 2), np.uint32)
+        it.PackedBinaryBatch(words, 64)  # valid: 2 words = 64 bits
+        with pytest.raises(it.ContractError):
+            it.PackedBinaryBatch(np.zeros((8,), np.uint32), 64)  # 1-D
+        with pytest.raises(it.ContractError):
+            it.PackedBinaryBatch(np.zeros((4, 3), np.uint32), 64)  # words
+        with pytest.raises(it.ContractError):
+            it.PackedBinaryBatch(np.zeros((2, 2, 2), np.uint32), 64)  # 3-D
+
+    def test_packed_binary_eq_all_clauses(self, rng):
+        # binary.py __eq__ `isinstance AND dims AND words`: every clause
+        # must be necessary (an or-mutant equates everything).
+        a = it.encode_binary(np.array([1, -1, 1, -1], np.float32))
+        same = it.encode_binary(np.array([1, -1, 1, -1], np.float32))
+        other_words = it.encode_binary(np.array([1, 1, 1, -1], np.float32))
+        other_dim = it.encode_binary(np.array([1, -1, 1], np.float32))
+        assert a == same
+        assert a != other_words
+        assert a != other_dim
+        assert a != "not packed"
+        assert a != 7
+
+    def test_parse_query_tokens_arities(self):
+        # sparse.py _parse_query_tokens `len(...) == 2` + ndim routing:
+        # a bare 1-D pair lifts to ONE token, a 2-D pair passes through,
+        # a list of pairs pads, empties parse to (0, 1).
+        from innr_tpu.ops.sparse import _parse_query_tokens
+
+        # bare 1-D pair must be ARRAYS: a tuple of lists is (by the
+        # documented ambiguity contract) parsed as a list of token pairs.
+        qi, qv = _parse_query_tokens(
+            (np.array([1, 5], np.uint32), np.array([0.5, 2.0], np.float32))
+        )
+        assert qi.shape == (1, 2) and qv.shape == (1, 2)
+        np.testing.assert_array_equal(np.asarray(qi), [[1, 5]])
+        idx2 = np.array([[1, 5], [2, 7]], np.uint32)
+        val2 = np.array([[0.5, 2.0], [1.0, 3.0]], np.float32)
+        pi, pv = _parse_query_tokens((idx2, val2))
+        assert pi.shape == (2, 2) and pv.shape == (2, 2)
+        np.testing.assert_array_equal(np.asarray(pi), idx2)
+        li, lv = _parse_query_tokens([([1], [0.5]), ([2, 3], [1.0, 2.0])])
+        assert li.shape == (2, 2) and lv.shape == (2, 2)
+        ei, ev = _parse_query_tokens([])
+        assert ei.shape == (0, 1) and ev.shape == (0, 1)
