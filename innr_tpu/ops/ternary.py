@@ -125,8 +125,10 @@ class PackedTernary:
 
     def set(self, idx: int, val: int) -> "PackedTernary":
         """Functional set (returns a new PackedTernary). Out-of-range
-        indices are ignored, matching the reference."""
-        if idx >= self._dimension or idx < 0:
+        indices are ignored, matching the reference. (Range written as
+        one chained test: relaxing idx == dimension is unobservable —
+        the constructor's padding mask scrubs the bit.)"""
+        if not 0 <= idx < self._dimension:
             return self
         w, b = idx // _WORD_BITS, idx % _WORD_BITS
         bit = jnp.uint32(1 << b)

@@ -887,7 +887,12 @@ class TestSeed0TriageC:
 
     @pytest.mark.parametrize("mode", ["dot", "l2"])
     @pytest.mark.parametrize("fast", [True, False])
-    def test_plan_survivors_matches_bound_oracle(self, rng, mode, fast):
+    # k == tile_n makes the fast path's >= eligibility boundary live:
+    # every full tile holds EXACTLY k rows, so a strict `>` mutant finds
+    # no eligible tile and degrades to prune-nothing — caught by the
+    # oracle's alive-set equality.
+    @pytest.mark.parametrize("k", [10, 64])
+    def test_plan_survivors_matches_bound_oracle(self, rng, mode, fast, k):
         # prune.py bound math (qq + cc - 2qd, qc +/- rad, dead_q
         # direction, fast-path eligibility): the ALIVE SET must equal the
         # documented formulas replayed independently in numpy f64.
@@ -896,7 +901,7 @@ class TestSeed0TriageC:
         # comparison margin >> f32 noise.
         from innr_tpu import prune
 
-        tile_n, k = 64, 10
+        tile_n = 64
         rows = self._clustered(rng, tile_n=tile_n)
         s = prune.build_tile_summary(jnp.asarray(rows), tile_n)
         qs = rows[rng.choice(len(rows), 5, replace=False)] + 0.01
@@ -1431,3 +1436,102 @@ class TestSeed2SurvivorsB:
         assert li.shape == (2, 2) and lv.shape == (2, 2)
         ei, ev = _parse_query_tokens([])
         assert ei.shape == (0, 1) and ev.shape == (0, 1)
+
+
+class TestSeed5Survivors:
+    """Killers for the unseen seed-5 sample (eleventh triage)."""
+
+    def test_maxsim_knn_batch_dispatch_boundary(self, rng, monkeypatch):
+        # maxsim.py:209: the BATCH form's gate gets the same boundary
+        # pins as the single-query form.
+        from innr_tpu import config
+        from innr_tpu.kernels import maxsim_kernel as kern
+
+        calls = []
+        real = kern.fused_maxsim_knn_batch
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(kern, "fused_maxsim_knn_batch", spy)
+        qs = rng.standard_normal((2, 3, 8)).astype(np.float32)
+
+        def docs(n):
+            return rng.standard_normal((n, 4, 8)).astype(np.float32)
+
+        for min_rows, boundary in ((2048, 128), (256, 64)):
+            monkeypatch.setattr(config, "MIN_ROWS_PALLAS", min_rows)
+            calls.clear()
+            it.maxsim_knn_batch(qs, docs(boundary), 3)
+            assert calls, f"n == {boundary} must take the fused kernel"
+            calls.clear()
+            it.maxsim_knn_batch(qs, docs(boundary - 1), 3)
+            assert not calls, f"n == {boundary - 1} must stay unfused"
+            config.force_reference(True)
+            try:
+                it.maxsim_knn_batch(qs, docs(boundary), 3)
+            finally:
+                config.force_reference(False)
+            assert not calls, "force_reference must win"
+
+    def test_total_key_involution_bitexact(self, rng):
+        # kernels/knn.py `_invert_total_key` shift constants: the decode
+        # must invert the encode BIT-EXACTLY for every f32 class —
+        # negatives are where the (keys >> 31) >>> 1 mask is live.
+        from innr_tpu.kernels.knn import _invert_total_key
+        from innr_tpu.utils.order import total_order_key_f32
+
+        special = np.array(
+            [0.0, -0.0, 1.5, -1.5, 1e-38, -1e-38, np.inf, -np.inf, np.nan],
+            np.float32,
+        )
+        soup = rng.integers(0, 2**32, 512, dtype=np.uint64).astype(
+            np.uint32
+        ).view(np.float32)
+        for vals in (special, soup):
+            keys = total_order_key_f32(jnp.asarray(vals))
+            back = np.asarray(_invert_total_key(keys))
+            np.testing.assert_array_equal(
+                back.view(np.int32), vals.view(np.int32)
+            )
+
+    def test_ternary_set_range_semantics(self, rng):
+        # ternary.py PackedTernary.set: OOB identity (both ends) and
+        # in-range set round-trips through the sign planes.
+        v = np.array([1, -1, 0, 1, -1], np.float32)
+        pt = it.encode_ternary(v, 0.5)
+        for bad in (5, 9, -1):
+            same = pt.set(bad, 1)
+            np.testing.assert_array_equal(
+                np.asarray(same.pos), np.asarray(pt.pos)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(same.neg), np.asarray(pt.neg)
+            )
+        flipped = pt.set(2, -1)
+        want = v.copy()
+        want[2] = -1
+        got = np.asarray(it.encode_ternary(want, 0.5).neg)
+        np.testing.assert_array_equal(np.asarray(flipped.neg), got)
+
+    def test_adaptive_warmup_cutoff_is_strict(self):
+        # batch.py `partial * scale > threshold * 1.5`: a candidate whose
+        # extrapolated distance lands EXACTLY on the 1.5x cutoff stays
+        # ALIVE (the reference prunes only on strictly-greater,
+        # src/batch.rs:474-488). Constructed in exact f32 dyadics:
+        # partials 2/3/10, scale 2, threshold 4, cutoff 6; the true
+        # nearest row X sits exactly at 3 * 2 == 6.
+        rows = np.array(
+            [
+                [1, 1, 0, 0, 5, 0, 0, 0],   # warmup kth: partial 2, full 27
+                [1, 1, 1, 0, 0, 0, 0, 0],   # X: partial 3 -> cutoff-exact
+                [3, 1, 0, 0, 0, 0, 0, 0],   # pruned: partial 10
+            ],
+            np.float32,
+        )
+        vb = it.VerticalBatch.from_rows(rows)
+        q = np.zeros(8, np.float32)
+        res = it.batch_knn_adaptive(q, vb, 1, warmup_dims=4)
+        assert res.indices.tolist() == [1]
+        assert res.scores.tolist() == [3.0]
