@@ -66,10 +66,11 @@ def single_pass_k(n_q: int) -> int:
 
 
 def _invert_total_key(keys: jax.Array) -> jax.Array:
-    """Inverse of ``total_order_key_f32`` (the transform is an involution)."""
-    mask = jax.lax.shift_right_logical(
-        jax.lax.shift_right_arithmetic(keys, 31), 1
-    )
+    """Inverse of ``total_order_key_f32`` (the transform is an involution):
+    the select mirrors the encode in ``utils/order.py`` exactly (an
+    arithmetic-shift formulation is equivalent but its shift constant is
+    clamp-degenerate — unobservable under mutation)."""
+    mask = jnp.where(keys < 0, jnp.int32(0x7FFFFFFF), jnp.int32(0))
     return jax.lax.bitcast_convert_type(keys ^ mask, jnp.float32)
 
 
@@ -83,11 +84,11 @@ def _pick_tile_n(n: int, d: int, budget: int = 4 * 1024 * 1024) -> int:
 
 
 def f32_keys(scores: jax.Array) -> jax.Array:
-    """f32 scores -> int32 total-order keys (larger key = better)."""
+    """f32 scores -> int32 total-order keys (larger key = better). Select
+    form for the same reason as ``_invert_total_key`` (and it is the
+    exact twin of the encode in ``utils/order.py``)."""
     bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
-    sign_mask = jax.lax.shift_right_logical(
-        jax.lax.shift_right_arithmetic(bits, 31), 1
-    )
+    sign_mask = jnp.where(bits < 0, jnp.int32(0x7FFFFFFF), jnp.int32(0))
     return bits ^ sign_mask
 
 
