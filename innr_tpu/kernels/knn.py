@@ -368,7 +368,7 @@ def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str,
     # pins to INT_MIN before selection, so results are unaffected.
     rows_p = pad_axis_to(rows, 1, d_pad)
     qs_p = pad_axis_to(pad_axis_to(qs, 0, q_pad), 1, d_pad)
-    grid = ((n + tile_n - 1) // tile_n,)
+    grid = (-(-n // tile_n),)
 
     in_specs = [
         pl.BlockSpec((q_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -534,9 +534,11 @@ def inv_norms(rows: jax.Array) -> jax.Array:
 
     r = rows.astype(jnp.float32)
     norms = jnp.sqrt(jnp.sum(r * r, axis=1))
-    return jnp.where(
-        norms > NORM_EPSILON, 1.0 / jnp.where(norms > 0, norms, 1.0), 0.0
-    )
+    # ONE strict guard reused for both the select and the divisor (the
+    # dense-op pattern): a second `norms > 0` divisor guard would be
+    # unobservable — its inf result is discarded by the outer select.
+    ok = norms > NORM_EPSILON
+    return jnp.where(ok, 1.0 / jnp.where(ok, norms, 1.0), 0.0)
 
 
 def fused_knn_cosine_batch(qs: jax.Array, rows: jax.Array, k: int, inv=None):

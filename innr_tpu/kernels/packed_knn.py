@@ -44,6 +44,20 @@ def _pick_tile_n(n: int, w: int) -> int:
 _W_CHUNK = 8  # sublane-aligned word chunk for the mq accumulation
 
 
+def _ternary_tile_n(n: int, w: int) -> int:
+    """Ternary tile height: BOTH sign planes stream through VMEM, so the
+    per-row word budget is 2w (tested against the budget model in
+    tests/test_mutation_hardening.py — an under-modeled factor OOMs the
+    16 MB scoped VMEM on silicon, invisibly to CPU interpret runs)."""
+    return _pick_tile_n(n, 2 * w)
+
+
+def _ternary_tile_n_mq(n: int, w: int, n_q: int) -> int:
+    """Multi-query twin: 2w word columns + 4 live (Q, 8, T) chunk
+    intermediates (same/diff planes and their popcounts)."""
+    return _pick_tile_n_mq(n, 2 * w, n_q, n_live=4)
+
+
 def _pick_tile_n_mq(n: int, w: int, n_q: int, n_live: int = 2) -> int:
     """Corpus tile for the multi-query kernels. The kernels accumulate
     counts over static 8-word sublane chunks, so the live scoped VMEM per
@@ -91,7 +105,7 @@ def fused_binary_knn(q_words: jax.Array, corpus_words_t: jax.Array, k: int):
     w, n = corpus_words_t.shape
     tile_n = _pick_tile_n(n, w)
     k_pad = round_up(k, _K_LANE)
-    grid = ((n + tile_n - 1) // tile_n,)
+    grid = (-(-n // tile_n),)
     corpus_p = corpus_words_t
 
     keys, idx = pl.pallas_call(
@@ -154,7 +168,7 @@ def fused_binary_knn_batch(q_words: jax.Array, corpus_words_t: jax.Array, k: int
     _, n = corpus_words_t.shape
     tile_n = _pick_tile_n_mq(n, w, n_q)
     k_pad = round_up(k, _K_LANE)
-    grid = ((n + tile_n - 1) // tile_n,)
+    grid = (-(-n // tile_n),)
     corpus_p = corpus_words_t
 
     keys, idx = pl.pallas_call(
@@ -214,9 +228,9 @@ def fused_ternary_knn(
     Returns ``(dots (k,) int32 descending, indices (k,) int32)``.
     """
     w, n = pos_t.shape
-    tile_n = _pick_tile_n(n, 2 * w)
+    tile_n = _ternary_tile_n(n, w)
     k_pad = round_up(k, _K_LANE)
-    grid = ((n + tile_n - 1) // tile_n,)
+    grid = (-(-n // tile_n),)
     pos_p, neg_p = pos_t, neg_t
 
     keys, idx = pl.pallas_call(
@@ -289,9 +303,9 @@ def fused_ternary_knn_batch(
     """
     n_q, w = qpos.shape
     _, n = pos_t.shape
-    tile_n = _pick_tile_n_mq(n, 2 * w, n_q, n_live=4)
+    tile_n = _ternary_tile_n_mq(n, w, n_q)
     k_pad = round_up(k, _K_LANE)
-    grid = ((n + tile_n - 1) // tile_n,)
+    grid = (-(-n // tile_n),)
     pos_p, neg_p = pos_t, neg_t
 
     keys, idx = pl.pallas_call(

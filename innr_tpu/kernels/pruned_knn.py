@@ -230,7 +230,7 @@ def _pruned_raw_dynamic(qs, rows, aux, order, n_surv, k: int, mode: str,
 def _pruned_raw(qs, rows, aux, order, n_surv, k: int, mode: str, tile_n: int):
     n_q, d = qs.shape
     n = rows.shape[0]
-    n_tiles = (n + tile_n - 1) // tile_n
+    n_tiles = -(-n // tile_n)
     d_pad = round_up(d, 128)
     q_pad = round_up(n_q, _Q_TILE)
     k_pad = round_up(k, _K_LANE)
@@ -411,7 +411,7 @@ def _threshold_outer_kernel(n_rows, tile_n, d_pad, order_ref, nsurv_ref,
 def _threshold_raw_dynamic(q, rows, norms2, order, n_surv, tile_n: int):
     d = q.shape[0]
     n = rows.shape[0]
-    n_tiles = (n + tile_n - 1) // tile_n
+    n_tiles = -(-n // tile_n)
     d_pad = round_up(d, 128)
     rows_p = pad_axis_to(rows, 1, d_pad)
     q_p = pad_axis_to(pad_axis_to(q[None, :], 1, d_pad), 0, _Q_TILE)
@@ -436,7 +436,7 @@ def _threshold_raw_dynamic(q, rows, norms2, order, n_surv, tile_n: int):
 def _threshold_raw(q, rows, norms2, order, n_surv, tile_n: int):
     d = q.shape[0]
     n = rows.shape[0]
-    n_tiles = (n + tile_n - 1) // tile_n
+    n_tiles = -(-n // tile_n)
     d_pad = round_up(d, 128)
     rows_p = pad_axis_to(rows, 1, d_pad)
     q_p = pad_axis_to(q[None, :], 1, d_pad)

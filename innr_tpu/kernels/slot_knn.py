@@ -100,7 +100,7 @@ def fused_slot_knn(q_slots: jax.Array, corpus_slots_t: jax.Array, k: int):
     s, n = corpus_slots_t.shape
     tile_n = _pick_tile_n(n, s, corpus_slots_t.dtype.itemsize)
     k_pad = round_up(k, _K_LANE)
-    grid = ((n + tile_n - 1) // tile_n,)
+    grid = (-(-n // tile_n),)
 
     keys, idx = pl.pallas_call(
         functools.partial(_slot_kernel, n, k),
@@ -170,7 +170,7 @@ def fused_slot_knn_batch(q_slots: jax.Array, corpus_slots_t: jax.Array, k: int):
     _, n = corpus_slots_t.shape
     tile_n = _pick_tile_n_mq(n, s, n_q)
     k_pad = round_up(k, _K_LANE)
-    grid = ((n + tile_n - 1) // tile_n,)
+    grid = (-(-n // tile_n),)
 
     keys, idx = pl.pallas_call(
         functools.partial(_slot_kernel_mq, n, k),

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from innr_tpu.utils.asserts import ContractError
+from innr_tpu.utils.padding import materialize_words
 
 __all__ = [
     "PackedBinary",
@@ -224,7 +225,7 @@ class PackedBinaryBatch:
                 f"dimension {dimension}"
             )
         self.words = _mask_padding(words, dimension)
-        self.words_t = self.words.T + jnp.uint32(0)
+        self.words_t = materialize_words(self.words.T)
         self._dimension = int(dimension)
 
     @classmethod

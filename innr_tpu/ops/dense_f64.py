@@ -87,15 +87,25 @@ def _df64_mul(xh, xl, yh, yl):
     return _quick_two_sum(p, e)
 
 
+def _pow2_ceil(n: int) -> int:
+    """Smallest power of two >= n — the tree-reduction width. ANY width
+    >= n is correct (zero padding is absorbed by df64 adds); the exact
+    power of two is the no-waste choice, so this is a perf-only knob
+    (excluded from mutation like the tile pickers; an under-sized mutant
+    crashes the concatenate shapes outright)."""
+    size = 1
+    while size < n:
+        size *= 2
+    return size
+
+
 def _tree_sum(h: jax.Array, l: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Reduce (n,) df64 pairs to a scalar pair via log2(n) halving steps —
     each step one vectorized df64 add over half the array."""
     n = h.shape[0]
     if n == 0:
         return jnp.float32(0.0), jnp.float32(0.0)
-    size = 1
-    while size < n:
-        size *= 2
+    size = _pow2_ceil(n)
     pad = size - n
     if pad:
         h = jnp.concatenate([h, jnp.zeros((pad,), dtype=jnp.float32)])

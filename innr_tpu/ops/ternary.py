@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from innr_tpu.utils.asserts import ContractError
+from innr_tpu.utils.padding import materialize_words
 
 __all__ = [
     "PackedTernary",
@@ -44,8 +45,10 @@ def _num_words(dimension: int) -> int:
 
 
 def _mask_padding(words: jax.Array, dimension: int) -> jax.Array:
+    # rem != 0 implies dimension >= 1 implies >= 1 word (constructors
+    # validate plane lengths), so no emptiness guard is needed.
     rem = dimension % _WORD_BITS
-    if rem != 0 and words.shape[-1] > 0:
+    if rem != 0:
         mask = np.uint32((1 << rem) - 1)
         words = words.at[..., -1].set(words[..., -1] & mask)
     return words
@@ -318,8 +321,8 @@ class PackedTernaryBatch:
             )
         self.pos = _mask_padding(pos, dimension)
         self.neg = _mask_padding(neg, dimension)
-        self.pos_t = self.pos.T + jnp.uint32(0)
-        self.neg_t = self.neg.T + jnp.uint32(0)
+        self.pos_t = materialize_words(self.pos.T)
+        self.neg_t = materialize_words(self.neg.T)
         self._dimension = int(dimension)
 
     @classmethod

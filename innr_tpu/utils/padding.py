@@ -36,3 +36,14 @@ def pad_axis_to(x: jax.Array, axis: int, size: int, value=0) -> jax.Array:
     pads = [(0, 0)] * x.ndim
     pads[axis] = (0, size - current)
     return jnp.pad(x, pads, constant_values=value)
+
+
+def materialize_words(x: jax.Array) -> jax.Array:
+    """Commit a (possibly lazily laid-out) integer transpose to a
+    standard-layout device buffer NOW. The packed containers' word-major
+    transposes are streamed from HBM by every fused scan, so the copy
+    must happen once at container build, not per launch. The ``+ 0`` is
+    a layout-commit idiom, not arithmetic (``- 0`` would be equally
+    correct) — it lives here, outside the mutation targets, for exactly
+    that reason."""
+    return x + jnp.zeros((), dtype=x.dtype)

@@ -101,6 +101,7 @@ EXCLUDED_FUNCS = {
     "pruned_tile_n",
     "_fast_plan_ok",
     "_pad_tail",
+    "_pow2_ceil",
     "plan_geometry",
     "single_pass_k",
     "_n_threads",
@@ -276,9 +277,16 @@ def main() -> int:
     ap.add_argument("--list", action="store_true")
     ap.add_argument("--threshold", type=float, default=0.9)
     ap.add_argument("--report", default="MUTATION_REPORT.md")
+    ap.add_argument("--modules", default="",
+                    help="comma-separated substrings; keep only sites whose "
+                         "path matches one (e.g. 'order,topk,dense.py' for "
+                         "an exhaustive run over the foundational modules)")
     args = ap.parse_args()
 
     sites = enumerate_sites()
+    if args.modules:
+        pats = [p.strip() for p in args.modules.split(",") if p.strip()]
+        sites = [s for s in sites if any(p in s.path for p in pats)]
     if args.list:
         by_mod: dict[str, int] = {}
         for s in sites:

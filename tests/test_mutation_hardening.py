@@ -1535,3 +1535,90 @@ class TestSeed5Survivors:
         res = it.batch_knn_adaptive(q, vb, 1, warmup_dims=4)
         assert res.indices.tolist() == [1]
         assert res.scores.tolist() == [3.0]
+
+
+class TestSeed5SurvivorsB:
+    """Killers for the second seed-5 sample (twelfth triage)."""
+
+    def test_ternary_tile_models_both_planes(self):
+        # packed_knn.py `_pick_tile_n(n, 2 * w)`: the ternary tile MUST
+        # budget BOTH sign planes (docstring contract). An under-modeled
+        # factor OOMs the 16 MB scoped VMEM on silicon, invisible to CPU
+        # interpret runs — so the model itself is pinned.
+        from innr_tpu.kernels.packed_knn import (
+            _pick_tile_n, _pick_tile_n_mq, _ternary_tile_n, _ternary_tile_n_mq,
+        )
+
+        for n in (10_000, 1_000_000):
+            for w in (2, 24, 128, 512):
+                assert _ternary_tile_n(n, w) == _pick_tile_n(n, 2 * w)
+                for q in (1, 8, 32):
+                    assert _ternary_tile_n_mq(n, w, q) == _pick_tile_n_mq(
+                        n, 2 * w, q, n_live=4
+                    )
+
+    def test_fast_plan_eligibility_excludes_small_tiles(self, rng):
+        # prune.py `eligible & ~isnan`: the fast threshold may only come
+        # from tiles holding >= k rows. A ragged tile (20 rows) closest
+        # to every query would set a TIGHTER t0 if it leaked into the
+        # max (the | mutant) — pruning tiles the oracle keeps.
+        from innr_tpu import prune
+
+        tile_n, k, d = 64, 64, 8
+        centers = rng.standard_normal((9, d)).astype(np.float32) * 200.0
+        full = np.repeat(centers[:8], tile_n, axis=0)
+        ragged = np.repeat(centers[8:], 20, axis=0)
+        rows = np.concatenate([full, ragged])
+        rows += rng.standard_normal(rows.shape).astype(np.float32)
+        s = prune.build_tile_summary(jnp.asarray(rows), tile_n)
+        assert int(np.asarray(s.counts)[-1]) == 20  # construction holds
+        qs = centers[8:] + 0.01  # all queries sit on the RAGGED cluster
+        order, n_surv = prune.plan_survivors(
+            jnp.asarray(qs), s.centroids, s.radii, s.counts, k, "l2",
+            fast=True,
+        )
+        cent = np.asarray(s.centroids, np.float64)
+        rad = np.asarray(s.radii, np.float64)
+        cnt = np.asarray(s.counts)
+        qd = qs.astype(np.float64) @ cent.T
+        qq = np.sum(qs.astype(np.float64) ** 2, axis=1, keepdims=True)
+        cc = np.sum(cent * cent, axis=1)[None, :]
+        qc = np.sqrt(np.maximum(qq + cc - 2.0 * qd, 0.0))
+        guaranteed = (qc + rad[None, :]) ** 2
+        optimistic = np.maximum(qc - rad[None, :], 0.0) ** 2
+        t0 = np.min(np.where((cnt >= k)[None, :], guaranteed, np.inf),
+                    axis=1, keepdims=True)
+        want_alive = ~np.all(optimistic > t0, axis=0)
+        got_alive = np.zeros(cnt.size, bool)
+        got_alive[np.asarray(order)[: int(n_surv)]] = True
+        assert want_alive[-1]  # the ragged tile itself must survive
+        np.testing.assert_array_equal(got_alive, want_alive)
+
+    def test_inv_norms_epsilon_boundary_strict(self):
+        # kernels/knn.py inv_norms: a row whose norm is EXACTLY
+        # NORM_EPSILON is zero-norm by contract -> inverse 0.0 (the
+        # single `ok` guard is strict; it also feeds the divisor, so a
+        # relaxed mutant divides by 1e-9 and returns 1e9).
+        from innr_tpu.config import NORM_EPSILON
+        from innr_tpu.kernels.knn import inv_norms
+
+        x = np.float32(NORM_EPSILON)
+        assert np.float32(np.sqrt(np.float32(x * x))) == x  # roundtrip
+        rows = np.zeros((3, 4), np.float32)
+        rows[0, 0] = x          # exactly epsilon -> 0.0
+        rows[1, 0] = 2.0        # ordinary row    -> 0.5
+        inv = np.asarray(inv_norms(jnp.asarray(rows)))
+        assert inv[0] == 0.0
+        assert inv[1] == pytest.approx(0.5)
+        assert inv[2] == 0.0    # true zero row
+
+    def test_df64_splitter_carries_low_bits(self, rng):
+        # dense_f64.py `_SPLITTER = 4097.0` (2^12 + 1): a broken Dekker
+        # split degenerates two_prod's error term and the df64 dot
+        # collapses to f32 accuracy (~1e-7) — far outside the 1e-11
+        # bound random 53-bit mantissas demand.
+        a = rng.uniform(1.0, 2.0, 256)
+        b = rng.uniform(1.0, 2.0, 256)
+        got = float(it.dot_f64(a, b))
+        want = float(np.dot(a, b))
+        assert abs(got - want) / abs(want) < 1e-11
