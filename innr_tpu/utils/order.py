@@ -24,9 +24,10 @@ def total_order_key_f32(x: jax.Array) -> jax.Array:
     -0.0 < +0.0 < ... < +inf < +NaN.
     """
     bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
-    mask = jax.lax.shift_right_logical(
-        jax.lax.shift_right_arithmetic(bits, 31), 1
-    )
+    # Select form rather than (bits >> 31) >>> 1: the shift constant is
+    # clamp-degenerate (32 == 31 under XLA shift clamping) so it can't
+    # be observed under mutation; the comparison and constant here can.
+    mask = jnp.where(bits < 0, jnp.int32(0x7FFFFFFF), jnp.int32(0))
     return bits ^ mask
 
 

@@ -1622,3 +1622,113 @@ class TestSeed5SurvivorsB:
         got = float(it.dot_f64(a, b))
         want = float(np.dot(a, b))
         assert abs(got - want) / abs(want) < 1e-11
+
+
+class TestFoundationExhaustive:
+    """Killers for the exhaustive foundational-module sweep (106/106
+    sites run; 13 survivors triaged here or documented equivalent)."""
+
+    def test_as_f32_coerces_integer_and_bf16_inputs(self):
+        # dense.py `_as_f32` dtype test: integer / bf16 inputs must
+        # compute and return in f32 (an inverted mutant leaves int32
+        # arithmetic and an int32 result).
+        d = it.dot(np.array([1, 2, 3]), np.array([4, 5, 6]))
+        assert d.dtype == jnp.float32
+        assert float(d) == 32.0
+        a16 = jnp.asarray([1.0, 2.0], dtype=jnp.bfloat16)
+        n = it.norm(a16)
+        assert n.dtype == jnp.float32
+
+    def test_normalize_with_norm_epsilon_boundary(self):
+        # dense.py `n > NORM_EPSILON` strict: a vector whose norm is
+        # EXACTLY epsilon is returned UNSCALED (not blown up by 1/1e-9).
+        from innr_tpu.config import NORM_EPSILON
+
+        x = np.float32(NORM_EPSILON)
+        v = np.array([x, 0.0], np.float32)
+        scaled, n = it.normalize_with_norm(v)
+        assert float(n) == float(x)
+        np.testing.assert_array_equal(np.asarray(scaled), v)
+
+    def test_fast_cosine_epsilon_sq_boundaries_each_side(self):
+        # fast_math.py `(aa > EPS_SQ) & (bb > EPS_SQ)`: each clause must
+        # be strict on ITS OWN side (squared-norm landing exactly on the
+        # epsilon -> 0.0).
+        from innr_tpu.config import NORM_EPSILON_SQ
+
+        x = np.float32(7.071061e-10)
+        y = np.float32(7.071075e-10)
+        aa = np.float32(np.float32(x * x) + np.float32(y * y))
+        assert aa == np.float32(NORM_EPSILON_SQ)
+        tiny = np.array([x, y], np.float32)
+        unit = np.array([1.0, 0.0], np.float32)
+        assert float(it.fast_cosine(tiny, unit)) == 0.0
+        assert float(it.fast_cosine(unit, tiny)) == 0.0
+
+    def test_fast_rsqrt_precise_is_exactly_two_iterations(self, rng):
+        # fast_math.py `nr_iterations=2` call-site constant: the API
+        # contract is reference PARITY (two NR steps, src/fast_math.rs:65)
+        # — not "as precise as possible". The 1/2/3-iteration error bands
+        # are cleanly separated (measured max rel: 1.8e-3 / 4.7e-6 /
+        # 1.4e-7), so the mean error over a fixed sample pins the count.
+        xs = rng.uniform(1e-6, 1e6, 20000).astype(np.float32)
+        y = np.asarray(it.fast_rsqrt_precise(jnp.asarray(xs)), np.float64)
+        true = 1.0 / np.sqrt(xs.astype(np.float64))
+        mean_rel = float(np.mean(np.abs(y - true) / true))
+        assert 5e-7 < mean_rel < 5e-6, mean_rel
+
+    def test_sparse_top_k_size_equal_passthrough(self):
+        # sparse_ext.py `val.size <= k` INCLUSIVE: at size == k the
+        # vector is returned UNCHANGED (reference passthrough), not
+        # re-sorted by dimension.
+        from innr_tpu.ops.sparse_ext import sparse_top_k
+
+        idx = np.array([9, 2, 5], np.uint32)  # deliberately dim-unsorted
+        val = np.array([1.0, -3.0, 2.0], np.float32)
+        gi, gv = sparse_top_k((idx, val), 3)
+        np.testing.assert_array_equal(gi, idx)
+        np.testing.assert_array_equal(gv, val)
+        si, sv = sparse_top_k((idx, val), 2)  # selection path re-sorts
+        np.testing.assert_array_equal(si, [2, 5])
+        np.testing.assert_array_equal(sv, [-3.0, 2.0])
+
+    def test_sparse_max_weight_both_arms(self):
+        # sparse_ext.py `shape == 0` guard: the empty arm returns 0.0 and
+        # the non-empty arm returns the real max (an inverted mutant
+        # zeroes every non-empty result).
+        from innr_tpu.ops.sparse_ext import sparse_max_weight
+
+        assert float(sparse_max_weight(([1, 4], [5.0, 2.0]))) == 5.0
+        assert float(sparse_max_weight(([], []))) == 0.0
+        assert float(sparse_max_weight(([1], [-3.0]))) == 0.0  # folded
+
+    def test_topk_scalar_key_positive_zero_boundary(self):
+        # topk.py `_total_key` `bits < 0` STRICT: +0.0 (bits == 0) must
+        # not take the sign-flip branch — total_cmp: -0.0 < +0.0 < 1.0.
+        t = it.TopK(2)
+        t.insert(1, 0.0)
+        t.insert(2, 1.0)
+        t.insert(3, -0.0)
+        out = t.into_sorted()
+        assert [i for i, _ in out] == [3, 1]  # -0.0 then +0.0
+
+    def test_topk_full_reject_on_equal_is_inclusive(self):
+        # topk.py `key >= worst -> reject`: an EQUAL candidate must be
+        # rejected (first-come keeps its slot), not evict the incumbent.
+        t = it.TopK(1)
+        t.insert(7, 5.0)
+        t.insert(8, 5.0)
+        assert t.into_sorted() == [(7, 5.0)]
+
+    def test_argsort_total_descending(self):
+        # utils/order.py `~keys` for descending: dropping the invert
+        # returns ascending order.
+        from innr_tpu.utils.order import argsort_total
+
+        x = jnp.asarray(np.array([1.0, 3.0, 2.0, -1.0], np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(argsort_total(x, descending=True)), [1, 2, 0, 3]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(argsort_total(x)), [3, 0, 2, 1]
+        )
