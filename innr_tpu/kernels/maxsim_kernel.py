@@ -134,7 +134,7 @@ def fused_maxsim_scores(q_tokens: jax.Array, docs: jax.Array, doc_mask=None):
 
     out = pl.pallas_call(
         functools.partial(_maxsim_kernel, tq, use_mask),
-        grid=(n_pad // tile_docs,),
+        grid=(-(-n // tile_docs),),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (tile_docs, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -262,7 +262,7 @@ def fused_maxsim_scores_batch(q_batch: jax.Array, docs: jax.Array, doc_mask=None
             )
         )
 
-    grid = ((n + tile_docs - 1) // tile_docs,)
+    grid = (-(-n // tile_docs),)
     out = pl.pallas_call(
         functools.partial(_maxsim_kernel_mq, tq, tq_pad, b, use_mask),
         grid=grid,

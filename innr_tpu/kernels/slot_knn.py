@@ -76,9 +76,11 @@ def _slot_kernel(n_rows, k, q_ref, slots_ref, keys_out, idx_out, best_keys, best
     # u16 sketches widen to i32 on-chip: Mosaic's VPU has no 16-bit vector
     # compare ("Target does not support this comparison", found on
     # silicon) — the HBM read stays 2 bytes/slot, which is the u16 win.
-    tile, qv = slots_ref[:], q_ref[:]
-    if tile.dtype == jnp.uint16:
-        tile, qv = tile.astype(jnp.int32), qv.astype(jnp.int32)
+    # Widen UNCONDITIONALLY to i32 for the vector compare: u16 has no
+    # 16-bit VPU compare on silicon, and u32 -> i32 is a wrap bijection,
+    # so (tile != qv) is unchanged. One code path for every slot width.
+    tile = slots_ref[:].astype(jnp.int32)
+    qv = q_ref[:].astype(jnp.int32)
     diff = (tile != qv).astype(jnp.int32)
     counts = jnp.sum(diff, axis=0, keepdims=True)
     keys = -counts  # fewer differing slots = better
@@ -144,10 +146,9 @@ def _slot_kernel_mq(
     counts = None
     for s0 in range(0, s, _S_CHUNK):
         s1 = min(s0 + _S_CHUNK, s)
-        tile = slots_ref[:, s0:s1, :]
-        qv = q_ref[:, s0:s1, :]
-        if tile.dtype == jnp.uint16:  # no 16-bit VPU compare (see above)
-            tile, qv = tile.astype(jnp.int32), qv.astype(jnp.int32)
+        # Unconditional i32 widen: see the single-query kernel note.
+        tile = slots_ref[:, s0:s1, :].astype(jnp.int32)
+        qv = q_ref[:, s0:s1, :].astype(jnp.int32)
         diff = (tile != qv).astype(jnp.int32)
         chunk = jnp.sum(diff, axis=1)  # (Q, T)
         counts = chunk if counts is None else counts + chunk

@@ -113,7 +113,7 @@ EXCLUDED_FUNCS = {
 # 2^12 + 1 splitter is sign-symmetric (verified: ±4097 both yield a
 # valid 12-bit split). Its MAGNITUDE is pinned by
 # test_df64_splitter_carries_low_bits.
-EXCLUDED_CONSTS = {"_TOPK_VMEM_BUDGET", "_K_MAX_PASS", "_W_CHUNK", "_SPLITTER"}
+EXCLUDED_CONSTS = {"_TOPK_VMEM_BUDGET", "_K_MAX_PASS", "_W_CHUNK", "_S_CHUNK", "_SPLITTER"}
 
 # Functions that only execute on real TPU silicon: the emit_pipeline
 # dynamic-grid kernels are rejected by the CPU interpreter

@@ -1732,3 +1732,53 @@ class TestFoundationExhaustive:
         np.testing.assert_array_equal(
             np.asarray(argsort_total(x)), [3, 0, 2, 1]
         )
+
+
+class TestMaxsimKernelExhaustive:
+    """Killers for the exhaustive maxsim_kernel/slot_knn sweep."""
+
+    def test_single_query_accepts_nested_list_docs(self, rng):
+        # maxsim_kernel.py:93 dtype coercion in the SINGLE-query scorer
+        # (the batch twin is already pinned).
+        from innr_tpu.kernels.maxsim_kernel import fused_maxsim_scores
+
+        q = rng.standard_normal((3, 8)).astype(np.float32)
+        docs = rng.standard_normal((4, 5, 8)).astype(np.float32)
+        got_list = fused_maxsim_scores(q, docs.tolist())
+        got_arr = fused_maxsim_scores(q, docs)
+        np.testing.assert_array_equal(np.asarray(got_list), np.asarray(got_arr))
+
+    @staticmethod
+    def _maxsim_oracle(qs, docs):
+        # sum_i max_j q_i . d_j in f32, (B, N)
+        scores = np.einsum("btd,nsd->bnts", qs, docs).astype(np.float32)
+        return scores.max(axis=3).sum(axis=2)
+
+    def test_ragged_doc_tokens_all_negative_scores(self, rng):
+        # maxsim_kernel.py use_mask `td_pad != td`: sublane padding adds
+        # zero doc-token rows whose dot is 0 — with ALL real scores
+        # negative, an unmasked pad token would wrongly win every max.
+        # td = 3 (pads to 8); construction forces every dot negative.
+        from innr_tpu.kernels.maxsim_kernel import (
+            fused_maxsim_scores, fused_maxsim_scores_batch,
+        )
+
+        qs = np.abs(rng.standard_normal((2, 3, 8))).astype(np.float32)
+        docs = -np.abs(rng.standard_normal((4, 3, 8))).astype(np.float32)
+        want = self._maxsim_oracle(qs, docs)
+        assert (want < 0).all()  # construction: padding would flip to >= 0
+        got = np.asarray(fused_maxsim_scores_batch(qs, docs))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        got1 = np.asarray(fused_maxsim_scores(qs[0], docs))
+        np.testing.assert_allclose(got1, want[0], rtol=1e-6)
+
+    def test_slot_knn_u32_values_above_int32(self, rng):
+        # slot_knn.py unconditional i32 widen: u32 slots ABOVE 2^31 wrap
+        # negative, but (tile != qv) is wrap-invariant — equality counts
+        # must stay exact for high-bit slot values.
+        sk = rng.integers(2**31, 2**32, (20, 8), dtype=np.uint64).astype(np.uint32)
+        sk[3] = sk[0]  # plant an exact duplicate
+        sims, idx = it.minhash_knn(sk[0], sk, 3)
+        assert set(np.asarray(idx)[:2].tolist()) == {0, 3}
+        assert float(np.asarray(sims)[0]) == 1.0
+        assert float(np.asarray(sims)[1]) == 1.0
