@@ -1782,3 +1782,50 @@ class TestMaxsimKernelExhaustive:
         assert set(np.asarray(idx)[:2].tolist()) == {0, 3}
         assert float(np.asarray(sims)[0]) == 1.0
         assert float(np.asarray(sims)[1]) == 1.0
+
+
+class TestPackedExhaustive:
+    """Killer for the exhaustive packed_knn sweep: the multi-query
+    kernels accumulate popcounts over 8-word sublane chunks, so the
+    cross-chunk `counts + chunk` only executes at d > 256 — which no
+    prior test reached. d = 512 (16 words, two chunks) pins it against
+    brute force for both families."""
+
+    def test_multichunk_binary_and_ternary_batch(self, rng, monkeypatch):
+        from innr_tpu import config
+        from innr_tpu.ops.binary import binary_knn_batch
+        from innr_tpu.ops.ternary import ternary_knn_batch
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 16)
+        d, n, k = 512, 64, 5
+        rows = rng.standard_normal((n, d)).astype(np.float32)
+        bcorp = it.PackedBinaryBatch.encode(rows)
+        bq = it.encode_binary_batch(rows[:2])
+        counts, idx = binary_knn_batch(bq, bcorp, k)
+        words = np.asarray(bcorp.words)
+        qwords = np.asarray(bq.words) if hasattr(bq, "words") else np.asarray(bq)
+        for qi in range(2):
+            ham = np.array([
+                bin(int.from_bytes(np.bitwise_xor(words[r], qwords[qi]).tobytes(), "little")).count("1")
+                for r in range(n)
+            ])
+            order = np.argsort(ham, kind="stable")[:k]
+            np.testing.assert_array_equal(np.asarray(idx)[qi], order)
+            np.testing.assert_array_equal(np.asarray(counts)[qi], ham[order])
+
+        tcorp = it.PackedTernaryBatch.encode(rows, 0.3)
+        tq = [it.encode_ternary(rows[0], 0.3), it.encode_ternary(rows[1], 0.3)]
+        dots, tidx = ternary_knn_batch(tq, tcorp, k)
+        pos, neg = np.asarray(tcorp.pos), np.asarray(tcorp.neg)
+        for qi in range(2):
+            qp, qn = np.asarray(tq[qi].pos), np.asarray(tq[qi].neg)
+            same = (qp & pos) | (qn & neg)
+            diff = (qp & neg) | (qn & pos)
+            tdot = np.array([
+                bin(int.from_bytes(same[r].tobytes(), "little")).count("1")
+                - bin(int.from_bytes(diff[r].tobytes(), "little")).count("1")
+                for r in range(n)
+            ])
+            order = np.argsort(-tdot, kind="stable")[:k]
+            np.testing.assert_array_equal(np.asarray(tidx)[qi], order)
+            np.testing.assert_array_equal(np.asarray(dots)[qi], tdot[order])
