@@ -249,15 +249,16 @@ def cluster_order(rows, n_clusters: int = 256, n_iters: int = 5, seed: int = 0):
         idx0 = jax.random.choice(key, r.shape[0], (kc,), replace=False)
         cent = r[idx0].astype(jnp.float32)
         r32 = r.astype(jnp.float32)
-        rr = jnp.sum(r32 * r32, axis=1)
 
         def nearest(cent):
-            # ONE L2^2-expansion shared by the Lloyd steps and the final
-            # assignment, so the two can never drift apart.
+            # ONE shared scoring for the Lloyd steps and the final
+            # assignment, so the two can never drift apart. The ||r||^2
+            # term of the L2^2 expansion is a per-row constant — it
+            # cannot change an argmin over centroids — so it is dropped
+            # (one less (N,) broadcast per pass).
             d2 = (
-                rr[:, None]
+                jnp.sum(cent * cent, axis=1)[None, :]
                 - 2.0 * jnp.matmul(r32, cent.T, preferred_element_type=jnp.float32)
-                + jnp.sum(cent * cent, axis=1)[None, :]
             )
             return jnp.argmin(d2, axis=1)
 

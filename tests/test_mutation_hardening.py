@@ -1829,3 +1829,159 @@ class TestPackedExhaustive:
             order = np.argsort(-tdot, kind="stable")[:k]
             np.testing.assert_array_equal(np.asarray(tidx)[qi], order)
             np.testing.assert_array_equal(np.asarray(dots)[qi], tdot[order])
+
+
+class TestPruneExhaustive:
+    """Killers for the exhaustive prune.py sweep (58/58 sites, 84.5%
+    before this triage)."""
+
+    def test_normalized_summary_matches_oracle(self, rng):
+        # prune.py _summarize(normalized=True): unit-row centroids and
+        # radii must match a numpy oracle — a distorted norm merely
+        # inflates radii (conservative, exact results), so only a direct
+        # summary comparison observes it. Includes a row whose norm is
+        # EXACTLY epsilon (strict guard -> zero row).
+        from innr_tpu import prune
+        from innr_tpu.config import NORM_EPSILON
+
+        rows = rng.standard_normal((96, 8)).astype(np.float32) * 3.0
+        rows[5] = 0.0
+        rows[6, :] = 0.0
+        rows[6, 0] = np.float32(NORM_EPSILON)  # exactly epsilon
+        s = prune.build_tile_summary(jnp.asarray(rows), 32, normalized=True)
+        norms = np.linalg.norm(rows.astype(np.float64), axis=1)
+        unit = np.where(
+            (norms > NORM_EPSILON)[:, None],
+            rows / np.where(norms > 0, norms, 1.0)[:, None], 0.0
+        )
+        for t in range(3):
+            tile = unit[32 * t: 32 * (t + 1)]
+            cent = tile.mean(axis=0)
+            rad = np.sqrt(((tile - cent) ** 2).sum(axis=1).max())
+            np.testing.assert_allclose(
+                np.asarray(s.centroids)[t], cent, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                float(np.asarray(s.radii)[t]), rad, atol=1e-5
+            )
+
+    @pytest.mark.parametrize("mode", ["dot", "l2"])
+    @pytest.mark.parametrize("fast", [True, False])
+    def test_plan_survivors_oracle_random_draws(self, rng, mode, fast):
+        # Moderately-separated random draws (diverse margins, unlike the
+        # wide-margin clustered case): the alive set must equal the
+        # numpy-f64 oracle on every unambiguous draw. Systematic bound
+        # distortions (2*qd -> 2+qd, qc+rad -> qc-rad, ...) disagree on
+        # some draw by far more than the ambiguity tolerance.
+        from innr_tpu import prune
+
+        helper = TestSeed0TriageC
+        tile_n, k, used = 32, 8, 0
+        for draw in range(20):
+            centers = rng.standard_normal((6, 8)).astype(np.float32) * 3.0
+            rows = np.repeat(centers, tile_n, axis=0)
+            rows += rng.standard_normal(rows.shape).astype(np.float32)
+            s = prune.build_tile_summary(jnp.asarray(rows), tile_n)
+            qs = rows[rng.choice(len(rows), 4, replace=False)] * 1.01
+            cent = np.asarray(s.centroids)
+            rad = np.asarray(s.radii)
+            cnt = np.asarray(s.counts)
+            guaranteed, optimistic = helper._oracle_bounds(qs, cent, rad, mode)
+            if fast:
+                elig = cnt >= k
+                if mode == "dot":
+                    t0 = np.max(np.where(elig[None, :], guaranteed, -np.inf),
+                                axis=1, keepdims=True)
+                else:
+                    t0 = np.min(np.where(elig[None, :], guaranteed, np.inf),
+                                axis=1, keepdims=True)
+            else:
+                sign = -1.0 if mode == "dot" else 1.0
+                order_g = np.argsort(sign * guaranteed, axis=1)
+                cum = np.cumsum(np.take_along_axis(
+                    np.broadcast_to(cnt[None, :], guaranteed.shape), order_g,
+                    axis=1), axis=1)
+                pos = np.minimum(np.sum(cum < k, axis=1), cnt.size - 1)
+                t0 = np.take_along_axis(
+                    np.take_along_axis(guaranteed, order_g, axis=1),
+                    pos[:, None], axis=1)
+            margin = np.min(np.abs(optimistic - t0)
+                            / np.maximum(np.abs(t0), 1.0))
+            if margin < 1e-3:
+                continue  # ambiguous draw: f32-vs-f64 could flip it
+            dead_q = optimistic < t0 if mode == "dot" else optimistic > t0
+            want_alive = ~np.all(dead_q, axis=0)
+            order, n_surv = prune.plan_survivors(
+                jnp.asarray(qs), s.centroids, s.radii, s.counts, k, mode,
+                fast=fast,
+            )
+            got_alive = np.zeros(cnt.size, bool)
+            got_alive[np.asarray(order)[: int(n_surv)]] = True
+            np.testing.assert_array_equal(got_alive, want_alive, err_msg=f"draw {draw}")
+            used += 1
+        assert used >= 10, f"only {used} unambiguous draws"
+
+    def test_dead_test_is_strict_on_exact_tie_l2(self):
+        # prune.py `optimistic > t0` STRICT: radius-0 tiles equidistant
+        # from the query sit EXACTLY on t0; a >= mutant prunes both tied
+        # tiles and the scan returns rows from a far tile instead.
+        from innr_tpu import prune
+        from innr_tpu.kernels import knn as kknn
+        from innr_tpu.kernels import pruned_knn as kpruned
+
+        d, tile_n = 8, 16
+        a = np.zeros(d, np.float32); a[0] = 5.0
+        b = np.zeros(d, np.float32); b[0] = -5.0
+        c = np.zeros(d, np.float32); c[0] = 100.0
+        rows = np.concatenate([
+            np.tile(a, (tile_n, 1)), np.tile(b, (tile_n, 1)),
+            np.tile(c, (tile_n, 1)),
+        ])
+        s = prune.build_tile_summary(jnp.asarray(rows), tile_n)
+        np.testing.assert_array_equal(np.asarray(s.radii), np.zeros(3))
+        qs = jnp.zeros((1, d), jnp.float32)
+        order, n_surv = prune.plan_survivors(
+            qs, s.centroids, s.radii, s.counts, tile_n, "l2", fast=True
+        )
+        assert int(n_surv) == 2  # BOTH tied tiles alive, far tile dead
+        np.testing.assert_array_equal(np.asarray(order)[:2], [0, 1])
+        pv, pi = kpruned.fused_knn_l2_pruned_batch(
+            qs, jnp.asarray(rows), s, tile_n
+        )
+        fv, fi = kknn.fused_knn_l2_batch(qs, jnp.asarray(rows), tile_n)
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(fi))
+
+    def test_dead_test_is_strict_on_exact_tie_dot(self):
+        # Mirror for MIPS: `optimistic < t0` strict at qd == t0.
+        from innr_tpu import prune
+
+        d, tile_n = 8, 16
+        a = np.zeros(d, np.float32); a[0], a[1] = 3.0, 4.0
+        b = np.zeros(d, np.float32); b[0], b[1] = 3.0, -4.0
+        c = np.zeros(d, np.float32); c[0] = -100.0
+        rows = np.concatenate([
+            np.tile(a, (tile_n, 1)), np.tile(b, (tile_n, 1)),
+            np.tile(c, (tile_n, 1)),
+        ])
+        s = prune.build_tile_summary(jnp.asarray(rows), tile_n)
+        q = np.zeros((1, d), np.float32); q[0, 0] = 1.0
+        order, n_surv = prune.plan_survivors(
+            jnp.asarray(q), s.centroids, s.radii, s.counts, tile_n, "dot",
+            fast=True,
+        )
+        assert int(n_surv) == 2
+        np.testing.assert_array_equal(np.asarray(order)[:2], [0, 1])
+
+    def test_cluster_order_still_groups_after_rr_drop(self, rng):
+        # Regression guard for dropping the per-row ||r||^2 constant from
+        # the assignment score: grouping quality is unchanged.
+        from innr_tpu.prune import cluster_order
+
+        centers = np.eye(3, 8, dtype=np.float32) * 50
+        assign = rng.integers(0, 3, 120)
+        rows = centers[assign] + 0.01 * rng.standard_normal((120, 8)).astype(
+            np.float32)
+        perm = np.asarray(cluster_order(rows, n_clusters=6, n_iters=5))
+        assert sorted(perm.tolist()) == list(range(120))
+        runs = assign[perm]
+        assert int(np.sum(runs[1:] != runs[:-1])) <= 6
