@@ -1985,3 +1985,110 @@ class TestPruneExhaustive:
         assert sorted(perm.tolist()) == list(range(120))
         runs = assign[perm]
         assert int(np.sum(runs[1:] != runs[:-1])) <= 6
+
+
+class TestSeed7Survivors:
+    """Killers for the seed-7 sample (seventeenth triage)."""
+
+    def test_packed_binary_get_multiword(self, rng):
+        # binary.py get() word arithmetic: a 3-word vector pins the
+        # idx // 32 decomposition (an idx * 32 mutant clamps into the
+        # wrong word).
+        d = 96
+        bits = rng.integers(0, 2, d).astype(bool)
+        pb = it.encode_binary(np.where(bits, 1.0, -1.0).astype(np.float32))
+        for i in range(d):
+            assert pb.get(i) == bool(bits[i]), i
+        assert pb.get(d) is False and pb.get(-1) is False
+
+    def test_batch_cosine_knn_epsilon_boundaries(self, rng):
+        # batch.py multi-query cosine guards: an exact-epsilon-norm
+        # corpus row scores 0.0 against a normal query, and an exact-
+        # epsilon-norm QUERY scores 0.0 against everything.
+        from innr_tpu.config import NORM_EPSILON
+
+        eps = np.float32(NORM_EPSILON)
+        rows = rng.standard_normal((6, 4)).astype(np.float32)
+        rows[2] = 0.0
+        rows[2, 0] = eps
+        vb = it.VerticalBatch.from_rows(rows)
+        qs = np.zeros((2, 4), np.float32)
+        qs[0] = rng.standard_normal(4).astype(np.float32)
+        qs[1, 0] = eps
+        res = it.batch_knn_cosine(qs, vb, 6)
+        scores = np.asarray(res.scores)
+        idx = np.asarray(res.indices)
+        row2_score = scores[0][np.flatnonzero(idx[0] == 2)[0]]
+        assert row2_score == 0.0
+        np.testing.assert_array_equal(scores[1], np.zeros(6, np.float32))
+
+    def test_unit_queries_epsilon_boundary(self):
+        # kernels/knn.py _unit_queries: exact-epsilon-norm query row
+        # becomes the zero row (strict guard), like inv_norms.
+        from innr_tpu.config import NORM_EPSILON
+        from innr_tpu.kernels.knn import _unit_queries
+
+        eps = np.float32(NORM_EPSILON)
+        qs = np.zeros((2, 4), np.float32)
+        qs[0, 0] = 2.0
+        qs[1, 0] = eps
+        u = np.asarray(_unit_queries(jnp.asarray(qs)))
+        np.testing.assert_array_equal(u[0], [1.0, 0, 0, 0])
+        np.testing.assert_array_equal(u[1], np.zeros(4, np.float32))
+
+    def test_single_query_op_rejects_2d(self, rng):
+        # batch.py _check_query `allow_multi AND ndim == 2`: a 2-D query
+        # into a single-query op must raise, not wander into XLA shapes.
+        vb = it.VerticalBatch.from_rows(
+            rng.standard_normal((4, 3)).astype(np.float32)
+        )
+        with pytest.raises(it.ContractError):
+            it.batch_dot(rng.standard_normal((2, 3)).astype(np.float32), vb)
+
+    def test_pruned_dot_result_shapes(self, rng, monkeypatch):
+        # batch.py prune-branch `q.ndim == 1` squeeze: 1-D query ->
+        # (k,) arrays; 2-D -> (Q, k).
+        from innr_tpu import config
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 64)
+        rows = rng.standard_normal((512, 8)).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        r1 = it.batch_knn_dot(rows[0], vb, 3, prune=True)
+        assert np.asarray(r1.indices).shape == (3,)
+        plain = it.batch_knn_dot(rows[0], vb, 3)
+        np.testing.assert_array_equal(
+            np.asarray(r1.indices), np.asarray(plain.indices)
+        )
+        r2 = it.batch_knn_dot(rows[:2], vb, 3, prune=True)
+        assert np.asarray(r2.indices).shape == (2, 3)
+
+    def test_cosine_f64_epsilon_boundary_strict(self):
+        # dense_f64.py `na > f64::EPSILON` strict: a vector whose df64
+        # norm is EXACTLY the epsilon is zero-norm -> 0.0 (verified:
+        # norm_f64([eps]) round-trips to eps exactly).
+        from innr_tpu.ops.dense_f64 import _F64_EPSILON, cosine_f64, norm_f64
+
+        assert float(norm_f64([_F64_EPSILON])) == _F64_EPSILON
+        assert float(cosine_f64([_F64_EPSILON], [1.0])) == 0.0
+        assert float(cosine_f64([1.0], [_F64_EPSILON])) == 0.0
+
+    def test_l1_f64_native_arm_under_x64(self):
+        # dense_f64.py native-l1 arm runs ONLY under jax_enable_x64 —
+        # exercised in a subprocess so the |a - b| core is mutation-
+        # observable (a + b would triple the value).
+        import subprocess
+        import sys
+
+        code = (
+            "import jax; jax.config.update('jax_enable_x64', True);"
+            "jax.config.update('jax_platforms','cpu');"
+            "from innr_tpu.ops.dense_f64 import l1_distance_f64;"
+            "v = l1_distance_f64([1.0, -2.0], [4.0, 1.0], impl='native');"
+            "assert abs(float(v) - 6.0) < 1e-12, v;"
+            "print('OK')"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=300,
+        )
+        assert out.returncode == 0 and "OK" in out.stdout, out.stderr[-500:]
