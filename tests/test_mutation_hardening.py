@@ -2083,8 +2083,8 @@ class TestSeed7Survivors:
             "import jax; jax.config.update('jax_enable_x64', True);"
             "jax.config.update('jax_platforms','cpu');"
             "from innr_tpu.ops.dense_f64 import l1_distance_f64;"
-            "v = l1_distance_f64([1.0, -2.0], [4.0, 1.0], impl='native');"
-            "assert abs(float(v) - 6.0) < 1e-12, v;"
+            "v = l1_distance_f64([1.0, 2.0], [4.0, 1.0], impl='native');"
+            "assert abs(float(v) - 4.0) < 1e-12, v;"
             "print('OK')"
         )
         out = subprocess.run(
