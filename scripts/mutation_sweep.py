@@ -273,6 +273,15 @@ def run_site(site: Site, timeout: int = 1200) -> str:
 
 
 def main() -> int:
+    # A SIGTERM (e.g. an outer `timeout` expiring) must still run
+    # run_site's finally-restore, or a half-tested MUTANT stays on disk
+    # masquerading as source. Convert it to SystemExit so finally blocks
+    # execute. (This bit a timeout-killed run: segmented.py was left
+    # mutated and only a git-status check caught it.)
+    import signal
+
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--sample", type=int, default=40,
                     help="deterministic sample size (0 = all sites)")
