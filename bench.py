@@ -39,6 +39,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -46,6 +48,59 @@ import numpy as np
 
 # Reference baseline: dot @ 128d = 7.92 ns/eval (BASELINE.md).
 BASELINE_EVALS_PER_S = 1.0 / 7.92e-9
+
+
+def _backend_ready(attempts=3, probe_timeout=90, backoffs=(20, 60)):
+    """Hang-proof TPU-backend liveness probe with bounded retry/backoff.
+
+    ``jax.devices()`` on a dead relay does not raise — it HANGS forever
+    (round-3 driver: bench rc=1 on one outage mode, dryrun rc=124 on the
+    other). So the probe runs in a child process under a timeout; the main
+    process only initializes the backend after a probe succeeds. Returns
+    (ok, detail). Bounded worst case: attempts*probe_timeout + sum(backoffs).
+    """
+    attempts = int(os.environ.get("INNR_BENCH_PROBE_ATTEMPTS", attempts))
+    code = (
+        "import jax, jax.numpy as jnp; d = jax.devices(); "
+        "x = jnp.ones((8, 8)); jnp.sum(x @ x).block_until_ready(); "
+        "print('READY', d[0].platform, len(d))"
+    )
+    detail = ""
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=probe_timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+            )
+            if r.returncode == 0 and "READY" in r.stdout:
+                return True, r.stdout.strip().splitlines()[-1]
+            detail = (r.stderr or r.stdout).strip().splitlines()[-1:] or [""]
+            detail = f"probe rc={r.returncode}: {detail[0][:300]}"
+        except subprocess.TimeoutExpired:
+            detail = f"probe hung >{probe_timeout}s (relay unresponsive)"
+        if i + 1 < attempts:
+            time.sleep(backoffs[min(i, len(backoffs) - 1)])
+    return False, detail
+
+
+def _emit_error(stage, detail):
+    """One structured JSON line so the driver can distinguish 'code broken'
+    from 'relay down' instead of recording a raw-traceback rc=1."""
+    print(
+        json.dumps(
+            {
+                "metric": "batch_knn_dot_evals_per_s_d128",
+                "error": detail[:500],
+                "stage": stage,
+                "value": None,
+                "unit": "distance evals/s/chip",
+                "vs_baseline": None,
+            }
+        )
+    )
 
 
 def _time_best(fn, reps=3):
@@ -437,23 +492,45 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true")
     ap.add_argument("--n", type=int, default=10_000_000)
+    ap.add_argument(
+        "--no-probe",
+        action="store_true",
+        help="skip the backend liveness probe (e.g. CPU-only smoke runs)",
+    )
     args = ap.parse_args()
 
-    if args.full:
-        extra = bench_full()
-        for name, (v, rf) in sorted(extra.items()):
-            frac = f" roofline={rf:.2f}" if rf is not None else ""
-            print(f"# {name}: {v:,.1f}{frac}", file=sys.stderr)
+    if not args.no_probe:
+        ok, detail = _backend_ready()
+        if not ok:
+            _emit_error("backend_init", detail)
+            sys.exit(1)
 
-    # Sub-metrics first (each frees its corpus before the next allocates).
-    f32_evals, _, f32_roofline = bench_knn_dot(n=args.n, dtype="float32")
-    u8_evals, u8_roofline = bench_u8()
-    parity = bench_bf16_parity()
-    # Headline: bf16 corpus at the same HBM byte count as the f32
-    # north-star config (2x rows at 2 bytes/dim) — the recorded serving
-    # configuration for d=128 retrieval.
-    n16 = 2 * args.n
-    evals_per_s, latency, roofline = bench_knn_dot(n=n16, dtype="bfloat16")
+    stage = "start"
+    try:
+        stage = "full_suite"
+        if args.full:
+            extra = bench_full()
+            for name, (v, rf) in sorted(extra.items()):
+                frac = f" roofline={rf:.2f}" if rf is not None else ""
+                print(f"# {name}: {v:,.1f}{frac}", file=sys.stderr)
+
+        # Sub-metrics first (each frees its corpus before the next
+        # allocates).
+        stage = "f32_10M_128d"
+        f32_evals, _, f32_roofline = bench_knn_dot(n=args.n, dtype="float32")
+        stage = "u8_1M_768d"
+        u8_evals, u8_roofline = bench_u8()
+        stage = "bf16_parity"
+        parity = bench_bf16_parity()
+        # Headline: bf16 corpus at the same HBM byte count as the f32
+        # north-star config (2x rows at 2 bytes/dim) — the recorded serving
+        # configuration for d=128 retrieval.
+        stage = "bf16_headline"
+        n16 = 2 * args.n
+        evals_per_s, latency, roofline = bench_knn_dot(n=n16, dtype="bfloat16")
+    except Exception as e:  # noqa: BLE001 — one JSON line, then re-raise code
+        _emit_error(stage, f"{type(e).__name__}: {e}")
+        sys.exit(1)
     print(
         json.dumps(
             {
