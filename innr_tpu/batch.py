@@ -227,6 +227,23 @@ def _l2sq_scores(q: jax.Array, rows: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def _l2sq_scores_decomposed(q: jax.Array, rows: jax.Array,
+                            norms2: jax.Array) -> jax.Array:
+    """L2^2 via the MXU decomposition ``norms2 - 2 q.r + ||q||^2`` — the
+    same formula the fused/pruned Pallas scans use, so threshold-survivor
+    membership cannot flip across the MIN_ROWS_PALLAS dispatch boundary on
+    formula grounds (advisor r3; remaining differences are matmul
+    reassociation ulps only)."""
+    dots = jnp.matmul(
+        rows.astype(jnp.float32), q,
+        preferred_element_type=jnp.float32,
+        precision=config.matmul_precision(),
+    )
+    qq = jnp.sum(q.astype(jnp.float32) * q)
+    return norms2 - 2.0 * dots + qq
+
+
+@jax.jit
 def _dot_scores(q: jax.Array, rows: jax.Array) -> jax.Array:
     return jnp.matmul(
         rows.astype(jnp.float32), q,
@@ -425,7 +442,13 @@ def batch_l2_squared_pruning(
     threshold scan (:mod:`innr_tpu.kernels.pruned_knn`) — HBM tiles whose
     centroid/radius lower bound exceeds the threshold are never read,
     which is the reference's early-exit realized at the bandwidth level.
-    Identical survivor sets either way. Returns ``(indices, distances)``.
+
+    Both arms score with the same ``norms^2 - 2 q.r + ||q||^2`` MXU
+    decomposition, so survivor membership agrees across the corpus-size
+    dispatch boundary up to matmul-reassociation ulps (a row whose exact
+    distance ties the threshold to the last ulp may differ between any two
+    accumulation orders — the reference's sequential partial sums
+    included). Returns ``(indices, distances)``.
     """
     q = _check_query(query, batch, "batch_l2_squared_pruning")
     if _use_fused(batch.num_vectors):
@@ -438,7 +461,9 @@ def batch_l2_squared_pruning(
             )
         )
     else:
-        dists = np.asarray(_l2sq_scores(q, batch.rows))
+        dists = np.asarray(
+            _l2sq_scores_decomposed(q, batch.rows, batch.norms2())
+        )
     keep = ~(dists > np.float32(threshold))  # NaN distances are kept out
     keep &= ~np.isnan(dists)
     idx = np.nonzero(keep)[0]
@@ -682,7 +707,8 @@ def batch_knn_reordered(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
 
 
 def batch_knn_adaptive(
-    query, batch: VerticalBatch, k: int, warmup_dims: int
+    query, batch: VerticalBatch, k: int, warmup_dims: int,
+    force_adaptive: bool = False,
 ) -> BatchKnnResult:
     """Adaptive kNN with warmup-extrapolated pruning — **approximate**
     (reference ``src/batch.rs:439``).
@@ -708,13 +734,18 @@ def batch_knn_adaptive(
     tail entries carry index ``-1`` and score NaN (per-query trimming
     would be ragged).
 
-    Large corpora run the tile-skipping EXACT scan instead
+    **Dispatch boundary**: corpora with ``num_vectors >=
+    config.MIN_ROWS_PALLAS`` run the tile-skipping EXACT scan instead
     (:mod:`innr_tpu.kernels.pruned_knn`): the pruning happens at the HBM
     level (loser-only tiles are never read), warmup extrapolation is
     unnecessary, and — within the documented approximation contract,
     which only permits losing true neighbors — results are simply the
-    exact top-k. The reference's re-tightening note applies doubly: this
-    version is never less accurate.
+    exact top-k. On that path ``warmup_dims`` is validated but otherwise
+    unused, results always fill all k slots (no -1/NaN padding), and the
+    latency profile is the pruned scan's, not the two-phase warmup's.
+    Pass ``force_adaptive=True`` (or ``config.force_reference(True)``) to
+    run the warmup-extrapolation path regardless of corpus size — e.g. to
+    exercise its approximation behavior or reproduce reference latencies.
     """
     q = _check_query(query, batch, "batch_knn_adaptive", allow_multi=True)
     if warmup_dims <= 0:
@@ -725,7 +756,7 @@ def batch_knn_adaptive(
     warmup_dims = min(int(warmup_dims), batch.dimension)
     multi = q.ndim == 2
     qs = q if multi else q[None, :]
-    if _use_fused(batch.num_vectors, k):
+    if not force_adaptive and _use_fused(batch.num_vectors, k):
         res = batch_knn(q, batch, k, prune=True)
         return res
     vals, idx, alive = _knn_adaptive(qs, batch.rows, k, warmup_dims)

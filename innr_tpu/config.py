@@ -26,6 +26,18 @@ MIN_ROWS_PALLAS: int = 2048
 # Threshold for treating an L2 norm as "effectively zero"
 # (reference src/lib.rs:175).
 NORM_EPSILON: float = 1e-9
+
+# Relative slack applied to the tile-pruning dead-tile comparisons
+# (innr_tpu/prune.py). The survivor planner's bounds and the scan kernel's
+# scores are both f32 but use different expansions (triangle bounds vs the
+# norms^2 - 2 q.r decomposition), so each carries up to ~d * eps_f32 * scale
+# of rounding error (d=128: ~1.5e-5 relative). A tile is only declared dead
+# when its optimistic bound fails the threshold by MORE than this slack
+# times a magnitude scale, so f32 rounding can never prune a true neighbor
+# — keeping prune=True exact, not just "exact up to rounding". 1e-4 covers
+# the d<=4096 error bound with >6x margin; the perf cost is nil (dead tiles
+# are typically far below threshold).
+PRUNE_BOUND_EPS: float = 1e-4
 # Squared-space version used by fused cosine kernels
 # (reference src/lib.rs:181).
 NORM_EPSILON_SQ: float = NORM_EPSILON * NORM_EPSILON

@@ -34,8 +34,17 @@ from innr_tpu.kernels.knn import (
 from innr_tpu.utils.padding import round_up
 
 
-def _pick_tile_n(n: int, w: int) -> int:
-    budget = 4 * 1024 * 1024
+def _topk_bytes(n_q: int, k_pad: int) -> int:
+    """Scoped-VMEM bytes held by the top-k state: best_keys/best_idx
+    scratch plus the two output blocks — four (Q, k_pad) int32 buffers.
+    Mirrors kernels/knn.py plan_geometry, which shrinks the corpus-tile
+    budget by this amount; un-budgeted it OOMs scoped VMEM at large
+    k x Q on silicon, invisibly to CPU interpret runs (advisor r3)."""
+    return 16 * n_q * k_pad
+
+
+def _pick_tile_n(n: int, w: int, k_pad: int = _K_LANE) -> int:
+    budget = max(1024 * 1024, 4 * 1024 * 1024 - _topk_bytes(1, k_pad))
     tile = budget // max(w * 4, 1)
     tile = max(512, min(16384, tile))
     return round_up(min(tile, max(n, 128)), 128)
@@ -44,21 +53,23 @@ def _pick_tile_n(n: int, w: int) -> int:
 _W_CHUNK = 8  # sublane-aligned word chunk for the mq accumulation
 
 
-def _ternary_tile_n(n: int, w: int) -> int:
+def _ternary_tile_n(n: int, w: int, k_pad: int = _K_LANE) -> int:
     """Ternary tile height: BOTH sign planes stream through VMEM, so the
     per-row word budget is 2w (tested against the budget model in
     tests/test_mutation_hardening.py — an under-modeled factor OOMs the
     16 MB scoped VMEM on silicon, invisibly to CPU interpret runs)."""
-    return _pick_tile_n(n, 2 * w)
+    return _pick_tile_n(n, 2 * w, k_pad)
 
 
-def _ternary_tile_n_mq(n: int, w: int, n_q: int) -> int:
+def _ternary_tile_n_mq(n: int, w: int, n_q: int, k_pad: int = _K_LANE) -> int:
     """Multi-query twin: 2w word columns + 4 live (Q, 8, T) chunk
     intermediates (same/diff planes and their popcounts)."""
-    return _pick_tile_n_mq(n, 2 * w, n_q, n_live=4)
+    return _pick_tile_n_mq(n, 2 * w, n_q, n_live=4, k_pad=k_pad)
 
 
-def _pick_tile_n_mq(n: int, w: int, n_q: int, n_live: int = 2) -> int:
+def _pick_tile_n_mq(
+    n: int, w: int, n_q: int, n_live: int = 2, k_pad: int = _K_LANE
+) -> int:
     """Corpus tile for the multi-query kernels. The kernels accumulate
     counts over static 8-word sublane chunks, so the live scoped VMEM per
     corpus lane is the word column (4w bytes), ``n_live`` (Q, 8, T) chunk
@@ -67,8 +78,11 @@ def _pick_tile_n_mq(n: int, w: int, n_q: int, n_live: int = 2) -> int:
     independent of Q x W. (The earlier one-shot (Q, W, T) broadcast both
     OOMed the 16 MB scoped-VMEM limit at Q=32 unbudgeted — measured on
     v5e — and, once budgeted, starved the tile to ~1.3K rows; the tile
-    sweep showed mq throughput rising with tile size.)"""
-    budget = 8 * 1024 * 1024
+    sweep showed mq throughput rising with tile size.) The (Q, k_pad)
+    top-k state is subtracted from the budget (see ``_topk_bytes``)."""
+    budget = max(
+        2 * 1024 * 1024, 8 * 1024 * 1024 - _topk_bytes(n_q, k_pad)
+    )
     per_lane = 4 * (w + (n_live * _W_CHUNK + 1) * n_q)
     tile = budget // max(per_lane, 1)
     tile = max(256, min(8192, tile))
@@ -103,8 +117,8 @@ def fused_binary_knn(q_words: jax.Array, corpus_words_t: jax.Array, k: int):
     Returns ``(counts (k,) uint32 ascending, indices (k,) int32)``.
     """
     w, n = corpus_words_t.shape
-    tile_n = _pick_tile_n(n, w)
     k_pad = round_up(k, _K_LANE)
+    tile_n = _pick_tile_n(n, w, k_pad)
     grid = (-(-n // tile_n),)
     corpus_p = corpus_words_t
 
@@ -166,8 +180,8 @@ def fused_binary_knn_batch(q_words: jax.Array, corpus_words_t: jax.Array, k: int
     """
     n_q, w = q_words.shape
     _, n = corpus_words_t.shape
-    tile_n = _pick_tile_n_mq(n, w, n_q)
     k_pad = round_up(k, _K_LANE)
+    tile_n = _pick_tile_n_mq(n, w, n_q, k_pad=k_pad)
     grid = (-(-n // tile_n),)
     corpus_p = corpus_words_t
 
@@ -228,8 +242,8 @@ def fused_ternary_knn(
     Returns ``(dots (k,) int32 descending, indices (k,) int32)``.
     """
     w, n = pos_t.shape
-    tile_n = _ternary_tile_n(n, w)
     k_pad = round_up(k, _K_LANE)
+    tile_n = _ternary_tile_n(n, w, k_pad)
     grid = (-(-n // tile_n),)
     pos_p, neg_p = pos_t, neg_t
 
@@ -303,8 +317,8 @@ def fused_ternary_knn_batch(
     """
     n_q, w = qpos.shape
     _, n = pos_t.shape
-    tile_n = _ternary_tile_n_mq(n, w, n_q)
     k_pad = round_up(k, _K_LANE)
+    tile_n = _ternary_tile_n_mq(n, w, n_q, k_pad)
     grid = (-(-n // tile_n),)
     pos_p, neg_p = pos_t, neg_t
 

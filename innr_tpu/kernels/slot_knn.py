@@ -34,13 +34,21 @@ from innr_tpu.kernels.knn import (
 from innr_tpu.utils.padding import round_up
 
 
-def _pick_tile_n(n: int, s: int, itemsize: int = 4) -> int:
+def _topk_bytes(n_q: int, k_pad: int) -> int:
+    """Scoped-VMEM bytes of the top-k state: best_keys/best_idx scratch
+    plus the two output blocks — four (Q, k_pad) int32 buffers (mirrors
+    kernels/knn.py plan_geometry's budget subtraction; advisor r3)."""
+    return 16 * n_q * k_pad
+
+
+def _pick_tile_n(n: int, s: int, itemsize: int = 4,
+                 k_pad: int = _K_LANE) -> int:
     # u16 tiles widen to i32 in-kernel, so their live footprint is raw
     # (2s) + widened (4s) per lane — budget 3 bytes/slot instead of 2
     # (a 2-bytes/slot budget measured 2% over the 16 MB scoped-VMEM
     # limit at S=128 on v5e).
     eff = 4 if itemsize == 4 else 3
-    budget = 4 * 1024 * 1024
+    budget = max(1024 * 1024, 4 * 1024 * 1024 - _topk_bytes(1, k_pad))
     tile = budget // max(s * eff, 1)
     tile = max(512, min(16384, tile))
     return round_up(min(tile, max(n, 128)), 128)
@@ -49,7 +57,8 @@ def _pick_tile_n(n: int, s: int, itemsize: int = 4) -> int:
 _S_CHUNK = 8  # sublane-aligned slot chunk for the mq accumulation
 
 
-def _pick_tile_n_mq(n: int, s: int, n_q: int) -> int:
+def _pick_tile_n_mq(n: int, s: int, n_q: int,
+                    k_pad: int = _K_LANE) -> int:
     """Corpus tile for the multi-query kernel. The kernel accumulates
     counts over static 8-slot sublane chunks, so the live scoped VMEM per
     corpus lane is the slot column (4s bytes), one (Q, 8, T) chunk compare
@@ -58,7 +67,9 @@ def _pick_tile_n_mq(n: int, s: int, n_q: int) -> int:
     tile size (measured 0.70 vs ~1.0 roofline at Q=16, S=128, 10M
     sketches). Dynamic per-query lane slicing is NOT an option: Mosaic
     requires lane indices provably 128-aligned (found on real silicon)."""
-    budget = 8 * 1024 * 1024
+    budget = max(
+        2 * 1024 * 1024, 8 * 1024 * 1024 - _topk_bytes(n_q, k_pad)
+    )
     per_lane = 4 * (s + (_S_CHUNK + 1) * n_q)
     tile = budget // max(per_lane, 1)
     tile = max(256, min(8192, tile))
@@ -100,8 +111,8 @@ def fused_slot_knn(q_slots: jax.Array, corpus_slots_t: jax.Array, k: int):
     Returns ``(counts (k,) uint32 ascending, indices (k,) int32)``.
     """
     s, n = corpus_slots_t.shape
-    tile_n = _pick_tile_n(n, s, corpus_slots_t.dtype.itemsize)
     k_pad = round_up(k, _K_LANE)
+    tile_n = _pick_tile_n(n, s, corpus_slots_t.dtype.itemsize, k_pad)
     grid = (-(-n // tile_n),)
 
     keys, idx = pl.pallas_call(
@@ -169,8 +180,8 @@ def fused_slot_knn_batch(q_slots: jax.Array, corpus_slots_t: jax.Array, k: int):
     """
     n_q, s = q_slots.shape
     _, n = corpus_slots_t.shape
-    tile_n = _pick_tile_n_mq(n, s, n_q)
     k_pad = round_up(k, _K_LANE)
+    tile_n = _pick_tile_n_mq(n, s, n_q, k_pad)
     grid = (-(-n // tile_n),)
 
     keys, idx = pl.pallas_call(

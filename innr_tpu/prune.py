@@ -18,7 +18,10 @@ tile whose *optimistic* bound cannot reach ``t0`` is provably loser-only
 and its HBM read is skipped entirely (see
 :mod:`innr_tpu.kernels.pruned_knn` for how the skip becomes a real DMA
 elision). Unlike the reference's adaptive scan, the result is EXACT — the
-bounds are sound, so no true neighbor can be pruned.
+bounds are sound, and every dead-tile comparison carries a conservative
+``config.PRUNE_BOUND_EPS`` rounding slack (the planner's bounds and the
+kernel's scores are different f32 expansions), so neither the mathematical
+bound nor f32 rounding can ever prune a true neighbor.
 
 Pruning power depends on tile coherence: a corpus in random order has
 every tile centered on the global mean and nothing prunes (the scan then
@@ -152,23 +155,32 @@ def plan_survivors(qs, summary_cent, summary_rad, summary_cnt, k: int,
     bound is strictly worse than t0 for EVERY query — all comparisons are
     written so NaN bounds keep tiles alive.
     """
+    from innr_tpu.config import PRUNE_BOUND_EPS
+
     n_tiles = summary_cent.shape[0]
     qd = jnp.matmul(
         qs, summary_cent.T, preferred_element_type=jnp.float32
     )  # (Q, n_tiles)
     qn = jnp.sqrt(jnp.sum(qs * qs, axis=1, keepdims=True))  # (Q, 1)
+    cc = jnp.sum(summary_cent * summary_cent, axis=1)[None, :]
     if mode == "dot":
         guaranteed = qd - qn * summary_rad[None, :]
         optimistic = qd + qn * summary_rad[None, :]
         gkeys = guaranteed
+        # Rounding slack: planner bounds and kernel scores are different
+        # f32 expansions; |q.row| <= |q| (||c|| + r), so eps * that scale
+        # dominates both sides' rounding error (config.PRUNE_BOUND_EPS).
+        slack = PRUNE_BOUND_EPS * qn * (jnp.sqrt(cc) + summary_rad[None, :])
     else:  # l2: distances, smaller = better
         qq = jnp.sum(qs * qs, axis=1, keepdims=True)
-        cc = jnp.sum(summary_cent * summary_cent, axis=1)[None, :]
         qc = jnp.sqrt(jnp.maximum(qq + cc - 2.0 * qd, 0.0))  # ||q - c||
         guaranteed = (qc + summary_rad[None, :]) ** 2
         lower = jnp.maximum(qc - summary_rad[None, :], 0.0)
         optimistic = lower * lower
         gkeys = -guaranteed  # rank by smallest guaranteed distance first
+        # Cancellation-aware scale: the kernel's norms^2 - 2 q.r + ||q||^2
+        # form loses bits against the qq + cc + 2|qd| magnitudes.
+        slack = PRUNE_BOUND_EPS * (qq + cc + 2.0 * jnp.abs(qd))
     if fast:
         # k fits inside a single tile (the caller statically verified a
         # tile with >= k rows exists): t0 = the best guaranteed bound
@@ -196,12 +208,12 @@ def plan_survivors(qs, summary_cent, summary_rad, summary_cnt, k: int,
             jnp.take_along_axis(guaranteed, order_g, axis=1), pos[:, None],
             axis=1,
         )  # (Q, 1)
-    # Tile dead for a query iff optimistic bound strictly fails t0;
-    # NaN comparisons are False -> tile stays alive.
+    # Tile dead for a query iff optimistic bound fails t0 by more than the
+    # f32 rounding slack; NaN comparisons are False -> tile stays alive.
     if mode == "dot":
-        dead_q = optimistic < t0
+        dead_q = optimistic + slack < t0
     else:
-        dead_q = optimistic > t0
+        dead_q = optimistic > t0 + slack
     alive = ~jnp.all(dead_q, axis=0)  # (n_tiles,)
     n_surv = jnp.sum(alive.astype(jnp.int32))
     # Survivors first in ascending tile order (stable: False < True).
@@ -217,13 +229,17 @@ def plan_threshold_survivors(qs, summary_cent, summary_rad, threshold):
     query — no row in it can pass. NaN bounds keep tiles alive. Returns
     ``(order, n_surv, alive)`` with the same repeat-the-last-survivor
     tail as :func:`plan_survivors`."""
+    from innr_tpu.config import PRUNE_BOUND_EPS
+
     n_tiles = summary_cent.shape[0]
     qd = jnp.matmul(qs, summary_cent.T, preferred_element_type=jnp.float32)
     qq = jnp.sum(qs * qs, axis=1, keepdims=True)
     cc = jnp.sum(summary_cent * summary_cent, axis=1)[None, :]
     qc = jnp.sqrt(jnp.maximum(qq + cc - 2.0 * qd, 0.0))
     lower = jnp.maximum(qc - summary_rad[None, :], 0.0)
-    dead_q = lower * lower > threshold  # NaN -> False -> alive
+    # Same cancellation-aware rounding slack as plan_survivors' l2 mode.
+    slack = PRUNE_BOUND_EPS * (qq + cc + 2.0 * jnp.abs(qd))
+    dead_q = lower * lower > threshold + slack  # NaN -> False -> alive
     alive = ~jnp.all(dead_q, axis=0)
     n_surv = jnp.sum(alive.astype(jnp.int32))
     order = jnp.argsort(~alive, stable=True).astype(jnp.int32)

@@ -593,9 +593,10 @@ class TestSeed0SweepSurvivors:
         rad = jnp.asarray([1.0], dtype=jnp.float32)
         _, n_surv, alive = prune.plan_threshold_survivors(qs, cent, rad, 16.0)
         assert bool(np.asarray(alive)[0]) and int(n_surv) == 1
-        # strictly beyond the threshold the tile must die
+        # beyond the threshold by more than the PRUNE_BOUND_EPS rounding
+        # slack (1e-4 * (qq + cc + 2|qd|) = 2.5e-3 here) the tile must die
         _, n_surv2, alive2 = prune.plan_threshold_survivors(
-            qs, cent, rad, 15.9999
+            qs, cent, rad, 15.99
         )
         assert not bool(np.asarray(alive2)[0]) and int(n_surv2) == 0
 

@@ -225,3 +225,77 @@ class TestCosinePrunedScan:
             q, s.centroids, s.radii, s.counts, 3, "dot", fast=True
         )
         assert int(n_surv) < s.n_tiles
+
+
+class TestRoundingSlack:
+    """config.PRUNE_BOUND_EPS: a tile whose optimistic bound fails t0 by
+    less than the f32 rounding slack must stay alive (advisor r3 medium:
+    planner bounds and kernel scores are different f32 expansions, so a
+    zero-slack comparison could prune a row sitting within rounding error
+    of the threshold — silently breaking the exactness contract)."""
+
+    def _three_tile_corpus(self, d, a_vec, b_vec, c_vec, tile_n=256):
+        rows = np.concatenate(
+            [
+                np.tile(a_vec, (tile_n, 1)),
+                np.tile(b_vec, (tile_n, 1)),
+                np.tile(c_vec, (tile_n, 1)),
+            ]
+        ).astype(np.float32)
+        return prune.build_tile_summary(jnp.asarray(rows), tile_n)
+
+    def test_dot_within_slack_stays_alive(self):
+        d = 16
+        q = np.zeros(d, np.float32)
+        q[0] = 1.0
+        a = np.zeros(d, np.float32); a[0] = 1.0          # score 1.0 (t0)
+        b = np.zeros(d, np.float32); b[0] = 1.0 - 1e-5   # within slack
+        c = np.zeros(d, np.float32); c[0] = -1.0         # far below
+        s = self._three_tile_corpus(d, a, b, c)
+        assert np.all(np.asarray(s.radii) < 1e-6)  # near-exact bounds
+        _, n_surv = prune.plan_survivors(
+            jnp.asarray(q[None, :]), s.centroids, s.radii, s.counts,
+            5, "dot",
+        )
+        # b alive (inside slack), c dead (far outside slack).
+        assert int(n_surv) == 2
+
+    def test_l2_within_slack_stays_alive(self):
+        d = 16
+        q = np.zeros(d, np.float32)
+        q[0] = 1.0
+        a = q.copy()                                      # distance 0 (t0)
+        b = np.zeros(d, np.float32); b[0] = 1.0 - 0.01    # d2=1e-4 < slack
+        c = np.zeros(d, np.float32); c[0] = 50.0          # far
+        s = self._three_tile_corpus(d, a, b, c)
+        _, n_surv = prune.plan_survivors(
+            jnp.asarray(q[None, :]), s.centroids, s.radii, s.counts,
+            5, "l2",
+        )
+        assert int(n_surv) == 2
+
+    def test_threshold_within_slack_stays_alive(self):
+        d = 16
+        q = np.zeros(d, np.float32)
+        q[0] = 1.0
+        a = q.copy()
+        b = np.zeros(d, np.float32); b[0] = 1.0 - 0.032   # d2 ~1.02e-3
+        c = np.zeros(d, np.float32); c[0] = 50.0
+        s = self._three_tile_corpus(d, a, b, c)
+        # threshold 1e-3: b's lower bound exceeds it by ~2.4e-5, inside
+        # the 1e-4*(qq+cc+2|qd|) ~ 4e-4 slack -> alive; c dead.
+        _, n_surv, alive = prune.plan_threshold_survivors(
+            jnp.asarray(q[None, :]), s.centroids, s.radii, 1e-3
+        )
+        assert int(n_surv) == 2
+        assert np.asarray(alive).tolist() == [True, True, False]
+
+    def test_slack_does_not_break_exactness_or_power(self, rng):
+        # End-to-end: pruned scan still bit-identical AND still prunes.
+        rows = _clustered(rng, n=8192, d=64, n_centers=16)
+        s = prune.build_tile_summary(jnp.asarray(rows), 256)
+        qs = jnp.asarray(rows[:4] + 0.01)
+        order, n_surv = prune.plan_survivors(
+            qs, s.centroids, s.radii, s.counts, 5, "dot"
+        )
+        assert 0 < int(n_surv) < s.n_tiles
