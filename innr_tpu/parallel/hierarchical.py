@@ -88,9 +88,14 @@ def _local_body(qs, rows_shard, aux_shard, n_total, k_local, k, mode,
     keys_s = jax.lax.all_gather(keys, ICI_AXIS, axis=1, tiled=True)
     gidx_s = jax.lax.all_gather(gidx, ICI_AXIS, axis=1, tiled=True)
     keys1, gidx1 = _topk_keys(keys_s, gidx_s, k)
-    # Stage 2 — across slices over DCN: k candidates per slice.
+    # Stage 2 — across slices over DCN: k candidates per slice. Payload
+    # contract (SURVEY.md §5.8): each slice ships exactly k pairs, so the
+    # gathered width is n_slices * k — NEVER n_slices * ici * k_local.
+    # Static-shape asserts make a regression fail at trace time.
+    assert keys1.shape[-1] == k, (keys1.shape, k)
     keys_d = jax.lax.all_gather(keys1, DCN_AXIS, axis=1, tiled=True)
     gidx_d = jax.lax.all_gather(gidx1, DCN_AXIS, axis=1, tiled=True)
+    assert keys_d.shape[-1] == jax.lax.axis_size(DCN_AXIS) * k, keys_d.shape
     return _topk_keys(keys_d, gidx_d, k)
 
 

@@ -979,6 +979,53 @@ class TestHierarchicalMerge:
                 mesh=default_mesh(),
             )
 
+    def test_nan_rows_cross_slice(self, rng, devices_ok):
+        # NaN scores crossing BOTH merge hops: sort greatest (first for
+        # descending dot), never poison the rest — same as single chip.
+        from innr_tpu.parallel import HierarchicalCorpus, hierarchical_mesh
+
+        rows = rng.standard_normal((800, 16)).astype(np.float32)
+        rows[250] = np.nan  # slice 1 territory at (4, 2) x 100 rows
+        rows[650] = np.nan  # slice 3
+        q = rng.standard_normal(16).astype(np.float32)
+        hc = HierarchicalCorpus(rows, mesh=hierarchical_mesh(4, 2))
+        vals, idx = hc.knn_dot(q, 5)
+        idx = np.asarray(idx)
+        assert list(idx[:2]) == [250, 650]
+        dots = rows.astype(np.float64) @ q.astype(np.float64)
+        finite_best = np.argsort(
+            -np.where(np.isnan(dots), -np.inf, dots), kind="stable"
+        )[:3]
+        np.testing.assert_array_equal(idx[2:], finite_best)
+        assert np.all(np.isnan(np.asarray(vals)[:2]))
+        assert np.all(np.isfinite(np.asarray(vals)[2:]))
+
+    def test_pod_16dev_4x4_dryrun(self):
+        # Pod-shaped (4 slices x 4 devices) factorization with planted
+        # cross-slice ties + NaN rows and the trace-time DCN payload
+        # assertion — runs in the dryrun's own 16-device CPU child
+        # (VERDICT r3 item 8).
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        repo = Path(__file__).resolve().parent.parent
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import __graft_entry__ as g; g.dryrun_multichip(16); "
+                "print('POD OK')",
+            ],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert r.returncode == 0 and "POD OK" in r.stdout, (
+            r.stdout[-1000:], r.stderr[-2000:],
+        )
+
 
 class TestShardedPruned:
     """Distributed tile-skip pruning: per-shard summaries + pruned local
