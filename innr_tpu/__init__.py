@@ -21,7 +21,7 @@ panic analog); similarity ops return 0.0 for effectively-zero norms
 empty reductions return 0.0 (``minhash_jaccard`` of empties returns 1.0).
 """
 
-from innr_tpu import backend, batch, config, distance, io, loader, parallel, pipeline, prune
+from innr_tpu import backend, batch, config, distance, io, loader, parallel, pipeline, prune, serving
 from innr_tpu.distance import (
     Distance,
     DistCosine,
@@ -32,6 +32,7 @@ from innr_tpu.distance import (
     DistSlotU32,
 )
 from innr_tpu.pipeline import CoarseConfig, TwoStageIndex
+from innr_tpu.serving import MicroBatcher
 from innr_tpu.segmented import SegmentedCorpus
 from innr_tpu.prune import TileSummary, build_tile_summary, cluster_order
 from innr_tpu.batch import (
