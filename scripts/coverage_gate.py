@@ -26,12 +26,89 @@ from __future__ import annotations
 
 import argparse
 import ast
+import json
+import os
 import sys
+import tempfile
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 PKG = REPO / "innr_tpu"
 TOOL_ID = sys.monitoring.COVERAGE_ID
+
+# Child-process instrumentation (VERDICT r3 item 6: the gate was blind to
+# code running in spawned children — multihost workers, the dryrun CPU
+# child — so e.g. parallel/multihost.py read 0% despite being tested).
+# A sitecustomize hook dir is prepended to PYTHONPATH; every python child
+# chain-loads the displaced sitecustomize (the TPU relay's site hook
+# lives there), installs the same first-hit LINE monitor gated on
+# INNR_COVER_DIR, and atexit-dumps its hits as JSON for the parent to
+# merge. cargo-llvm-cov gets this for free; sys.monitoring does not.
+_HOOK_SRC = '''\
+import atexit
+import json
+import os
+import sys
+
+_me = os.path.dirname(os.path.abspath(__file__))
+
+# Chain-load the sitecustomize this hook displaced (e.g. the axon site
+# hook) so child processes keep their normal startup behavior.
+for _p in list(sys.path):
+    try:
+        _ap = os.path.abspath(_p or os.getcwd())
+    except OSError:
+        continue
+    if _ap == _me:
+        continue
+    _cand = os.path.join(_ap, "sitecustomize.py")
+    if os.path.isfile(_cand):
+        import runpy
+
+        try:
+            runpy.run_path(_cand, run_name="sitecustomize_chained")
+        except Exception:
+            pass
+        break
+
+_dir = os.environ.get("INNR_COVER_DIR")
+if _dir:
+    _prefix = os.environ.get("INNR_COVER_PREFIX", "")
+    _hits = {}
+
+    def _on_line(code, line):
+        fn = code.co_filename
+        if fn.startswith(_prefix):
+            _hits.setdefault(fn, set()).add(line)
+        return sys.monitoring.DISABLE
+
+    _tid = sys.monitoring.COVERAGE_ID
+    try:
+        sys.monitoring.use_tool_id(_tid, "innr-coverage-child")
+        sys.monitoring.register_callback(
+            _tid, sys.monitoring.events.LINE, _on_line
+        )
+        sys.monitoring.set_events(_tid, sys.monitoring.events.LINE)
+    except ValueError:
+        pass  # tool id already taken in this process; skip quietly
+    else:
+        def _dump():
+            try:
+                sys.monitoring.set_events(_tid, 0)
+            except Exception:
+                pass
+            out = {k: sorted(v) for k, v in _hits.items()}
+            path = os.path.join(
+                _dir, f"cov_{os.getpid()}_{id(_hits):x}.json"
+            )
+            try:
+                with open(path, "w") as f:
+                    json.dump(out, f)
+            except OSError:
+                pass
+
+        atexit.register(_dump)
+'''
 
 
 def executable_lines(path: Path) -> set[int]:
@@ -85,6 +162,19 @@ def main() -> int:
             hits.setdefault(fn, set()).add(line)
         return sys.monitoring.DISABLE  # first-hit only per location
 
+    # Instrument child processes: hook dir on PYTHONPATH + dump dir.
+    cover_tmp = tempfile.mkdtemp(prefix="innr_cov_")
+    hook_dir = os.path.join(cover_tmp, "hook")
+    os.makedirs(hook_dir)
+    with open(os.path.join(hook_dir, "sitecustomize.py"), "w") as f:
+        f.write(_HOOK_SRC)
+    os.environ["INNR_COVER_DIR"] = cover_tmp
+    os.environ["INNR_COVER_PREFIX"] = prefix
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        [hook_dir] + [p for p in
+                      os.environ.get("PYTHONPATH", "").split(os.pathsep) if p]
+    )
+
     sys.monitoring.use_tool_id(TOOL_ID, "innr-coverage")
     sys.monitoring.register_callback(
         TOOL_ID, sys.monitoring.events.LINE, on_line
@@ -101,6 +191,22 @@ def main() -> int:
     if rc != 0:
         print(f"pytest failed (rc={rc}); coverage not gated", file=sys.stderr)
         return int(rc)
+
+    # Merge child-process dumps.
+    n_children = 0
+    for name in os.listdir(cover_tmp):
+        if not name.startswith("cov_") or not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(cover_tmp, name)) as f:
+                dump = json.load(f)
+        except (OSError, ValueError):
+            continue
+        n_children += 1
+        for fn, lines in dump.items():
+            hits.setdefault(fn, set()).update(lines)
+    if n_children:
+        print(f"merged coverage from {n_children} child process dumps")
 
     rows = []
     tot_hit = tot_all = 0

@@ -227,3 +227,192 @@ class TestStaleAbiRebuild:
             assert "HEALTHY" in r.stdout, r.stdout + r.stderr
         finally:
             shutil.copy(backup, lib)
+
+
+@pytest.fixture
+def native_sandbox(monkeypatch, tmp_path):
+    """Redirect _native's library path into a tmp sandbox and clear the
+    cached handle, so each test exercises a cold _load() arm without
+    touching the real package-tree .so (monkeypatch restores the module
+    attributes — including the cached ``_lib`` — afterwards)."""
+    monkeypatch.setattr(_native, "_lib", None)
+    libdir = tmp_path / "libdir"
+    monkeypatch.setattr(_native, "_LIB_DIR", libdir)
+    monkeypatch.setattr(_native, "_LIB_PATH", libdir / "libinnr_host.so")
+    return _native
+
+
+class TestLoadFailureArms:
+    """Every _load() failure arm executes under a named test (VERDICT r3
+    item 7: the uncovered loader/native lines are exactly the failure
+    paths the round-3 stale-ABI bug lived in)."""
+
+    def test_missing_source_disables_native(self, native_sandbox, monkeypatch,
+                                            tmp_path):
+        monkeypatch.setattr(
+            native_sandbox, "_SRC", tmp_path / "no_such_innr_host.c"
+        )
+        assert native_sandbox._load() is None
+        assert not native_sandbox.available()
+
+    def test_compiler_failure_disables_native(self, native_sandbox,
+                                              monkeypatch):
+        import subprocess as sp
+
+        def boom(*a, **kw):
+            raise sp.CalledProcessError(1, "cc")
+
+        monkeypatch.setattr(_native.subprocess, "run", boom)
+        assert native_sandbox._load() is None
+
+    def test_corrupt_library_rebuilds_in_place(self, native_sandbox):
+        native_sandbox._LIB_DIR.mkdir()
+        native_sandbox._LIB_PATH.write_bytes(b"\x7fELF not really a library")
+        lib = native_sandbox._load()
+        assert lib is not None  # unlink -> rebuild -> healthy
+        assert lib.innr_native_abi_version() == 3
+
+    def test_corrupt_library_and_rebuild_failure(self, native_sandbox,
+                                                 monkeypatch):
+        native_sandbox._LIB_DIR.mkdir()
+        native_sandbox._LIB_PATH.write_bytes(b"garbage")
+        monkeypatch.setattr(native_sandbox, "_try_build", lambda: False)
+        assert native_sandbox._load() is None
+
+    def test_rebuilt_library_unloadable_returns_none(self, native_sandbox,
+                                                     monkeypatch):
+        native_sandbox._LIB_DIR.mkdir()
+        native_sandbox._LIB_PATH.write_bytes(b"garbage")
+
+        def always_fail(path):
+            raise OSError("dlopen refused")
+
+        monkeypatch.setattr(_native.ctypes, "CDLL", always_fail)
+        assert native_sandbox._load() is None
+
+    def test_rebuild_produces_stale_abi_returns_none(self, native_sandbox,
+                                                     monkeypatch, tmp_path):
+        import subprocess as sp
+
+        stub = tmp_path / "stub.c"
+        stub.write_text("int innr_native_abi_version(void){return 2;}")
+        native_sandbox._LIB_DIR.mkdir()
+
+        def build_stale():
+            sp.run(
+                ["cc", "-shared", "-fPIC", "-o",
+                 str(native_sandbox._LIB_PATH), str(stub)],
+                check=True,
+            )
+            return True
+
+        monkeypatch.setattr(native_sandbox, "_try_build", build_stale)
+        build_stale()  # pre-seed: on-disk lib is stale from the start
+        assert native_sandbox._load() is None
+
+    def test_unlink_failure_returns_none(self, native_sandbox, monkeypatch,
+                                         tmp_path):
+        corrupt = tmp_path / "corrupt.so"
+        corrupt.write_bytes(b"garbage")
+
+        class StubbornPath:
+            def exists(self):
+                return True
+
+            def unlink(self):
+                raise OSError("read-only filesystem")
+
+            def __str__(self):
+                return str(corrupt)
+
+            def __fspath__(self):
+                return str(corrupt)
+
+        monkeypatch.setattr(native_sandbox, "_LIB_PATH", StubbornPath())
+        assert native_sandbox._load() is None
+
+
+class TestPythonFallbackArms:
+    """With native unavailable, every loader falls back to NumPy with
+    BIT-IDENTICAL results (the dual-path contract of loader.py)."""
+
+    @pytest.fixture
+    def no_native(self, monkeypatch):
+        if not _native.available():
+            pytest.skip("native library not built; nothing to compare")
+        monkeypatch.setattr(_native, "_load", lambda: None)
+        assert _native.pack_binary_rows(np.zeros((1, 8), np.float32), 0.0) is None
+        return None
+
+    def test_wrappers_return_none_without_native(self, no_native, rng):
+        rows = rng.standard_normal((4, 8)).astype(np.float32)
+        assert _native.pack_ternary_rows(rows, 0.1) is None
+        assert _native.pack_ternary(rows[0], 0.1) is None
+        assert _native.quantize_u8_rows(rows, 1.0, 0.0) is None
+        assert _native.hamming_scan(
+            np.zeros(2, np.uint32), np.zeros((3, 2), np.uint32)
+        ) is None
+        assert _native.minhash_rows(
+            np.zeros(0, np.uint64), np.zeros(1, np.int64), 4
+        ) is None
+        assert _native.topk_insert_batch(
+            np.zeros(2, np.float32), np.zeros(2, np.uint32), 2,
+            np.zeros(2, np.float32), np.zeros(2, np.uint32), 0,
+        ) is None
+        assert not _native.available()
+
+    def test_binary_fallback_bit_identical(self, rng, no_native):
+        rows = rng.standard_normal((65, 77)).astype(np.float32)  # ragged D
+        fb = encode_binary_host(rows, 0.1)
+        from innr_tpu.ops.binary import PackedBinaryBatch
+
+        dev = PackedBinaryBatch.encode(rows, 0.1)
+        np.testing.assert_array_equal(
+            np.asarray(fb.words), np.asarray(dev.words)
+        )
+
+    def test_ternary_fallback_bit_identical(self, rng, no_native):
+        rows = rng.standard_normal((33, 45)).astype(np.float32)
+        fb = encode_ternary_host(rows, 0.2)
+        from innr_tpu.ops.ternary import PackedTernaryBatch
+
+        dev = PackedTernaryBatch.encode(rows, 0.2)
+        np.testing.assert_array_equal(np.asarray(fb.pos), np.asarray(dev.pos))
+        np.testing.assert_array_equal(np.asarray(fb.neg), np.asarray(dev.neg))
+
+    def test_u8_fallback_half_away_from_zero(self, rng, no_native):
+        # Values landing exactly on .5 quantization boundaries: the NumPy
+        # fallback must round half-AWAY (like the C encoder), not
+        # np.round's half-to-even.
+        params = it.QuantizationParams(alpha=255.0, offset=0.0)
+        rows = np.asarray([[0.5, 1.5, 2.5, 3.5, 252.5, 254.5]], np.float32)
+        fb = quantize_u8_host(rows, params)
+        np.testing.assert_array_equal(
+            np.asarray(fb.codes)[0], [1, 2, 3, 4, 253, 255]
+        )
+
+    def test_minhash_fallback_empty_docs(self, no_native):
+        from innr_tpu.loader import minhash_sketch_host
+
+        out = minhash_sketch_host([np.zeros(0, np.uint64)], 8)
+        assert out.shape == (1, 8)
+        assert np.all(out == 0xFFFFFFFF)
+
+    def test_minhash_fallback_no_docs(self, no_native):
+        from innr_tpu.loader import minhash_sketch_host
+
+        out = minhash_sketch_host([], 8)
+        assert out.shape == (0, 8)
+
+
+class TestNativeSingleVector:
+    def test_pack_ternary_single_vector_matches_device(self, rng):
+        if not _native.available():
+            pytest.skip("native library not built")
+        v = rng.standard_normal(77).astype(np.float32)  # ragged word tail
+        out = _native.pack_ternary(v, 0.2)
+        assert out is not None
+        pos, neg = out
+        ref = it.encode_ternary(v, 0.2)
+        np.testing.assert_array_equal(pos, np.asarray(ref.pos))
+        np.testing.assert_array_equal(neg, np.asarray(ref.neg))
