@@ -146,9 +146,9 @@ class VerticalBatch:
     @classmethod
     def from_rows(cls, vectors) -> "VerticalBatch":
         """Build from a sequence of equal-length vectors (row-major)."""
-        if isinstance(vectors, (jnp.ndarray, np.ndarray)) and getattr(
-            vectors, "ndim", 1
-        ) == 2:
+        if isinstance(vectors, (jnp.ndarray, np.ndarray)):
+            # The ctor validates 2-D; a 1-D/3-D ndarray is a contract
+            # violation, never a "sequence of scalar vectors".
             return cls(jnp.asarray(vectors, dtype=jnp.float32))
         vectors = list(vectors)
         if not vectors:
@@ -682,6 +682,15 @@ def batch_knn_filtered(query, batch: VerticalBatch, k: int, predicate) -> BatchK
     return _result(vals, idx)
 
 
+def _variance_order(batch: VerticalBatch) -> jax.Array:
+    """Dimension permutation for the reordered scan: highest population
+    variance first (total-order keys flip under ``~``, so argsort-ascending
+    of the flipped keys is variance-descending; ties break low-dim-first
+    via the stable sort)."""
+    variances = batch_dimension_variance(batch)
+    return jnp.argsort(~total_order_key_f32(variances), stable=True)
+
+
 def batch_knn_reordered(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
     """Exact kNN, processing dimensions in decreasing variance order
     (reference ``src/batch.rs:610``).
@@ -697,8 +706,7 @@ def batch_knn_reordered(query, batch: VerticalBatch, k: int) -> BatchKnnResult:
     if batch.num_vectors == 0 or k == 0:
         return _empty_result(q)
     k = min(int(k), batch.num_vectors)
-    variances = batch_dimension_variance(batch)
-    order = jnp.argsort(~total_order_key_f32(variances), stable=True)
+    order = _variance_order(batch)
     if q.ndim == 2:
         vals, idx = _knn_l2_multi(q[:, order], batch.rows[:, order], k)
     else:

@@ -2093,3 +2093,235 @@ class TestSeed7Survivors:
             timeout=300,
         )
         assert out.returncode == 0 and "OK" in out.stdout, out.stderr[-500:]
+
+
+class TestKnnGateAndDispatchContracts:
+    """Kills batch.py kNN entry-point gate and ndim-dispatch mutants.
+
+    The `num_vectors == 0 or k == 0` gates (batch_knn/_dot/_cosine/
+    _filtered) must early-return BEFORE the fused branch: with the gate
+    And-mutated, k=0 on a fused-eligible corpus reaches the kernel and
+    crashes. The prune/fused branches' q.ndim dispatch must route 1-D
+    queries through the (Q, D) kernel with a leading axis and squeeze the
+    result, and 2-D queries straight through — pinned by exact parity
+    with the reference (non-fused) path at both ndims.
+    """
+
+    def _vb(self, rng, n=64, d=16):
+        from innr_tpu.batch import VerticalBatch
+        return VerticalBatch.from_rows(
+            rng.standard_normal((n, d)).astype(np.float32)
+        )
+
+    def test_k0_on_fused_eligible_corpus_is_empty(self, rng, monkeypatch):
+        from innr_tpu import batch as B
+        from innr_tpu import config
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        vb = self._vb(rng)
+        q1 = rng.standard_normal(16).astype(np.float32)
+        q2 = rng.standard_normal((3, 16)).astype(np.float32)
+        for fn in (B.batch_knn, B.batch_knn_dot, B.batch_knn_cosine):
+            r = fn(q1, vb, 0)
+            assert r.indices.shape == (0,) and r.scores.shape == (0,)
+            r = fn(q2, vb, 0)
+            assert r.indices.shape == (3, 0) and r.scores.shape == (3, 0)
+        r = B.batch_knn_filtered(q1, vb, 0, lambda i: True)
+        assert r.indices.shape == (0,)
+        r = B.batch_knn_filtered(q2, vb, 0, lambda i: True)
+        assert r.indices.shape == (3, 0)
+        # reordered shares the gate; Or->And reaches the kernel with k=0
+        r = B.batch_knn_reordered(q1, vb, 0)
+        assert r.indices.shape == (0,)
+        empty = B.VerticalBatch.from_flat([], 0, 16)
+        r = B.batch_knn_reordered(q2, empty, 3)
+        assert r.indices.shape == (3, 0)
+
+    def test_single_row_variance_is_exact_zero_even_nonfinite(self):
+        # Population variance of ONE sample is 0 by definition; the <=1
+        # guard (not <1) is what keeps inf rows from producing inf-inf=NaN.
+        from innr_tpu.batch import VerticalBatch, batch_dimension_variance
+        vb = VerticalBatch.from_rows(
+            np.array([[np.inf, -np.inf, 1.0, np.nan]], dtype=np.float32)
+        )
+        v = np.asarray(batch_dimension_variance(vb))
+        np.testing.assert_array_equal(v, np.zeros(4, dtype=np.float32))
+
+    def test_fused_gate_boundary_inclusive(self, rng, monkeypatch):
+        from innr_tpu import batch as B
+        from innr_tpu import config
+        from innr_tpu.kernels import knn as kknn
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 16)
+        calls = []
+        real = kknn.fused_knn_l2
+        monkeypatch.setattr(
+            kknn, "fused_knn_l2",
+            lambda *a, **kw: calls.append("fused") or real(*a, **kw),
+        )
+        q = rng.standard_normal(8).astype(np.float32)
+        B.batch_knn(q, self._vb(rng, n=15, d=8), 2)
+        assert calls == []          # below the gate: reference path
+        B.batch_knn(q, self._vb(rng, n=16, d=8), 2)
+        assert calls == ["fused"]   # boundary-INCLUSIVE fuse
+
+    def test_prune_and_fused_ndim_dispatch_parity(self, rng, monkeypatch):
+        from innr_tpu import batch as B
+        from innr_tpu import config
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        vb = self._vb(rng)
+        q1 = rng.standard_normal(16).astype(np.float32)
+        q2 = rng.standard_normal((3, 16)).astype(np.float32)
+        for fn in (B.batch_knn, B.batch_knn_dot, B.batch_knn_cosine):
+            for prune in (False, True):
+                r1 = fn(q1, vb, 4, prune=prune)
+                assert r1.indices.shape == (4,), (fn.__name__, prune)
+                r2 = fn(q2, vb, 4, prune=prune)
+                assert r2.indices.shape == (3, 4), (fn.__name__, prune)
+            # exact parity between pruned and full fused scans
+            np.testing.assert_array_equal(
+                fn(q1, vb, 4, prune=True).indices,
+                fn(q1, vb, 4, prune=False).indices,
+            )
+            np.testing.assert_array_equal(
+                fn(q2, vb, 4, prune=True).indices,
+                fn(q2, vb, 4, prune=False).indices,
+            )
+
+
+class TestAdaptivePruneSemantics:
+    """Kills the _knn_adaptive scale/threshold/mask mutants by pinning the
+    DOCUMENTED approximate semantics on hand-built corpora: threshold =
+    kth_warmup * (dim / warmup_dims); phase-1 prunes partial > kth * 1.5;
+    phase-2 intersects with full <= threshold. Each case plants a row the
+    correct formulas prune (result: empty) that the mutated formulas keep.
+    """
+
+    Q = np.zeros(4, dtype=np.float32)
+    ROW_FAR = [1.0, 0.0, 10.0, 0.0]   # warmup partial 1.0 (the kth), full 101
+
+    def _run(self, other_row):
+        from innr_tpu.batch import VerticalBatch, batch_knn_adaptive
+        vb = VerticalBatch.from_rows(
+            np.array([self.ROW_FAR, other_row], dtype=np.float32)
+        )
+        return batch_knn_adaptive(self.Q, vb, 1, warmup_dims=2)
+
+    def test_threshold_scale_is_dim_over_warmup(self):
+        # full = 2.25 > threshold = 1.0 * (4/2) = 2.0 -> phase-2 pruned.
+        # scale mutants (dim*warmup, kth+scale) keep it.
+        r = self._run([1.0, 0.5, 1.0, 0.0])
+        assert r.indices.shape == (0,)
+
+    def test_phase1_margin_is_multiplicative_1p5(self):
+        # partial 1.64 > kth*1.5 = 1.5 -> phase-1 pruned (full 1.89 would
+        # pass phase 2); the additive-margin mutant (threshold + 1.5,
+        # i.e. partial*scale > 3.5) keeps it.
+        r = self._run([1.0, 0.8, 0.5, 0.0])
+        assert r.indices.shape == (0,)
+
+    def test_phase2_intersects_phase1(self):
+        # partial 1.94: phase-1 pruned; full 1.94 <= threshold 2.0 passes
+        # phase 2 -> the union (|) mutant resurrects it.
+        r = self._run([1.3, 0.5, 0.0, 0.0])
+        assert r.indices.shape == (0,)
+
+    def test_phase1_scale_is_multiplicative_on_partial(self):
+        # kth partial = 2.0 (not 1.0), so the additive mutant
+        # `partial + scale > threshold*1.5` (keep iff partial <= 4)
+        # diverges from the correct `partial*scale` gate (prune iff
+        # partial > 1.5*kth = 3): partial 3.46 is correctly ph1-pruned,
+        # full 3.95 <= threshold 4 would pass ph2, so the mutant
+        # resurrects it.
+        from innr_tpu.batch import VerticalBatch, batch_knn_adaptive
+        vb = VerticalBatch.from_rows(np.array(
+            [[1.0, 1.0, 10.0, 0.0],   # partial 2.0 (the kth), full 102
+             [1.5, 1.1, 0.7, 0.0]],   # partial 3.46, full 3.95
+            dtype=np.float32))
+        r = batch_knn_adaptive(self.Q, vb, 1, warmup_dims=2)
+        assert r.indices.shape == (0,)
+
+    def test_default_dispatch_honors_adaptive_on_small_corpus(self):
+        # On a small corpus the adaptive path must run even with
+        # force_adaptive=False (the and->or gate mutant reroutes to the
+        # exact fused scan, which returns the row adaptive prunes).
+        r = self._run([1.0, 0.5, 1.0, 0.0])
+        assert r.indices.shape == (0,)
+
+
+class TestL2PruningThresholdBoundary:
+    """Kills batch_l2_squared_pruning's Gt->GtE boundary mutant: distance
+    exactly == threshold is KEPT (reference prunes strictly-greater
+    accumulations, src/batch.rs:320)."""
+
+    def test_exact_threshold_distance_is_kept(self):
+        from innr_tpu.batch import VerticalBatch, batch_l2_squared_pruning
+        vb = VerticalBatch.from_rows(
+            np.array([[1.0, 1.0], [3.0, 3.0]], dtype=np.float32)
+        )
+        idx, d = batch_l2_squared_pruning(
+            np.zeros(2, dtype=np.float32), vb, 2.0
+        )
+        assert list(idx) == [0] and float(d[0]) == 2.0
+
+
+class TestCosineEpsilonBoundary:
+    """Kills batch_cosine's Gt->GtE epsilon-gate mutants: a norm EXACTLY
+    == NORM_EPSILON is still 'effectively zero' (strict >), so cosine is
+    0.0. f32 sqrt((1e-9)^2) == 1e-9 exactly, making the boundary
+    constructible."""
+
+    def test_query_norm_exactly_epsilon(self, rng):
+        from innr_tpu.batch import VerticalBatch, batch_cosine
+        from innr_tpu.config import NORM_EPSILON
+        vb = VerticalBatch.from_rows(
+            rng.standard_normal((4, 2)).astype(np.float32)
+        )
+        q = np.array([NORM_EPSILON, 0.0], dtype=np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(batch_cosine(q, vb)), np.zeros(4, dtype=np.float32)
+        )
+
+    def test_row_norm_exactly_epsilon(self, rng):
+        from innr_tpu.batch import VerticalBatch, batch_cosine
+        from innr_tpu.config import NORM_EPSILON
+        rows = rng.standard_normal((4, 2)).astype(np.float32)
+        rows[2] = [NORM_EPSILON, 0.0]
+        vb = VerticalBatch.from_rows(rows)
+        q = np.ones(2, dtype=np.float32)
+        out = np.asarray(batch_cosine(q, vb))
+        assert out[2] == 0.0 and np.all(out[[0, 1, 3]] != 0.0)
+
+
+class TestVarianceOrderDescending:
+    """Kills the reordered-scan key-flip (Invert-drop) mutant: the scan
+    permutation must put HIGH-variance dimensions first (reference
+    src/batch.rs:610 'high-variance dims first')."""
+
+    def test_variance_order_is_descending(self):
+        from innr_tpu.batch import VerticalBatch, _variance_order
+        rows = np.zeros((8, 3), dtype=np.float32)
+        rows[:, 0] = np.linspace(0, 1, 8)      # small variance
+        rows[:, 1] = np.linspace(0, 100, 8)    # large variance
+        rows[:, 2] = np.linspace(0, 10, 8)     # medium variance
+        order = list(np.asarray(_variance_order(VerticalBatch.from_rows(rows))))
+        assert order == [1, 2, 0]
+
+
+class TestFromRowsNdarrayValidation:
+    """Kills the from_rows isinstance/ndim gate mutant: a non-2-D ndarray
+    is a contract violation (ContractError), never treated as a sequence
+    of scalars."""
+
+    def test_1d_ndarray_raises_contract_error(self):
+        from innr_tpu.batch import VerticalBatch
+        from innr_tpu.utils.asserts import ContractError
+        with pytest.raises(ContractError):
+            VerticalBatch.from_rows(np.zeros(5, dtype=np.float32))
+
+    def test_3d_ndarray_raises_contract_error(self):
+        from innr_tpu.batch import VerticalBatch
+        from innr_tpu.utils.asserts import ContractError
+        with pytest.raises(ContractError):
+            VerticalBatch.from_rows(np.zeros((2, 3, 4), dtype=np.float32))
