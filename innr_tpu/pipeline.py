@@ -102,7 +102,9 @@ class TwoStageIndex:
             self._coarse = _scalar.QuantizedU8Batch.quantize(rows, self.params)
         elif kind == "matryoshka":
             p = min(coarse.prefix_dims, int(rows.shape[1]))
-            self._coarse = rows[:, :p] * 1.0  # materialized prefix copy
+            # The slice is already a materialized device array under JAX
+            # (no views), so no copy idiom is needed.
+            self._coarse = rows[:, :p]
         else:
             raise ContractError(f"TwoStageIndex: unknown coarse kind {kind!r}")
 

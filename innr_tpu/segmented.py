@@ -75,11 +75,27 @@ def _merge_candidates(keys, vals, gids, k: int):
     """Device-side k-way merge: one multi-operand sort ascending by
     (~key, gid) — i.e. best key first, lowest permanent id breaking ties —
     carrying the decoded scores along. Replaces the per-batch host
-    lexsort round trip."""
+    lexsort round trip.
+
+    ``num_keys=2`` is exact, not load-bearing precision: permanent ids
+    are globally unique among surfaceable candidates (dead rows share
+    the sentinel gid but can never surface while >= k alive candidates
+    exist), so a third sort key could never be consulted."""
     _, _, top_vals, top_gids = jax.lax.sort(
         (~keys, gids, vals, gids), dimension=-1, num_keys=2
     )
     return top_vals[:, :k], top_gids[:, :k]
+
+
+def _overfetch_k(need: int, n_seg: int) -> int:
+    """Per-segment fetch size: ``need`` (= k + tombstones, so k alive
+    survivors are guaranteed) rounded up to a power of two so the jitted
+    scan's static k takes O(log n) distinct values across a delete-heavy
+    serving session instead of recompiling per tombstone count; capped
+    at the segment size. (No fused-path cap applies: the kernel
+    multi-passes past its VMEM budget.)"""
+    k_seg = min(1 << max(need - 1, 1).bit_length(), n_seg)
+    return max(k_seg, min(need, n_seg))
 
 
 class SegmentedCorpus:
@@ -236,18 +252,11 @@ class SegmentedCorpus:
         per_keys, per_vals, per_gids = [], [], []
         for seg in self._segments:
             n_seg = len(seg.ids)
-            if n_seg == 0 or int(seg.alive.sum()) == 0:
+            # (an empty segment has alive.sum() == 0 too, so this one
+            # check covers the zero-row case)
+            if int(seg.alive.sum()) == 0:
                 continue
-            # Over-fetch by the tombstone count: dead rows can occupy at
-            # most n_dead of the fetched slots, so k alive survivors are
-            # guaranteed; rounded up to a power of two so the jitted
-            # scan's static k takes O(log n) distinct values across a
-            # delete-heavy serving session instead of recompiling per
-            # tombstone count. (No fused-path cap applies: the kernel
-            # multi-passes past its VMEM budget.)
-            need = k + seg.n_dead
-            k_seg = min(1 << max(need - 1, 1).bit_length(), n_seg)
-            k_seg = max(k_seg, min(need, n_seg))
+            k_seg = _overfetch_k(k + seg.n_dead, n_seg)
             use_fused = (
                 n_seg >= config.MIN_ROWS_PALLAS
                 and not config.reference_forced()

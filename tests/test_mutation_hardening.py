@@ -2325,3 +2325,167 @@ class TestFromRowsNdarrayValidation:
         from innr_tpu.utils.asserts import ContractError
         with pytest.raises(ContractError):
             VerticalBatch.from_rows(np.zeros((2, 3, 4), dtype=np.float32))
+
+
+class TestSegmentedPolicyContracts:
+    """Kills segmented.py exhaustive-sweep survivors: the id-space
+    exhaustion boundary (>= 2**31, all four mutants on that line), the
+    strictly-greater compaction trigger, and the power-of-two over-fetch
+    policy (extracted as _overfetch_k so the rounding is pinnable)."""
+
+    def test_id_space_exhaustion_boundary(self, rng):
+        from innr_tpu.segmented import SegmentedCorpus
+        from innr_tpu.utils.asserts import ContractError
+
+        rows = rng.standard_normal((2, 4)).astype(np.float32)
+        sc = SegmentedCorpus(4)
+        sc._next_id = 2**31 - 3  # the last add that still fits
+        lo, hi = sc.add(rows)
+        assert (lo, hi) == (2**31 - 3, 2**31 - 1)
+        sc2 = SegmentedCorpus(4)
+        sc2._next_id = 2**31 - 2  # next_id + n == 2**31: exhausted
+        with pytest.raises(ContractError, match="exhausted"):
+            sc2.add(rows)
+
+    def test_compaction_trigger_is_strictly_greater(self, rng):
+        from innr_tpu.segmented import SegmentedCorpus
+
+        sc = SegmentedCorpus(4, max_segments=4)
+        for _ in range(4):
+            sc.add(rng.standard_normal((1, 4)).astype(np.float32))
+        assert sc.num_segments == 4  # == max_segments: no compaction
+        sc.add(rng.standard_normal((1, 4)).astype(np.float32))
+        assert sc.num_segments == 1  # > max_segments: folded
+
+    def test_overfetch_k_policy(self):
+        from innr_tpu.segmented import _overfetch_k
+
+        assert _overfetch_k(5, 100) == 8    # pow2 ceil
+        assert _overfetch_k(8, 100) == 8    # exact pow2 stays (not 16)
+        assert _overfetch_k(9, 100) == 16
+        assert _overfetch_k(1, 100) == 2    # floor of the rounding
+        assert _overfetch_k(50, 20) == 20   # capped at segment size
+
+
+class TestTwoStagePolicyContracts:
+    """Kills pipeline.py exhaustive-sweep survivors: documented config
+    defaults, the rerank_factor >= 1 boundary, the u8 quantile dispatch,
+    the matryoshka fused-gate boundary (single + batch), query-shape
+    validation arms, and the recall_vs_exact averaging formula (pinned
+    at a deterministically half-recalled corpus so /, &, and the query
+    average all have non-fixed-point values)."""
+
+    ROWS = np.array([
+        [2.0, 2.0, 2.0, 2.0],      # A: dot 8, bits 1111
+        [-0.5, -0.5, -0.5, 8.0],   # B: dot 6.5, bits 0001 (coarse-missed)
+        [1.0, 1.0, 1.0, 1.0],      # C: dot 4, bits 1111
+        [-1.0, -1.0, -1.0, -1.0],  # D: dot -4, bits 0000
+    ], dtype=np.float32)
+    Q = np.ones(4, dtype=np.float32)
+
+    def test_coarse_config_documented_defaults(self):
+        from innr_tpu.pipeline import CoarseConfig
+        c = CoarseConfig()
+        assert (c.kind, c.threshold, c.prefix_dims, c.quantile) == (
+            "binary", 0.0, 128, 1.0
+        )
+
+    def test_rerank_factor_one_is_legal_zero_is_not(self):
+        from innr_tpu.pipeline import TwoStageIndex
+        from innr_tpu.utils.asserts import ContractError
+        ix = TwoStageIndex(self.ROWS, "binary", rerank_factor=1)
+        assert ix.rerank_factor == 1
+        with pytest.raises(ContractError):
+            TwoStageIndex(self.ROWS, "binary", rerank_factor=0)
+
+    def test_u8_quantile_dispatch(self, monkeypatch):
+        from innr_tpu.ops import scalar as _scalar
+        from innr_tpu.pipeline import CoarseConfig, TwoStageIndex
+        calls = []
+        real_fit = _scalar.QuantizationParams.fit.__func__
+        real_fq = _scalar.QuantizationParams.fit_quantile.__func__
+        monkeypatch.setattr(
+            _scalar.QuantizationParams, "fit",
+            classmethod(lambda cls, *a, **kw: calls.append("fit")
+                        or real_fit(cls, *a, **kw)),
+        )
+        monkeypatch.setattr(
+            _scalar.QuantizationParams, "fit_quantile",
+            classmethod(lambda cls, *a, **kw: calls.append("fq")
+                        or real_fq(cls, *a, **kw)),
+        )
+        TwoStageIndex(self.ROWS, CoarseConfig(kind="u8", quantile=1.0))
+        assert calls == ["fit"]  # 1.0 is the documented min/max fit
+        calls.clear()
+        TwoStageIndex(self.ROWS, CoarseConfig(kind="u8", quantile=0.99))
+        assert calls == ["fq"]
+
+    def test_matryoshka_fused_gate_boundary(self, rng, monkeypatch):
+        from innr_tpu import config
+        from innr_tpu.kernels import knn as kknn
+        from innr_tpu.pipeline import CoarseConfig, TwoStageIndex
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 16)
+        calls = []
+        real1, realb = kknn.fused_knn_dot, kknn.fused_knn_dot_batch
+        monkeypatch.setattr(kknn, "fused_knn_dot",
+                            lambda *a, **k: calls.append("s") or real1(*a, **k))
+        monkeypatch.setattr(kknn, "fused_knn_dot_batch",
+                            lambda *a, **k: calls.append("b") or realb(*a, **k))
+        cfg = CoarseConfig(kind="matryoshka", prefix_dims=4)
+        q2 = np.stack([self.Q, self.Q])
+
+        small = TwoStageIndex(
+            rng.standard_normal((15, 4)).astype(np.float32), cfg)
+        small.search(self.Q, 2); small.search_batch(q2, 2)
+        assert calls == []            # below the gate: matmul arm
+
+        big = TwoStageIndex(
+            rng.standard_normal((16, 4)).astype(np.float32), cfg)
+        big.search(self.Q, 2); big.search_batch(q2, 2)
+        assert calls == ["s", "b"]    # boundary-INCLUSIVE fuse
+
+        calls.clear()
+        config.force_reference(True)
+        try:
+            big.search(self.Q, 2); big.search_batch(q2, 2)
+        finally:
+            config.force_reference(False)
+        assert calls == []            # force_reference wins
+
+    def test_query_shape_validation_arms(self):
+        from innr_tpu.pipeline import TwoStageIndex
+        from innr_tpu.utils.asserts import ContractError
+        ix = TwoStageIndex(self.ROWS, "binary")
+        # 2-D query whose FIRST axis happens to equal the dimension: the
+        # Or->And mutant would accept it and fail DEEPER (in the encode)
+        # — the contract must come from search itself.
+        with pytest.raises(ContractError, match="TwoStageIndex.search"):
+            ix.search(np.ones((4, 3), np.float32), 2)
+        # 1-D query to search_batch: the And mutant IndexErrors on
+        # shape[1] instead of raising the contract.
+        with pytest.raises(ContractError, match="search_batch"):
+            ix.search_batch(self.Q, 2)
+
+    def test_k0_and_empty_never_reach_the_coarse_stage(self, monkeypatch):
+        from innr_tpu.pipeline import TwoStageIndex
+        ix = TwoStageIndex(self.ROWS, "binary")
+        ix0 = TwoStageIndex(np.zeros((0, 4), np.float32), "binary")
+
+        def boom(*a, **kw):  # pragma: no cover - mutant-only path
+            raise AssertionError("coarse stage must not run for k=0/empty")
+
+        monkeypatch.setattr(TwoStageIndex, "_coarse_candidates", boom)
+        monkeypatch.setattr(TwoStageIndex, "_coarse_candidates_batch", boom)
+        assert ix.search(self.Q, 0).indices.shape == (0,)
+        assert ix.search_batch(np.stack([self.Q] * 2), 0).indices.shape == (2, 0)
+        assert ix0.search(self.Q, 3).indices.shape == (0,)
+        assert ix0.search_batch(np.stack([self.Q]), 3).indices.shape == (1, 0)
+        assert ix.search_batch(np.zeros((0, 4), np.float32), 5).indices.shape == (0, 0)
+
+    def test_recall_vs_exact_is_mean_intersection_fraction(self):
+        from innr_tpu.pipeline import TwoStageIndex
+        ix = TwoStageIndex(self.ROWS, "binary", rerank_factor=1)
+        r = ix.search(self.Q, 2)
+        assert list(np.asarray(r.indices)) == [0, 2]  # coarse misses B
+        assert ix.recall_vs_exact(np.stack([self.Q] * 2), 2) == 0.5
