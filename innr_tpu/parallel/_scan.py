@@ -21,10 +21,13 @@ _INT_MIN = jnp.iinfo(jnp.int32).min
 
 
 def _invert_total_key(keys: jax.Array) -> jax.Array:
-    """Inverse of ``total_order_key_f32`` (the transform is an involution)."""
-    mask = jax.lax.shift_right_logical(
-        jax.lax.shift_right_arithmetic(keys, 31), 1
-    )
+    """Inverse of ``total_order_key_f32`` (the transform is an involution).
+
+    Select form rather than ``(keys >> 31) >>> 1`` for the same reason as
+    the forward transform (``utils/order.py``): the shift constant is
+    clamp-degenerate under XLA, the comparison and constant here are not.
+    """
+    mask = jnp.where(keys < 0, jnp.int32(0x7FFFFFFF), jnp.int32(0))
     return jax.lax.bitcast_convert_type(keys ^ mask, jnp.float32)
 
 

@@ -172,6 +172,9 @@ class MicroBatcher:
                         break
                     if self._queue:
                         wait = self._oldest_t + self.max_wait_s - time.monotonic()
+                        # <= vs < is indistinguishable here: at wait == 0
+                        # exactly, the next iteration recomputes a strictly
+                        # smaller wait and breaks anyway.
                         if wait <= 0:
                             break
                         self._lock.wait(timeout=wait)

@@ -7,6 +7,9 @@ no observable semantics: maxsim tile floor, pruned-knn aux-rank guard
 for an unused rank) are documented in MUTATION_REPORT triage instead.
 """
 
+import threading
+import time
+
 import numpy as np
 import pytest
 
@@ -2489,3 +2492,194 @@ class TestTwoStagePolicyContracts:
         r = ix.search(self.Q, 2)
         assert list(np.asarray(r.indices)) == [0, 2]  # coarse misses B
         assert ix.recall_vs_exact(np.stack([self.Q] * 2), 2) == 0.5
+
+
+class TestMicroBatcherPolicyContracts:
+    """Kills serving.py exhaustive-sweep survivors: ctor boundaries, the
+    ms->s window conversion, stats accounting (mean and histogram), the
+    full-window immediate flush, the partial-window coalesce deadline,
+    the callable-arity sniff (required-positional params only), and
+    close() draining in-flight work."""
+
+    @staticmethod
+    def _rows(d=8, n=32):
+        rng = np.random.default_rng(3)
+        rows = rng.standard_normal((n, d)).astype(np.float32)
+        return rows / np.linalg.norm(rows, axis=1, keepdims=True)
+
+    @staticmethod
+    def _backend(rows, k=3):
+        def scan(qs):
+            scores = qs @ rows.T
+            idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+            return np.take_along_axis(scores, idx, axis=1), idx
+        return scan
+
+    def test_ctor_boundaries_and_window_conversion(self):
+        from innr_tpu.serving import MicroBatcher
+        from innr_tpu.utils.asserts import ContractError
+        rows = self._rows()
+        with MicroBatcher(self._backend(rows), k=1, max_batch=1,
+                          max_wait_ms=2.0) as mb:
+            assert mb.max_wait_s == 0.002  # ms -> s, positive
+        for bad in ({"k": 0}, {"max_batch": 0}):
+            with pytest.raises(ContractError):
+                MicroBatcher(self._backend(rows), k=bad.get("k", 3),
+                             max_batch=bad.get("max_batch", 32))
+
+    def test_stats_mean_and_histogram(self):
+        from innr_tpu.serving import MicroBatcher
+        rows = self._rows()
+        with MicroBatcher(self._backend(rows), k=3, max_batch=1) as mb:
+            for i in range(3):
+                mb.search(rows[i])
+            assert mb.stats.requests == 3
+            assert mb.stats.launches == 3      # max_batch=1: no coalescing
+            assert mb.stats.mean_batch == 1.0  # requests / launches
+            assert mb.stats.batch_histogram == {1: 3}
+
+    def test_full_window_flushes_without_waiting(self):
+        from innr_tpu.serving import MicroBatcher
+        rows = self._rows()
+        # The window deadline is far (8s); 4 requests == max_batch must
+        # flush IMMEDIATELY (>= trigger). The Gt mutant waits out the
+        # deadline instead.
+        t0 = time.monotonic()
+        with MicroBatcher(self._backend(rows), k=3, max_batch=4,
+                          max_wait_ms=8000.0) as mb:
+            threads = [threading.Thread(target=mb.search, args=(rows[i],))
+                       for i in range(4)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=6.0)
+            assert all(not t.is_alive() for t in threads)
+        assert time.monotonic() - t0 < 6.0
+
+    def test_partial_window_coalesces_until_deadline(self):
+        from innr_tpu.serving import MicroBatcher
+        rows = self._rows()
+        # 4 staggered requests inside one 700ms window must ride ONE
+        # launch; the deadline-sign mutant (oldest - max_wait) flushes
+        # each arrival immediately.
+        with MicroBatcher(self._backend(rows), k=3, max_batch=32,
+                          max_wait_ms=700.0) as mb:
+            threads = []
+            for i in range(4):
+                t = threading.Thread(target=mb.search, args=(rows[i],))
+                t.start()
+                threads.append(t)
+                time.sleep(0.03)
+            for t in threads:
+                t.join(timeout=6.0)
+            assert all(not t.is_alive() for t in threads)
+            assert mb.stats.launches == 1
+            assert mb.stats.mean_batch == 4.0
+
+    def test_callable_arity_counts_required_positionals_only(self):
+        from innr_tpu.serving import MicroBatcher
+        rows = self._rows()
+        calls = []
+
+        def backend_with_default(qs, k=7):
+            calls.append(k)
+            scores = qs @ rows.T
+            idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+            return np.take_along_axis(scores, idx, axis=1), idx
+
+        # one REQUIRED positional -> f(queries)-style: the backend's own
+        # default k (7) decides the width, not the batcher's k=3.
+        with MicroBatcher(backend_with_default, k=3) as mb:
+            vals, idx = mb.search(rows[0])
+        assert calls == [7]
+        assert idx.shape == (7,)
+
+    def test_close_waits_for_inflight_work(self):
+        from innr_tpu.serving import MicroBatcher
+        rows = self._rows()
+        base = self._backend(rows)
+
+        def slow(qs):
+            time.sleep(1.0)
+            return base(qs)
+
+        mb = MicroBatcher(slow, k=3, max_batch=1)
+        done = []
+        t = threading.Thread(
+            target=lambda: done.append(mb.search(rows[0], timeout=10.0)))
+        t.start()
+        time.sleep(0.25)  # let it enqueue and enter the slow scan
+        mb.close()        # must join the collector (finite POSITIVE timeout)
+        t.join(timeout=0.2)
+        assert not t.is_alive() and len(done) == 1
+
+
+class TestLocalScanPaddingContracts:
+    """Kills parallel/_scan.py exhaustive-sweep survivors: the strict
+    `gidx < n_total` padding masks in all four scan arms (fused/jnp x
+    plain/filtered) — pinned with padding rows equal to the query, i.e.
+    rows that WIN unless masked — and the select-form inverse key
+    transform (involution over the hostile value set)."""
+
+    K = 3
+    N_PAD = 2  # rows 6,7 are padding; callers over-fetch k + pad_count
+    # (sharded.py:19-22), so the scan is asked for K + N_PAD candidates
+
+    def _setup(self):
+        rng = np.random.default_rng(11)
+        qs = rng.standard_normal((2, 4)).astype(np.float32)
+        rows = rng.standard_normal((8, 4)).astype(np.float32) * 3.0
+        rows[6] = qs[0]  # padding rows: distance 0 to a query -> they
+        rows[7] = qs[1]  # WIN the scan unless the mask pins them dead
+        n_total = 6
+        d = np.sum((rows[None, :6] - qs[:, None]) ** 2, axis=2)
+        want = np.argsort(d, axis=1, kind="stable")[:, :self.K]
+        return qs, rows, n_total, want
+
+    def _check(self, keys, gidx, n_total, want):
+        keys = np.asarray(keys)
+        gidx = np.asarray(gidx)
+        int_min = np.iinfo(np.int32).min
+        live = keys != int_min
+        assert np.all(gidx[live] < n_total), "padding row surfaced live"
+        for qi in range(gidx.shape[0]):
+            # over-fetched live candidates, best key first: the top K
+            # must be exactly the brute-force winners over REAL rows
+            order = np.argsort(-keys[qi][live[qi]], kind="stable")
+            top = gidx[qi][live[qi]][order][: self.K]
+            assert sorted(top) == sorted(want[qi]), qi
+
+    @pytest.mark.parametrize("use_fused", [False, True])
+    def test_plain_l2_masks_padding(self, use_fused):
+        import jax.numpy as jnp
+        from innr_tpu.parallel._scan import local_scan_keys
+        qs, rows, n_total, want = self._setup()
+        aux = jnp.sum(jnp.asarray(rows) ** 2, axis=1)
+        keys, gidx = local_scan_keys(
+            jnp.asarray(qs), jnp.asarray(rows), aux, n_total,
+            self.K + self.N_PAD, "l2", use_fused, 0,
+        )
+        self._check(keys, gidx, n_total, want)
+
+    @pytest.mark.parametrize("use_fused", [False, True])
+    def test_filtered_l2_masks_padding(self, use_fused):
+        import jax.numpy as jnp
+        from innr_tpu.parallel._scan import local_scan_keys_filtered
+        qs, rows, n_total, want = self._setup()
+        norms2 = jnp.sum(jnp.asarray(rows) ** 2, axis=1)
+        mask = jnp.ones((8,), jnp.float32)
+        keys, gidx = local_scan_keys_filtered(
+            jnp.asarray(qs), jnp.asarray(rows), norms2, mask, n_total,
+            self.K + self.N_PAD, use_fused, 0,
+        )
+        self._check(keys, gidx, n_total, want)
+
+    def test_invert_total_key_is_exact_inverse(self):
+        from innr_tpu.parallel._scan import _invert_total_key
+        from innr_tpu.utils.order import total_order_key_f32
+        vals = np.array(
+            [0.0, -0.0, 1.5, -1.5, np.inf, -np.inf, np.nan, -np.nan,
+             np.float32(1e-45), -np.float32(1e-45)], dtype=np.float32)
+        back = np.asarray(_invert_total_key(total_order_key_f32(vals)))
+        np.testing.assert_array_equal(
+            back.view(np.int32), vals.view(np.int32))  # bit-exact, NaN incl.
