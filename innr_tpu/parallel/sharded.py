@@ -330,13 +330,16 @@ class ShardedCorpus:
             start = sl.start or 0
             stop = sl.stop if sl.stop is not None else n_pad
             real_stop = min(stop, n_true)
-            if real_stop > start:
+            # A shard may start at or past n_true (pure padding): its
+            # real span is empty, and get_rows is never called for it.
+            n_real = max(real_stop - start, 0)
+            if n_real > 0:
                 block = np.asarray(
                     get_rows(start, real_stop), dtype=np.float32
                 )
             else:
                 block = np.zeros((0, dimension), np.float32)
-            if block.shape != (real_stop - start, dimension):
+            if block.shape != (n_real, dimension):
                 raise ContractError(
                     f"from_row_source: get_rows({start}, {real_stop}) "
                     f"returned shape {block.shape}"

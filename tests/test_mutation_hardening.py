@@ -2683,3 +2683,170 @@ class TestLocalScanPaddingContracts:
         back = np.asarray(_invert_total_key(total_order_key_f32(vals)))
         np.testing.assert_array_equal(
             back.view(np.int32), vals.view(np.int32))  # bit-exact, NaN incl.
+
+
+class TestShardedDispatchContracts:
+    """Kills parallel/sharded.py exhaustive-sweep survivors: the
+    _plan_local_k policy (pad over-fetch, fused-gate boundary,
+    force_reference arm, shard clamp), the prune-flag gate, the pruned
+    planner's mode/normalized/n_q/fast wiring (spied at trace time on
+    uniquely-shaped corpora so the jit cache cannot absorb the call),
+    the strict pruned padding mask, and from_row_source never issuing
+    empty-range fetches."""
+
+    @staticmethod
+    def _clustered(rng, n, d, offset=0.0):
+        centers = 5.0 * rng.standard_normal((16, d)).astype(np.float32)
+        assign = np.sort(rng.integers(0, 16, n))
+        rows = centers[assign] + 0.05 * rng.standard_normal((n, d))
+        return (rows + offset).astype(np.float32)
+
+    def test_plan_local_k_policy(self, rng, monkeypatch):
+        from innr_tpu import config
+        from innr_tpu.parallel.sharded import ShardedCorpus, _plan_local_k
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        sc = ShardedCorpus(rng.standard_normal((63, 4)).astype(np.float32))
+        assert (sc.n_pad, sc.shard_rows) == (64, 8)
+        # fused: over-fetch by the pad count (63 -> 64 pads 1 row)
+        assert _plan_local_k(sc, 2) == (3, True)
+        # clamp at the shard height
+        assert _plan_local_k(sc, 100) == (8, True)
+        # the gate is >=: shard_rows == MIN_ROWS_PALLAS fuses (above);
+        # one notch higher falls back to the plain-k jnp arm
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 9)
+        assert _plan_local_k(sc, 2) == (2, False)
+        # force_reference beats an eligible shard
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        config.force_reference(True)
+        try:
+            assert _plan_local_k(sc, 2) == (2, False)
+        finally:
+            config.force_reference(False)
+        # negative k is gated out BEFORE any planning (k <= 0, not ==0):
+        # the And mutant would feed k=-5 into the scan
+        v, i = sc.knn_l2(np.zeros(4, np.float32), -5)
+        assert v.shape == (0,) and i.shape == (0,)
+
+    def test_prune_false_never_plans(self, rng, monkeypatch):
+        from innr_tpu import config
+        import innr_tpu.parallel.sharded as sh
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 64)
+        planned = []
+        real = sh._sharded_knn_pruned
+        monkeypatch.setattr(
+            sh, "_sharded_knn_pruned",
+            lambda *a, **kw: planned.append(1) or real(*a, **kw))
+        sc = sh.ShardedCorpus(self._clustered(rng, 2048, 24))
+        q = rng.standard_normal(24).astype(np.float32)
+        sc.knn_dot(q, 4, prune=False)
+        assert planned == []          # prune=False: no summaries, no plan
+        sc.knn_dot(q, 4, prune=True)
+        assert planned == [1]
+
+    def test_pruned_plan_wiring(self, rng, monkeypatch):
+        """plan mode (l2 stays l2, cosine plans as dot), tile summary
+        normalization, and the n_q fed to the single-pass eligibility."""
+        from innr_tpu import config, prune as prune_mod
+        import innr_tpu.kernels.knn as kknn
+        import innr_tpu.parallel.sharded as sh
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 64)
+        modes, fasts, norms, nqs = [], [], [], []
+        real_plan = prune_mod.plan_survivors
+        monkeypatch.setattr(
+            prune_mod, "plan_survivors",
+            lambda qs, c, r, n, k, mode, fast: (
+                modes.append(mode), fasts.append(fast),
+            ) and None or real_plan(qs, c, r, n, k, mode, fast=fast))
+        real_ts = sh.ShardedCorpus.tile_summary
+        monkeypatch.setattr(
+            sh.ShardedCorpus, "tile_summary",
+            lambda self, normalized=False: norms.append(normalized)
+            or real_ts(self, normalized=normalized))
+        real_spk = kknn.single_pass_k
+        monkeypatch.setattr(
+            kknn, "single_pass_k",
+            lambda n_q: nqs.append(n_q) or real_spk(n_q))
+
+        sc = sh.ShardedCorpus(self._clustered(rng, 2048, 40))
+        sc.knn_l2(rng.standard_normal(40).astype(np.float32), 3, prune=True)
+        assert nqs[0] == 1            # 1-D query plans as a single query
+        assert modes == ["l2"] and norms == [False]
+
+        modes.clear(); norms.clear(); nqs.clear()
+        sc2 = sh.ShardedCorpus(self._clustered(rng, 2048, 56))
+        sc2.knn_cosine(
+            rng.standard_normal((3, 56)).astype(np.float32), 3, prune=True)
+        assert nqs[0] == 3            # (Q, D) plans with Q
+        assert modes == ["dot"]       # cosine bounds plan in dot space
+        assert norms == [True]        # over NORMALIZED summaries
+
+    def test_single_pass_boundary_takes_pruned_path(self, rng, monkeypatch):
+        """k_local == single_pass_k is prune-ELIGIBLE (<=), and
+        k_local == tile_n plans with fast=True (<=)."""
+        from innr_tpu import config, prune as prune_mod
+        import innr_tpu.kernels.knn as kknn
+        import innr_tpu.parallel.sharded as sh
+        from innr_tpu.kernels.pruned_knn import pruned_tile_n
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 64)
+        sc = sh.ShardedCorpus(self._clustered(rng, 4096, 48))
+        tile_n = pruned_tile_n(sc.shard_rows, 48, sc.rows.dtype)
+        assert sc.n_pad == sc.n_true  # no pads: k_local == k exactly
+        k = min(tile_n, sc.shard_rows)
+        monkeypatch.setattr(kknn, "single_pass_k", lambda n_q: k)
+
+        planned, fasts = [], []
+        real = sh._sharded_knn_pruned
+        monkeypatch.setattr(
+            sh, "_sharded_knn_pruned",
+            lambda *a, **kw: planned.append(1) or real(*a, **kw))
+        real_plan = prune_mod.plan_survivors
+        monkeypatch.setattr(
+            prune_mod, "plan_survivors",
+            lambda qs, c, r, n, kk, mode, fast: fasts.append(fast)
+            or real_plan(qs, c, r, n, kk, mode, fast=fast))
+        sc.knn_l2(rng.standard_normal(48).astype(np.float32), k, prune=True)
+        assert planned == [1], "k_local == single_pass_k must stay eligible"
+        assert fasts == [True], "k_local == tile_n must plan fast"
+
+    def test_pruned_padding_mask_is_strict(self, rng, monkeypatch):
+        """Pad rows are ZEROS; with a tiny query they out-score every
+        (far-offset) real row, so admitting gidx == n_total would put a
+        phantom index in the results."""
+        from innr_tpu import config
+        import innr_tpu.parallel.sharded as sh
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 64)
+        rows = self._clustered(rng, 3997, 16, offset=20.0)  # pads to 4000
+        sc = sh.ShardedCorpus(rows)
+        assert sc.n_pad - sc.n_true == 3
+        q = (0.01 * rng.standard_normal(16)).astype(np.float32)
+        vals, idx = sc.knn_l2(q, 5, prune=True)
+        idx = np.asarray(idx)
+        assert np.all(idx < sc.n_true), "zero pad row surfaced"
+        d = np.sum((rows - q) ** 2, axis=1)
+        np.testing.assert_array_equal(
+            idx, np.argsort(d, kind="stable")[:5])
+
+    def test_from_row_source_never_fetches_empty_ranges(self, rng):
+        from innr_tpu.parallel.sharded import ShardedCorpus
+
+        rows = rng.standard_normal((4, 8)).astype(np.float32)
+        calls = []
+
+        def get_rows(start, stop):
+            calls.append((start, stop))
+            return rows[start:stop]
+
+        # 4 true rows over 8 devices: shards 4..7 are pure padding, and
+        # shard 4 starts EXACTLY at n_true — the > boundary.
+        sc = ShardedCorpus.from_row_source(get_rows, 4, 8)
+        assert all(stop > start for start, stop in calls), calls
+        q = rng.standard_normal(8).astype(np.float32)
+        v, i = sc.knn_l2(q, 2)
+        d = np.sum((rows - q) ** 2, axis=1)
+        np.testing.assert_array_equal(
+            np.asarray(i), np.argsort(d, kind="stable")[:2])
