@@ -1,0 +1,36 @@
+#!/bin/bash
+# Round-4 silicon re-validation program (VERDICT r3 items 2, 3, 5).
+# Run when the axon relay is healthy. One TPU process at a time (the
+# relay serializes and garbles concurrent timings). Each stage logs to
+# /tmp/onchip/ and the script keeps going on failure so one flaky stage
+# doesn't mask the rest.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/onchip
+
+stage() {
+  local name=$1; shift
+  echo "=== $name: $* ($(date -u +%H:%M:%S)) ==="
+  timeout 2400 "$@" > "/tmp/onchip/${name}.log" 2>&1
+  echo "rc=$? ($(date -u +%H:%M:%S))"
+}
+
+# 1. every example asserts its own invariants on the real chip
+stage examples python -u examples/run_all.py
+
+# 2. full bench suite; stderr carries the per-config lines --check reads
+timeout 2400 python -u bench.py --full \
+  > /tmp/onchip/bench_full.json 2> /tmp/onchip/bench_full.stderr
+echo "bench --full rc=$?"
+
+# 3. regression check against the pinned medians
+stage check python scripts/plot_benchmarks.py --check /tmp/onchip/bench_full.stderr
+
+# 4. pruned-scan envelope (coherence/order/placement sweep, amortized +
+#    single-launch, cluster_order build cost included)
+stage envelope python -u scripts/bench_prune_envelope.py --n 10000000
+
+# 5. serving QPS vs batch size (launch-floor economics)
+stage serving python -u examples/serving_demo.py
+
+echo "=== all stages done; logs in /tmp/onchip/ ==="
