@@ -2850,3 +2850,91 @@ class TestShardedDispatchContracts:
         d = np.sum((rows - q) ** 2, axis=1)
         np.testing.assert_array_equal(
             np.asarray(i), np.argsort(d, kind="stable")[:2])
+
+
+class TestHierarchicalDispatchContracts:
+    """Kills parallel/hierarchical.py exhaustive-sweep survivors: the
+    auto per_slice factorization, the shard_rows property, the l2 aux
+    (norms^2) actually feeding the fused arm, query validation arms, the
+    k<=0 / 2-D empty shapes, and the k_local/use_fused planning wired
+    into _hier_knn (spied with passthrough)."""
+
+    @staticmethod
+    def _corpus(rng, n, d):
+        return rng.standard_normal((n, d)).astype(np.float32)
+
+    def test_mesh_auto_per_slice(self):
+        from innr_tpu.parallel.hierarchical import hierarchical_mesh
+        from innr_tpu.utils.asserts import ContractError
+        m = hierarchical_mesh(2)  # 8 virtual devices -> (2, 4)
+        assert m.devices.shape == (2, 4)
+        with pytest.raises(ContractError):
+            hierarchical_mesh(3)  # 8 % 3 != 0
+
+    def test_shard_rows_property(self, rng):
+        from innr_tpu.parallel.hierarchical import HierarchicalCorpus
+        hc = HierarchicalCorpus(self._corpus(rng, 63, 8), n_slices=2)
+        assert hc.n_pad == 64 and hc.shard_rows == 8  # n_pad / 8 devices
+
+    def test_query_validation_arms(self, rng):
+        from innr_tpu.parallel.hierarchical import HierarchicalCorpus
+        from innr_tpu.utils.asserts import ContractError
+        hc = HierarchicalCorpus(self._corpus(rng, 64, 4), n_slices=2)
+        with pytest.raises(ContractError):    # 2-D, wrong last dim
+            hc.knn_dot(np.ones((4, 3), np.float32), 2)
+        with pytest.raises(ContractError):    # 1-D, wrong dim
+            hc.knn_dot(np.ones(5, np.float32), 2)
+        with pytest.raises(ContractError):    # 3-D never legal
+            hc.knn_dot(np.ones((2, 2, 4), np.float32), 2)
+
+    def test_k0_negative_and_empty_shapes(self, rng):
+        from innr_tpu.parallel.hierarchical import HierarchicalCorpus
+        hc = HierarchicalCorpus(self._corpus(rng, 64, 4), n_slices=2)
+        q1 = np.ones(4, np.float32)
+        q2 = np.ones((3, 4), np.float32)
+        for k in (0, -5):
+            v, i = hc.knn_dot(q1, k)
+            assert v.shape == (0,) and i.shape == (0,)
+            v, i = hc.knn_dot(q2, k)      # 2-D keeps its query axis
+            assert v.shape == (3, 0) and i.shape == (3, 0)
+
+    def test_planning_wired_into_hier_knn(self, rng, monkeypatch):
+        from innr_tpu import config
+        import innr_tpu.parallel.hierarchical as hier
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        seen = []
+        real = hier._hier_knn
+        monkeypatch.setattr(
+            hier, "_hier_knn",
+            lambda q, rows, aux, k, k_local, mode, n_total, mesh, use_fused:
+            seen.append((k, k_local, use_fused))
+            or real(q, rows, aux, k, k_local, mode, n_total, mesh,
+                    use_fused))
+        hc = hier.HierarchicalCorpus(self._corpus(rng, 63, 8), n_slices=2)
+        q = rng.standard_normal(8).astype(np.float32)
+        hc.knn_dot(q, 2)
+        # pad = 64 - 63 = 1; shard_rows = 8 == MIN_ROWS_PALLAS (>= fuses)
+        assert seen == [(2, 3, True)]
+        seen.clear()
+        config.force_reference(True)
+        try:
+            hc.knn_dot(q, 2)
+        finally:
+            config.force_reference(False)
+        assert seen == [(2, 2, False)]    # reference wins; plain k
+
+    def test_fused_l2_uses_real_norms(self, rng, monkeypatch):
+        """The l2 aux is sum(r*r); feeding the fused kernel anything else
+        must break parity with brute force."""
+        from innr_tpu import config
+        import innr_tpu.parallel.hierarchical as hier
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        rows = self._corpus(rng, 128, 16)
+        hc = hier.HierarchicalCorpus(rows, n_slices=2)
+        q = rng.standard_normal(16).astype(np.float32)
+        v, i = hc.knn_l2(q, 5)
+        d = np.sum((rows - q) ** 2, axis=1)
+        np.testing.assert_array_equal(
+            np.asarray(i), np.argsort(d, kind="stable")[:5])
