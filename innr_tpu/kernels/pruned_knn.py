@@ -347,9 +347,19 @@ def _pruned_run(qs, rows, aux, summary, k: int, mode: str):
     # Cosine plans as DOT against the unit-row summary with the already
     # pre-normalized queries (|q_hat| = 1 folds into the dot bounds).
     plan_mode = {"cosine": "dot"}.get(mode, mode)
+    if rows.dtype == jnp.bfloat16:
+        # The scan kernels score bf16(q) . r (the same cast the full
+        # fused scan makes — bit-identity demands it), a 2^-9 relative
+        # query perturbation that PRUNE_BOUND_EPS's f32 slack cannot
+        # absorb. Plan against the SAME rounded query (exact in f32) so
+        # the tile bounds apply to the scores the kernel actually
+        # computes; only f32-accumulation rounding remains for the slack.
+        qs_plan = qs.astype(jnp.bfloat16).astype(jnp.float32)
+    else:
+        qs_plan = qs
     order, n_surv = plan_survivors(
-        qs, summary.centroids, summary.radii, summary.counts, k, plan_mode,
-        fast=fast,
+        qs_plan, summary.centroids, summary.radii, summary.counts, k,
+        plan_mode, fast=fast,
     )
     # Real hardware: dynamic-grid inner pipeline (only survivor tiles are
     # ever DMA'd). Interpreter (CPU tests): the static-grid variant —

@@ -299,3 +299,65 @@ class TestRoundingSlack:
             qs, s.centroids, s.radii, s.counts, 5, "dot"
         )
         assert 0 < int(n_surv) < s.n_tiles
+
+
+class TestBf16PlanRounding:
+    """bf16 corpora: the scan kernels score bf16(q) . r (the same cast the
+    full fused scan makes, kernels/knn.py), a 2^-9 relative perturbation
+    of the query that the f32 PRUNE_BOUND_EPS slack cannot absorb. The
+    planner must bound the scores the kernel ACTUALLY computes — i.e.
+    plan against the bf16-rounded query — or a true top-k row sitting in
+    an otherwise-losing tile is silently pruned (regression: round 4)."""
+
+    def _adversarial(self):
+        # Group A: q just BELOW the bf16 midpoint 1.00390625 -> rounds to
+        # 1.0 (delta -0.0039). Group B: q just ABOVE -> rounds to
+        # 1.0078125 (delta +0.0039).
+        d_half = 128
+        qa, qb = np.float32(1.0039), np.float32(1.00391)
+        q = np.concatenate(
+            [np.full(d_half, qa, np.float32), np.full(d_half, qb, np.float32)]
+        )
+        # Tile 1: rows u live on group A. f32 plan score 128*1.0039 =
+        # 128.499; kernel bf16 score 128.0.
+        u = np.concatenate(
+            [np.ones(d_half, np.float32), np.zeros(d_half, np.float32)]
+        )
+        # Tile 2: rows v live on group B at 255/256 (bf16-exact). f32 plan
+        # score 128*1.00391*0.99609375 = 128.001 -> pruned against t0 =
+        # 128.499 (slack ~0.02). Kernel bf16 score 128*1.0078125*
+        # 0.99609375 = 128.496 -> the TRUE top-1 of the fused scan.
+        v = np.concatenate(
+            [np.zeros(d_half, np.float32),
+             np.full(d_half, 0.99609375, np.float32)]
+        )
+        rows = np.stack([u] * 8 + [v] * 8)
+        return q[None, :], rows
+
+    def test_dot_pruned_matches_full_scan_bf16(self):
+        q, rows = self._adversarial()
+        rows_bf = jnp.asarray(rows, jnp.bfloat16)
+        qs = jnp.asarray(q)
+        s = prune.build_tile_summary(rows_bf, 8)
+        pv, pi = kpruned.fused_knn_dot_pruned_batch(qs, rows_bf, s, 1)
+        fv, fi = kknn.fused_knn_dot_batch(qs, rows_bf, 1)
+        assert np.asarray(pi).tolist() == np.asarray(fi).tolist()
+        np.testing.assert_array_equal(np.asarray(pv), np.asarray(fv))
+        # and the winner really is the group-B row the f32 plan would drop
+        assert int(np.asarray(fi)[0, 0]) >= 8
+
+    def test_bf16_still_prunes(self, rng):
+        # The rounded-query plan must not cost pruning power on ordinary
+        # clustered corpora (bounds barely move: ~2^-9 relative).
+        rows = _clustered(rng, n=4096, d=64, n_centers=16)
+        rows_bf = jnp.asarray(rows, jnp.bfloat16)
+        s = prune.build_tile_summary(rows_bf, 256)
+        qs = jnp.asarray(rows[:2] + 0.01)
+        pv, pi = kpruned.fused_knn_dot_pruned_batch(qs, rows_bf, s, 5)
+        fv, fi = kknn.fused_knn_dot_batch(qs, rows_bf, 5)
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(fi))
+        qs_plan = qs.astype(jnp.bfloat16).astype(jnp.float32)
+        _, n_surv = prune.plan_survivors(
+            qs_plan, s.centroids, s.radii, s.counts, 5, "dot"
+        )
+        assert 0 < int(n_surv) < s.n_tiles
