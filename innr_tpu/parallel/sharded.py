@@ -87,8 +87,16 @@ def _local_topk_pruned(qs, rows_shard, aux_shard, cent, rad, cnt, n_total,
     base = jax.lax.axis_index(AXIS) * rows_shard.shape[0]
     plan_mode = "dot" if mode == "cosine" else mode
     fast = k_local <= tile_n
+    if rows_shard.dtype == jnp.bfloat16:
+        # The pruned scan scores bf16(q) . r; plan against the SAME
+        # rounded query so the tile bounds cover the kernel's actual
+        # scores (see kernels/pruned_knn.py::_pruned_run — the f32
+        # slack cannot absorb the 2^-9 query-rounding perturbation).
+        qs_plan = qs.astype(jnp.bfloat16).astype(jnp.float32)
+    else:
+        qs_plan = qs
     order, n_surv = plan_survivors(
-        qs, cent, rad, cnt, k_local, plan_mode, fast=fast
+        qs_plan, cent, rad, cnt, k_local, plan_mode, fast=fast
     )
     raw = _pruned_raw if should_interpret() else _pruned_raw_dynamic
     keys, lidx = raw(

@@ -1080,6 +1080,48 @@ class TestShardedPruned:
             want = np.argsort(-dots[i].astype(np.float32), kind="stable")[:5]
             np.testing.assert_array_equal(np.asarray(pi)[i], want)
 
+    def test_bf16_plans_with_rounded_query(self, devices_ok):
+        # bf16 shards: the pruned scan scores bf16(q) . r, so the per-shard
+        # planner must bound the ROUNDED query's scores — planning with the
+        # f32 query prunes the tile holding the true winner (regression:
+        # round 4; single-chip construction in tests/test_prune.py
+        # TestBf16PlanRounding).
+        import jax.numpy as jnp
+
+        import innr_tpu.parallel.sharded as sh
+
+        d_half = 128
+        qa, qb = np.float32(1.0039), np.float32(1.00391)
+        q = np.concatenate(
+            [np.full(d_half, qa, np.float32), np.full(d_half, qb, np.float32)]
+        )[None, :]
+        u = np.concatenate(
+            [np.ones(d_half, np.float32), np.zeros(d_half, np.float32)]
+        )
+        v = np.concatenate(
+            [np.zeros(d_half, np.float32),
+             np.full(d_half, 0.99609375, np.float32)]
+        )
+        zero = np.zeros(2 * d_half, np.float32)
+        # shard 0: one tile of u-rows + one tile of v-rows (the adversarial
+        # pair); shard 1: two tiles of zero filler. tile_n = 8.
+        rows = np.stack([u] * 8 + [v] * 8 + [zero] * 16)
+        mesh = sh.default_mesh(np.asarray(jax.devices())[:2])
+        cent = jnp.asarray(np.stack([u, v, zero, zero]))
+        rad = jnp.zeros(4, jnp.float32)
+        cnt = jnp.full(4, 8, jnp.int32)
+        pv, pi = sh._sharded_knn_pruned(
+            jnp.asarray(q), jnp.asarray(rows, jnp.bfloat16), None,
+            cent, rad, cnt, 1, 1, "dot", 32, mesh, 8,
+        )
+        fv, fi = sh._sharded_knn(
+            jnp.asarray(q), jnp.asarray(rows, jnp.bfloat16), None,
+            1, 1, "dot", 32, mesh, True,
+        )
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(fi))
+        np.testing.assert_array_equal(np.asarray(pv), np.asarray(fv))
+        assert 8 <= int(np.asarray(pi)[0, 0]) < 16  # a v-row wins in bf16
+
     def test_summary_is_sharded_and_cached(self, rng, devices_ok):
         rows = self._clustered(rng)
         sc = ShardedCorpus(rows)
