@@ -53,8 +53,15 @@ _K_MAX_PASS = 4096
 # VMEM byte budget for the running-best state: 2 scratch + 2 output
 # (q_pad, k_pad) int32 buffers = 16 bytes per entry.
 _TOPK_VMEM_BUDGET = 6 * 1024 * 1024
-# Sublane padding for the query axis.
+# Sublane padding for the query axis: the TPU sublane count for 32-bit
+# tiles. A hardware ISA constant, not a tunable — any other value is
+# rejected by Mosaic at compile time on silicon and is unobservable
+# under the CPU interpreter (excluded from mutation on those grounds).
 _Q_TILE = 8
+# TPU vector lane count (last-dim tile width). Same hardware-constant
+# status as _Q_TILE: Mosaic rejects non-multiples on silicon; the CPU
+# interpreter accepts anything, so mutants measure nothing.
+_LANE = 128
 
 
 def single_pass_k(n_q: int) -> int:
@@ -358,7 +365,7 @@ def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str,
     n_q, d = qs.shape
     n, _ = rows.shape
     tile_n, _ = plan_geometry(n, d, rows.dtype, n_q, k)
-    d_pad = round_up(d, 128)
+    d_pad = round_up(d, _LANE)
     q_pad = round_up(n_q, _Q_TILE)
     k_pad = round_up(k, _K_LANE)
     # Do NOT pad the corpus row axis: an XLA pad of an (N, D) array is a
@@ -390,14 +397,17 @@ def _fused_knn_raw(qs: jax.Array, rows: jax.Array, aux, k: int, mode: str,
         bk, bi = excl
         excl_arr = jnp.stack(
             [
-                jnp.broadcast_to(bk[:, None].astype(jnp.int32), (n_q, 128)),
-                jnp.broadcast_to(bi[:, None].astype(jnp.int32), (n_q, 128)),
+                jnp.broadcast_to(bk[:, None].astype(jnp.int32), (n_q, _LANE)),
+                jnp.broadcast_to(bi[:, None].astype(jnp.int32), (n_q, _LANE)),
             ]
         )
         excl_arr = pad_axis_to(excl_arr, 1, q_pad)
+        # Block dims derive from the array itself (planes, lanes) so the
+        # spec can never drift from the operand it describes.
         in_specs.append(
             pl.BlockSpec(
-                (2, q_pad, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                (excl_arr.shape[0], q_pad, excl_arr.shape[2]),
+                lambda i: (0, 0, 0), memory_space=pltpu.VMEM,
             )
         )
         inputs.append(excl_arr)

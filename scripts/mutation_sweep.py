@@ -131,7 +131,15 @@ EXCLUDED_FUNCS = {
 # 2^12 + 1 splitter is sign-symmetric (verified: ±4097 both yield a
 # valid 12-bit split). Its MAGNITUDE is pinned by
 # test_df64_splitter_carries_low_bits.
-EXCLUDED_CONSTS = {"_TOPK_VMEM_BUDGET", "_K_MAX_PASS", "_W_CHUNK", "_S_CHUNK", "_SPLITTER"}
+# _Q_TILE (8) and _LANE (128) are TPU hardware ISA constants (sublane /
+# lane tile widths): Mosaic rejects any other value at compile time on
+# silicon, and the CPU interpreter accepts anything — so their mutants
+# are unobservable off-chip and self-killing on-chip (knn.py exhaustive
+# sweep, round 4).
+EXCLUDED_CONSTS = {
+    "_TOPK_VMEM_BUDGET", "_K_MAX_PASS", "_W_CHUNK", "_S_CHUNK", "_SPLITTER",
+    "_Q_TILE", "_LANE",
+}
 
 # Functions that only execute on real TPU silicon: the emit_pipeline
 # dynamic-grid kernels are rejected by the CPU interpreter

@@ -2938,3 +2938,34 @@ class TestHierarchicalDispatchContracts:
         d = np.sum((rows - q) ** 2, axis=1)
         np.testing.assert_array_equal(
             np.asarray(i), np.argsort(d, kind="stable")[:5])
+
+
+class TestKnnExhaustiveSweep:
+    """Killers for the kernels/knn.py exhaustive-sweep survivors (round 4).
+
+    The masked-l2 batch entry (fused_knn_l2_masked_batch) returned
+    distances were never value-checked: ``qq = sum(qs * qs)`` and the
+    ``vals + qq`` re-add are per-query constants, invisible to index-only
+    assertions. Pin the VALUES against the elementwise numpy oracle.
+    """
+
+    def test_masked_l2_values_match_oracle(self, rng):
+        from innr_tpu.kernels import knn as kknn
+
+        n, d, k = 300, 12, 6
+        rows = rng.standard_normal((n, d)).astype(np.float32)
+        qs = rng.standard_normal((3, d)).astype(np.float32)
+        mask = np.ones(n, dtype=bool)
+        mask[::7] = False
+        vals, idx = kknn.fused_knn_l2_masked_batch(
+            jnp.asarray(qs), jnp.asarray(rows), jnp.asarray(mask), k
+        )
+        d2 = ((qs[:, None, :] - rows[None, :, :]) ** 2).sum(-1)
+        d2[:, ~mask] = np.inf
+        want_idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+        np.testing.assert_array_equal(np.asarray(idx), want_idx)
+        np.testing.assert_allclose(
+            np.asarray(vals),
+            np.take_along_axis(d2, want_idx, axis=1),
+            rtol=1e-5, atol=1e-5,
+        )
