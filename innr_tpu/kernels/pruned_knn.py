@@ -39,6 +39,7 @@ from innr_tpu.kernels import should_interpret
 from innr_tpu.kernels.knn import (
     _INT_MIN,
     _K_LANE,
+    _LANE,
     _Q_TILE,
     _invert_total_key,
     f32_keys,
@@ -177,7 +178,7 @@ def _pruned_raw_dynamic(qs, rows, aux, order, n_surv, k: int, mode: str,
     stay in HBM (ANY), the inner pipeline fetches only survivor tiles."""
     n_q, d = qs.shape
     n = rows.shape[0]
-    d_pad = round_up(d, 128)
+    d_pad = round_up(d, _LANE)
     q_pad = round_up(n_q, _Q_TILE)
     k_pad = round_up(k, _K_LANE)
     # No row-axis padding (an XLA pad of the corpus is a full HBM copy —
@@ -204,7 +205,7 @@ def _pruned_raw_dynamic(qs, rows, aux, order, n_surv, k: int, mode: str,
         # Lane-dim tiling is 128: pad the (1, N) norm stream so the
         # clamped final block never reads past the allocation (cheap —
         # 4 bytes/row).
-        aux2 = pad_axis_to(aux2, 1, round_up(aux2.shape[1], 128))
+        aux2 = pad_axis_to(aux2, 1, round_up(aux2.shape[1], _LANE))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         inputs.append(aux2)
 
@@ -231,7 +232,7 @@ def _pruned_raw(qs, rows, aux, order, n_surv, k: int, mode: str, tile_n: int):
     n_q, d = qs.shape
     n = rows.shape[0]
     n_tiles = -(-n // tile_n)
-    d_pad = round_up(d, 128)
+    d_pad = round_up(d, _LANE)
     q_pad = round_up(n_q, _Q_TILE)
     k_pad = round_up(k, _K_LANE)
     rows_p = pad_axis_to(rows, 1, d_pad)
@@ -422,7 +423,7 @@ def _threshold_raw_dynamic(q, rows, norms2, order, n_surv, tile_n: int):
     d = q.shape[0]
     n = rows.shape[0]
     n_tiles = -(-n // tile_n)
-    d_pad = round_up(d, 128)
+    d_pad = round_up(d, _LANE)
     rows_p = pad_axis_to(rows, 1, d_pad)
     q_p = pad_axis_to(pad_axis_to(q[None, :], 1, d_pad), 0, _Q_TILE)
     norms_p = pad_axis_to(norms2[None, :], 1, n_tiles * tile_n)
@@ -447,7 +448,7 @@ def _threshold_raw(q, rows, norms2, order, n_surv, tile_n: int):
     d = q.shape[0]
     n = rows.shape[0]
     n_tiles = -(-n // tile_n)
-    d_pad = round_up(d, 128)
+    d_pad = round_up(d, _LANE)
     rows_p = pad_axis_to(rows, 1, d_pad)
     q_p = pad_axis_to(q[None, :], 1, d_pad)
     q_p = pad_axis_to(q_p, 0, _Q_TILE)

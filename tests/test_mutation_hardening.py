@@ -2969,3 +2969,108 @@ class TestKnnExhaustiveSweep:
             np.take_along_axis(d2, want_idx, axis=1),
             rtol=1e-5, atol=1e-5,
         )
+
+
+class TestPrunedKnnExhaustiveSweep:
+    """Killers for the kernels/pruned_knn.py exhaustive-sweep survivors
+    (round 4): the k-cap dispatch boundary, the _tile_dists tail mask,
+    and the lane-pad constants (the latter replaced by the documented
+    ISA constant ``_LANE`` rather than tested — Mosaic rejects any other
+    value on silicon, and zero-padding is value-inert off it)."""
+
+    def test_k_cap_boundary_stays_on_pruned_path(self, rng, monkeypatch):
+        """k == single_pass_k(n_q) must use the tile-skip scan; only
+        k > cap may fall back to the multi-pass full scan. Pins the
+        ``k > cap`` comparison in _pruned_run in both directions."""
+        import innr_tpu.kernels.knn as kknn
+        import innr_tpu.kernels.pruned_knn as pk
+        from innr_tpu import prune
+
+        n, d = 512, 8
+        rows = rng.standard_normal((n, d)).astype(np.float32)
+        qs = rng.standard_normal((2, d)).astype(np.float32)
+        summary = prune.build_tile_summary(jnp.asarray(rows), 256)
+
+        monkeypatch.setattr(pk, "single_pass_k", lambda n_q: 4)
+
+        def boom(*a, **kw):
+            raise AssertionError("full-scan fallback fired at k <= cap")
+
+        monkeypatch.setattr(kknn, "_fused_knn", boom)
+        # k == cap: pruned path, fallback must not fire — and the result
+        # must still be the exact top-k.
+        vals, idx = pk.fused_knn_dot_pruned_batch(
+            jnp.asarray(qs), jnp.asarray(rows), summary, 4
+        )
+        want = np.argsort(-(qs @ rows.T), axis=1, kind="stable")[:, :4]
+        np.testing.assert_array_equal(np.asarray(idx), want)
+        # k == cap + 1: must route to the fallback.
+        with pytest.raises(AssertionError, match="full-scan fallback"):
+            pk.fused_knn_dot_pruned_batch(
+                jnp.asarray(qs), jnp.asarray(rows), summary, 5
+            )
+
+    def test_tile_dists_masks_exactly_the_out_of_range_lanes(self, rng):
+        """_tile_dists' contract: lanes whose global row index
+        ``tile_id * tile_n + lane`` is >= n_rows are pinned to +inf,
+        in-range lanes carry norms2 - 2 q.r — pinned as a unit so the
+        index arithmetic and the strict < are each observable."""
+        from innr_tpu.kernels.pruned_knn import _tile_dists
+
+        tile_n, d, n_rows, tile_id = 8, 4, 20, 2
+        rows = rng.standard_normal((tile_n, d)).astype(np.float32)
+        q = rng.standard_normal((1, d)).astype(np.float32)
+        norms = (rows ** 2).sum(1)[None, :].astype(np.float32)
+        out = np.asarray(
+            _tile_dists(
+                jnp.asarray(q), jnp.asarray(rows), jnp.asarray(norms),
+                tile_id, tile_n, n_rows,
+            )
+        )
+        # Global indices 16..19 are real rows; 20..23 are out of range.
+        assert np.all(np.isinf(out[0, 4:])) and np.all(out[0, 4:] > 0)
+        np.testing.assert_allclose(
+            out[0, :4], (norms[0] - 2.0 * (rows @ q[0]))[:4],
+            rtol=1e-6, atol=1e-6,
+        )
+
+
+class TestBinaryExhaustiveSweep:
+    """Killers for the ops/binary.py exhaustive-sweep survivors (round 4)."""
+
+    def test_get_boundary_indices_return_false(self):
+        """get(dimension) and get(-1) must be False even when the clamped
+        / wrapped word read would hit a set bit (JAX indexing clamps OOB
+        and wraps negatives — the guard is the only protection)."""
+        from innr_tpu.ops.binary import encode_binary
+
+        v = np.zeros(32, np.float32)
+        v[0] = 1.0
+        v[31] = 1.0
+        p = encode_binary(v, 0.0)
+        assert p.get(0) is True and p.get(31) is True
+        assert p.get(32) is False           # == dimension (clamp would say True)
+        assert p.get(-1) is False           # negative (wrap would say True)
+        assert p.get(1_000_000) is False
+
+    def test_data_u64_length_is_word_pairs(self):
+        """data_u64 packs ceil(words / 2) u64s — no over-padding."""
+        from innr_tpu.ops.binary import PackedBinary
+
+        for nw, want in ((1, 1), (2, 1), (3, 2), (5, 3)):
+            pb = PackedBinary(np.arange(1, nw + 1, dtype=np.uint32), nw * 32)
+            u64 = pb.data_u64()
+            assert u64.shape == (want,), (nw, u64.shape)
+            # Low word of the first u64 is word 0 (little-endian).
+            assert int(u64[0] & 0xFFFFFFFF) == 1
+
+    def test_batch_encoders_use_strict_threshold(self):
+        """Values EQUAL to the threshold encode to 0 in both batch
+        encoders (reference: strictly > threshold, src/binary.rs:133)."""
+        from innr_tpu.ops.binary import PackedBinaryBatch, encode_binary_batch
+
+        rows = np.array([[0.5, 0.0, -0.5]], np.float32)
+        words = encode_binary_batch(rows, 0.0)
+        assert int(words[0, 0]) == 1        # only the strictly-greater bit
+        pb = PackedBinaryBatch.encode(rows, 0.0)
+        assert int(pb.words[0, 0]) == 1
