@@ -81,6 +81,41 @@ TARGETS: dict[str, tuple[str, ...]] = {
     "innr_tpu/parallel/sharded_slot.py": ("tests/test_sharded.py",),
     "innr_tpu/parallel/sharded_sparse.py": ("tests/test_sharded.py",),
     "innr_tpu/parallel/multihost.py": ("tests/test_multihost.py",),
+    # Round-4 additions: every remaining non-__init__ module, so "all
+    # modules swept" is literal. ops/reference.py is the force-reference
+    # path AND the differential oracle — mutants must die in the parity
+    # suites from either side of the comparison.
+    "innr_tpu/ops/reference.py": (
+        "tests/test_dense.py", "tests/test_dense_f64.py",
+        "tests/test_quant_fastmath.py", "tests/test_slot.py",
+        "tests/test_maxsim.py", "tests/test_sparse.py",
+        "tests/test_mutation_hardening.py",
+    ),
+    "innr_tpu/kernels/hamming.py": (
+        "tests/test_binary.py", "tests/test_ternary.py",
+        "tests/test_mutation_hardening.py",
+    ),
+    "innr_tpu/distance.py": (
+        "tests/test_distance_backend.py", "tests/test_interop_sklearn.py",
+    ),
+    "innr_tpu/backend.py": (
+        "tests/test_distance_backend.py", "tests/test_dispatch_coverage.py",
+    ),
+    "innr_tpu/io.py": ("tests/test_pipeline_io.py",),
+    "innr_tpu/config.py": (
+        "tests/test_dispatch_coverage.py", "tests/test_dense.py",
+        "tests/test_mutation_hardening.py",
+    ),
+    "innr_tpu/loader.py": ("tests/test_native_loader.py",),
+    "innr_tpu/_native.py": (
+        "tests/test_native_loader.py", "tests/test_topk.py",
+    ),
+    "innr_tpu/utils/padding.py": (
+        "tests/test_kernels.py", "tests/test_binary.py",
+    ),
+    "innr_tpu/utils/asserts.py": (
+        "tests/test_dense.py", "tests/test_batch.py",
+    ),
 }
 
 _BINOP_SWAPS = {
