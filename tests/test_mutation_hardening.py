@@ -3074,3 +3074,38 @@ class TestBinaryExhaustiveSweep:
         assert int(words[0, 0]) == 1        # only the strictly-greater bit
         pb = PackedBinaryBatch.encode(rows, 0.0)
         assert int(pb.words[0, 0]) == 1
+
+
+class TestTernaryExhaustiveSweep:
+    """Killers for the ops/ternary.py exhaustive-sweep survivors (round 4)."""
+
+    def test_get_boundary_indices_return_zero(self):
+        """get(dimension) and get(-1) must be 0 even when the clamped /
+        wrapped word read would hit a set bit (same JAX indexing hazard
+        as PackedBinary.get — the guard is the only protection)."""
+        from innr_tpu.ops.ternary import encode_ternary
+
+        v = np.zeros(32, np.float32)
+        v[0] = 1.0      # pos bit 0 of the (only) word
+        v[31] = 1.0     # pos bit 31 of the last word
+        t = encode_ternary(v, 0.5)
+        assert t.get(0) == 1 and t.get(31) == 1
+        assert t.get(32) == 0        # == dimension (clamp would say 1)
+        assert t.get(-1) == 0        # negative (wrap would say 1)
+        assert t.get(10_000) == 0
+
+    def test_batch_ctor_rejects_each_violation_alone(self):
+        """PackedTernaryBatch's validation is a disjunction: any single
+        violation must raise, not only all-at-once."""
+        import innr_tpu as it
+        from innr_tpu.ops.ternary import PackedTernaryBatch
+
+        ok = np.zeros((3, 1), np.uint32)
+        PackedTernaryBatch(ok, ok, 32)  # sane baseline
+        with pytest.raises(it.ContractError):      # wrong rank only
+            PackedTernaryBatch(np.zeros((1,), np.uint32),
+                               np.zeros((1,), np.uint32), 32)
+        with pytest.raises(it.ContractError):      # plane mismatch only
+            PackedTernaryBatch(ok, np.zeros((4, 1), np.uint32), 32)
+        with pytest.raises(it.ContractError):      # word count only
+            PackedTernaryBatch(ok, ok, 64)
