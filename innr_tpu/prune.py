@@ -246,48 +246,88 @@ def plan_threshold_survivors(qs, summary_cent, summary_rad, threshold):
     return _pad_tail(order, n_surv, n_tiles), n_surv, alive
 
 
-def cluster_order(rows, n_clusters: int = 256, n_iters: int = 5, seed: int = 0):
+def cluster_order(rows, n_clusters: int = 256, n_iters: int = 5, seed: int = 0,
+                  sample: int = 65536):
     """Device-side mini k-means ordering pass: returns a permutation that
     groups rows by nearest centroid — the layout step that makes tile
     pruning effective on corpora that arrive in random order (IVF-style).
 
-    Runs ``n_iters`` Lloyd steps on a row sample, then assigns every row
-    in one MXU pass. O(N * n_clusters * D) compute, one extra corpus read
-    per iteration. Returns a host int64 permutation array.
+    Centers are seeded with **k-means++ on a row sample** (``sample``
+    rows, capped at N): random-row init routinely drops whole true
+    clusters — their rows then scatter across distant centroids, tiles
+    straddle clusters, radii blow up, and the planner prunes almost
+    nothing (measured: 1.4% DMAs elided vs 31% for the same corpus
+    natively ordered, envelope bench). k-means++ makes every
+    well-separated mode get a seed with high probability. Lloyd then
+    runs ``n_iters`` steps on the sample; the full corpus is scored
+    ONCE for the final assignment. O(sample * n_clusters * D) fit +
+    O(N * n_clusters * D) assign. Returns a host int64 permutation.
+
+    The permutation never affects correctness — pruned scans are exact
+    under any layout — only the achievable pruning power.
     """
     rows = jnp.asarray(rows)
     n = int(rows.shape[0])
     n_clusters = int(min(n_clusters, max(n, 1)))
+    m = int(min(n, max(sample, n_clusters)))
 
-    @partial(jax.jit, static_argnames=("iters", "kc"))
-    def _fit(r, iters: int, kc: int):
+    @partial(jax.jit, static_argnames=("iters", "kc", "m"))
+    def _fit(r, iters: int, kc: int, m: int):
         key = jax.random.PRNGKey(seed)
-        idx0 = jax.random.choice(key, r.shape[0], (kc,), replace=False)
-        cent = r[idx0].astype(jnp.float32)
+        k_sample, k_first, k_pp = jax.random.split(key, 3)
         r32 = r.astype(jnp.float32)
+        s = r32[jax.random.choice(k_sample, r.shape[0], (m,), replace=False)]
+        sn = jnp.sum(s * s, axis=1)  # (m,)
 
-        def nearest(cent):
+        def d2_to(c):
+            # Exact-enough L2^2 of every sample row to one center; the
+            # max(., 0) keeps the categorical weights nonnegative.
+            return jnp.maximum(
+                sn - 2.0 * jnp.matmul(s, c, preferred_element_type=jnp.float32)
+                + jnp.sum(c * c),
+                0.0,
+            )
+
+        first = s[jax.random.randint(k_first, (), 0, m)]
+        cent0 = jnp.zeros((kc, s.shape[1]), jnp.float32).at[0].set(first)
+
+        def pp_step(carry, j):
+            cents, mind2 = carry
+            # Sample the next seed proportional to squared distance from
+            # the chosen set (k-means++); all-zero mind2 (kc > distinct
+            # rows) degrades to uniform via the categorical's clamp.
+            logits = jnp.log(jnp.maximum(mind2, 1e-30))
+            nxt = jax.random.categorical(jax.random.fold_in(k_pp, j), logits)
+            c = s[nxt]
+            cents = jax.lax.dynamic_update_index_in_dim(cents, c, j, 0)
+            return (cents, jnp.minimum(mind2, d2_to(c))), None
+
+        (cent, _), _ = jax.lax.scan(
+            pp_step, (cent0, d2_to(first)), jnp.arange(1, kc)
+        )
+
+        def nearest(cent, x):
             # ONE shared scoring for the Lloyd steps and the final
-            # assignment, so the two can never drift apart. The ||r||^2
+            # assignment, so the two can never drift apart. The ||x||^2
             # term of the L2^2 expansion is a per-row constant — it
             # cannot change an argmin over centroids — so it is dropped
             # (one less (N,) broadcast per pass).
             d2 = (
                 jnp.sum(cent * cent, axis=1)[None, :]
-                - 2.0 * jnp.matmul(r32, cent.T, preferred_element_type=jnp.float32)
+                - 2.0 * jnp.matmul(x, cent.T, preferred_element_type=jnp.float32)
             )
             return jnp.argmin(d2, axis=1)
 
         def step(cent, _):
-            assign = nearest(cent)
+            assign = nearest(cent, s)
             one_hot = jax.nn.one_hot(assign, kc, dtype=jnp.float32)
-            sums = jnp.matmul(one_hot.T, r32, preferred_element_type=jnp.float32)
+            sums = jnp.matmul(one_hot.T, s, preferred_element_type=jnp.float32)
             cnts = jnp.sum(one_hot, axis=0)[:, None]
             new_cent = jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1.0), cent)
             return new_cent, None
 
         cent, _ = jax.lax.scan(step, cent, None, length=iters)
-        return nearest(cent)
+        return nearest(cent, r32)
 
-    assign = _fit(rows, n_iters, n_clusters)
+    assign = _fit(rows, n_iters, n_clusters, m)
     return np.argsort(np.asarray(assign), kind="stable")

@@ -77,21 +77,35 @@ def main() -> int:
     tile_n = kpruned.pruned_tile_n(n, d)
     n_tiles = -(-n // tile_n)
 
-    @jax.jit
-    def _gen(sigma, ordered):
-        centers = 3.0 * jax.random.normal(
-            jax.random.PRNGKey(0), (args.centers, d), dtype=jnp.float32
-        )
-        assign = jax.random.randint(
-            jax.random.PRNGKey(1), (n,), 0, args.centers
-        )
-        assign = jax.lax.cond(
-            ordered, lambda a: jnp.sort(a), lambda a: a, assign
-        )
-        noise = jax.random.normal(
-            jax.random.PRNGKey(2), (n, d), dtype=jnp.float32
-        )
-        return centers[assign] + sigma * noise, centers
+    # Tile-granular pruning needs clusters that SPAN multiple tiles:
+    # below ~4 tiles per cluster the tile radii approach the inter-center
+    # distance and nothing can prune (measured: 256 sub-tile clusters at
+    # n=1M -> power 0.000, median radius 33 vs 0.7 aligned). Scale the
+    # center count with n so small-n (--plan-only) runs measure the same
+    # regime as the 10M on-chip config, where 256 stays 256; the sub-tile
+    # regime gets its own labeled row below.
+    centers_eff = max(4, min(args.centers, n // (4 * tile_n)))
+
+    def _make_gen(nc):
+        @jax.jit
+        def _g(sigma, ordered):
+            centers = 3.0 * jax.random.normal(
+                jax.random.PRNGKey(0), (nc, d), dtype=jnp.float32
+            )
+            assign = jax.random.randint(
+                jax.random.PRNGKey(1), (n,), 0, nc
+            )
+            assign = jax.lax.cond(
+                ordered, lambda a: jnp.sort(a), lambda a: a, assign
+            )
+            noise = jax.random.normal(
+                jax.random.PRNGKey(2), (n, d), dtype=jnp.float32
+            )
+            return centers[assign] + sigma * noise, centers
+
+        return _g
+
+    _gen = _make_gen(centers_eff)
 
     @jax.jit
     def _gen_gauss():
@@ -205,7 +219,7 @@ def main() -> int:
          s8_r, over_r)
     )
     t0 = time.perf_counter()
-    perm = _prune.cluster_order(rows, n_clusters=args.centers)
+    perm = _prune.cluster_order(rows, n_clusters=centers_eff)
     rows_o = jnp.asarray(np.asarray(rows)[perm])
     jax.block_until_ready(rows_o)
     order_cost = time.perf_counter() - t0
@@ -230,10 +244,27 @@ def main() -> int:
                     over))
     del rows
 
+    # --- degradation bound: clusters SMALLER than a tile ----------------
+    # Tight clusters, but so many that each holds well under one tile's
+    # rows: tile radii approach the inter-center distance and pruning
+    # has nothing to elide — the honest boundary of the win (the planner
+    # overhead bound must still hold on-chip).
+    sub_centers = max(8 * n_tiles, 2 * centers_eff)
+    rows, centers = _make_gen(sub_centers)(jnp.float32(0.05), True)
+    jax.block_until_ready(rows)
+    qs = _queries(centers, "near-center")
+    power, s1, s8, over, _ = measure(rows, qs)
+    rows_md.append(
+        (f"clustered (sub-tile: {sub_centers} centers)", "0.05",
+         "near-center", power, s1, s8, over)
+    )
+    del rows
+
     lines = [
         "# Pruned-scan envelope (measured)",
         "",
-        f"n={n:,} x d={d}, k={k}, Q={n_q}, {args.centers} centers, "
+        f"n={n:,} x d={d}, k={k}, Q={n_q}, {centers_eff} centers "
+        f"(requested {args.centers}, scaled so clusters span >= 4 tiles), "
         f"tile_n={tile_n} ({n_tiles} tiles). speedup_1x = one launch; "
         "speedup_8x = 8 scans amortized per launch; overhead% = pruned vs "
         "full single-launch when nothing (or little) prunes. cluster_order "

@@ -183,6 +183,38 @@ class TestPublicPruneAPI:
         )
         assert int(ns_ord) < int(ns_rand)
 
+    def test_cluster_order_recovers_many_separated_clusters(self, rng):
+        """k-means++ seeding must recover well-separated modes even when
+        there are MANY of them relative to the sample: the old random-row
+        init regularly dropped whole clusters, whose rows then polluted
+        distant tiles (measured 1.4% vs 31% DMAs elided — envelope
+        bench, round 4). Pin: ordering an arrival-order corpus achieves
+        at least 80% of the native (construction-order) pruning power."""
+        n, d, nc, tile_n = 50_000, 64, 40, 512
+        centers = 4.0 * rng.standard_normal((nc, d)).astype(np.float32)
+        assign = rng.integers(0, nc, n)
+        rows = (
+            centers[assign] + 0.05 * rng.standard_normal((n, d))
+        ).astype(np.float32)
+        qs = jnp.asarray(
+            (centers[rng.integers(0, nc, 16)]
+             + 0.05 * rng.standard_normal((16, d))).astype(np.float32)
+        )
+        n_tiles = -(-n // tile_n)
+
+        def power(r):
+            s = prune.build_tile_summary(jnp.asarray(r), tile_n)
+            _, ns = prune.plan_survivors(
+                qs, s.centroids, s.radii, s.counts, 10, "dot"
+            )
+            return 1.0 - int(ns) / n_tiles
+
+        perm = prune.cluster_order(rows, n_clusters=nc, n_iters=5)
+        p_km = power(rows[perm])
+        p_native = power(rows[np.argsort(assign, kind="stable")])
+        assert p_native > 0.3, p_native  # sanity: config actually prunes
+        assert p_km >= 0.8 * p_native, (p_km, p_native)
+
 
 class TestCosinePrunedScan:
     """Cosine pruning: unit-row summaries make cosine a dot plan; results
