@@ -3109,3 +3109,98 @@ class TestTernaryExhaustiveSweep:
             PackedTernaryBatch(ok, np.zeros((4, 1), np.uint32), 32)
         with pytest.raises(it.ContractError):      # word count only
             PackedTernaryBatch(ok, ok, 64)
+
+
+class TestScalarExhaustiveSweep:
+    """Killers for the ops/scalar.py exhaustive-sweep survivors (round 4)."""
+
+    def test_fit_quantile_matches_reference_formula(self):
+        """fit_quantile's VALUES were untested: pin them against an
+        independent NumPy rendering of the reference's index formula
+        (src/scalar.rs:120-136), including the finite filter and the
+        two-sided tail split."""
+        from innr_tpu.ops.scalar import QuantizationParams
+
+        rng = np.random.default_rng(11)
+        v = rng.standard_normal(1000).astype(np.float32) * 10
+        v[3] = np.inf
+        v[77] = -np.inf
+        v[500] = np.nan
+        for q in (0.5, 0.9, 0.98):
+            got = QuantizationParams.fit_quantile(v, q)
+            finite = np.sort(v[np.isfinite(v)])
+            tail = (1.0 - q) / 2.0
+            lo = int(np.floor(tail * finite.size))
+            hi = min(int(np.ceil((1.0 - tail) * finite.size)), finite.size - 1)
+            want_alpha = float(finite[hi]) - float(finite[lo])
+            assert got.offset == float(finite[lo]), q
+            assert abs(got.alpha - want_alpha) < 1e-6 * abs(want_alpha), q
+
+    def test_fit_quantile_one_routes_to_fit(self):
+        """quantile == 1.0 must use fit() over ALL values — the reference
+        shortcut (src/scalar.rs:117-119): non-finite values PROPAGATE
+        (the percentile path would filter them)."""
+        from innr_tpu.ops.scalar import QuantizationParams
+
+        v = np.array([0.0, 1.0, 2.0, np.inf], np.float32)
+        got = QuantizationParams.fit_quantile(v, 1.0)
+        assert np.isinf(got.alpha)          # fit propagates the inf range
+        clipped = QuantizationParams.fit_quantile(v, 0.999999)
+        assert np.isfinite(clipped.alpha)   # percentile path filters it
+
+    def test_k0_and_gate_boundaries_never_touch_the_kernel(self, monkeypatch):
+        """k == 0 returns empty WITHOUT dispatching; n == MIN_ROWS_PALLAS
+        (boundary-inclusive) MUST dispatch to the fused kernel unless
+        force_reference wins — pinned with a sentinel kernel, the same
+        spy-table discipline as TestFusedGateContracts."""
+        import innr_tpu.kernels.knn as kknn
+        from innr_tpu import config
+        from innr_tpu.ops.scalar import (
+            QuantizationParams, QuantizedU8Batch, batch_knn_u8,
+            batch_knn_u8_multi,
+        )
+
+        rng = np.random.default_rng(5)
+        codes = QuantizedU8Batch(rng.integers(0, 255, (8, 16), dtype=np.uint8))
+        params = QuantizationParams(alpha=2.0, offset=-1.0)
+        q1 = rng.standard_normal(16).astype(np.float32)
+        qs = rng.standard_normal((2, 16)).astype(np.float32)
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+
+        def boom(*a, **kw):
+            raise AssertionError("fused u8 kernel dispatched")
+
+        monkeypatch.setattr(kknn, "fused_knn_u8_batch", boom)
+        # k == 0: empty result, sentinel must NOT fire (n >= gate).
+        assert batch_knn_u8(q1, codes, params, 0) == []
+        v, i = batch_knn_u8_multi(qs, codes, params, 0)
+        assert v.shape == (2, 0) and i.shape == (2, 0)
+        # n == MIN_ROWS_PALLAS exactly: the fused path MUST fire.
+        with pytest.raises(AssertionError, match="fused u8 kernel"):
+            batch_knn_u8(q1, codes, params, 3)
+        with pytest.raises(AssertionError, match="fused u8 kernel"):
+            batch_knn_u8_multi(qs, codes, params, 3)
+        # force_reference wins over the gate: sentinel must NOT fire.
+        config.force_reference(True)
+        try:
+            out = batch_knn_u8(q1, codes, params, 3)
+            assert len(out) == 3
+        finally:
+            config.force_reference(False)
+
+    def test_multi_rejects_each_query_shape_violation_alone(self):
+        """batch_knn_u8_multi's validation is a disjunction: a 1-D query
+        (right length) and a wrong-width 2-D batch must EACH raise."""
+        import innr_tpu as it
+        from innr_tpu.ops.scalar import (
+            QuantizationParams, QuantizedU8Batch, batch_knn_u8_multi,
+        )
+
+        rng = np.random.default_rng(6)
+        codes = QuantizedU8Batch(rng.integers(0, 255, (8, 16), dtype=np.uint8))
+        params = QuantizationParams(alpha=1.0, offset=0.0)
+        with pytest.raises(it.ContractError):      # rank violation only
+            batch_knn_u8_multi(np.ones(16, np.float32), codes, params, 2)
+        with pytest.raises(it.ContractError):      # width violation only
+            batch_knn_u8_multi(np.ones((2, 17), np.float32), codes, params, 2)
