@@ -77,7 +77,7 @@ class VerticalBatch:
     """
 
     __slots__ = ("rows", "_norms2", "_inv_norms", "_tile_summary",
-                 "_tile_summary_norm")
+                 "_tile_summary_norm", "_prune_tile_n")
 
     def __init__(self, rows: jax.Array, dtype=jnp.float32):
         """``dtype=jnp.bfloat16`` stores the corpus half-precision: the
@@ -99,6 +99,7 @@ class VerticalBatch:
         self._inv_norms = None
         self._tile_summary = None
         self._tile_summary_norm = None
+        self._prune_tile_n = None
 
     def norms2(self) -> jax.Array:
         """Per-row squared L2 norms, computed once and cached."""
@@ -115,30 +116,62 @@ class VerticalBatch:
             self._inv_norms = _inv(self.rows)
         return self._inv_norms
 
+    def set_prune_tile_n(self, tile_n) -> "VerticalBatch":
+        """Override the pruning tile height for this corpus (layout knob).
+
+        The default (``pruned_tile_n``, VMEM-budget-sized) assumes
+        clusters span several tiles; corpora whose natural cluster size
+        is SMALLER than a tile cannot prune at all (tile radii approach
+        the inter-center distance — measured envelope boundary). Setting
+        a smaller tile height trades grid steps for coherence: pass your
+        cluster size (rounded up to a lane multiple) to re-enable
+        pruning on fine-grained corpora. Exactness never depends on this
+        — any tile height returns bit-identical results. ``None``
+        restores the default. Clears the cached summaries; returns self.
+        """
+        from innr_tpu.kernels.pruned_knn import pruned_tile_n
+        from innr_tpu.utils.padding import round_up
+
+        if tile_n is not None:
+            tile_n = int(tile_n)
+            if tile_n <= 0:
+                raise ContractError(
+                    "set_prune_tile_n: tile_n must be positive or None"
+                )
+            cap = pruned_tile_n(self.num_vectors, self.dimension,
+                                self.rows.dtype)
+            tile_n = min(round_up(tile_n, 128), cap)
+        self._prune_tile_n = tile_n
+        self._tile_summary = None
+        self._tile_summary_norm = None
+        return self
+
+    def _tile_n(self) -> int:
+        from innr_tpu.kernels.pruned_knn import pruned_tile_n
+
+        if self._prune_tile_n is not None:
+            return self._prune_tile_n
+        return pruned_tile_n(self.num_vectors, self.dimension,
+                             self.rows.dtype)
+
     def tile_summary(self, normalized: bool = False):
         """Per-HBM-tile (centroid, radius) bounds for tile-skip pruning
         (:mod:`innr_tpu.prune`), built lazily in one corpus pass and
         cached. Powers ``batch_knn*(..., prune=True)``,
         :func:`batch_knn_adaptive` and :func:`batch_l2_squared_pruning`
         on large corpora. ``normalized=True``: the unit-row summary the
-        cosine pruned scan plans against (cached separately)."""
-        from innr_tpu.kernels.pruned_knn import pruned_tile_n
+        cosine pruned scan plans against (cached separately). Tile
+        height: :meth:`set_prune_tile_n` override, else ``pruned_tile_n``."""
         from innr_tpu.prune import build_tile_summary
 
         if normalized:
             if self._tile_summary_norm is None:
-                tile_n = pruned_tile_n(
-                    self.num_vectors, self.dimension, self.rows.dtype
-                )
                 self._tile_summary_norm = build_tile_summary(
-                    self.rows, tile_n, normalized=True
+                    self.rows, self._tile_n(), normalized=True
                 )
             return self._tile_summary_norm
         if self._tile_summary is None:
-            tile_n = pruned_tile_n(
-                self.num_vectors, self.dimension, self.rows.dtype
-            )
-            self._tile_summary = build_tile_summary(self.rows, tile_n)
+            self._tile_summary = build_tile_summary(self.rows, self._tile_n())
         return self._tile_summary
 
     # -- constructors (reference src/batch.rs:103/138/167) ------------------

@@ -393,3 +393,61 @@ class TestBf16PlanRounding:
             qs_plan, s.centroids, s.radii, s.counts, 5, "dot"
         )
         assert 0 < int(n_surv) < s.n_tiles
+
+
+class TestPruneTileKnob:
+    """set_prune_tile_n: the layout knob for fine-grained-cluster corpora
+    (clusters smaller than the default VMEM-budget tile cannot prune —
+    the measured envelope boundary; a matching tile height restores the
+    win). Exactness must never depend on the tile height."""
+
+    def test_knob_restores_power_and_stays_exact(self, rng):
+        import innr_tpu as it
+
+        nc, per, d = 64, 1024, 32
+        centers = 5.0 * rng.standard_normal((nc, d)).astype(np.float32)
+        assign = np.sort(rng.integers(0, nc, nc * per))
+        rows = (
+            centers[assign] + 0.05 * rng.standard_normal((nc * per, d))
+        ).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        q = (centers[17] + 0.02 * rng.standard_normal(d)).astype(np.float32)
+
+        def power(s):
+            n_tiles = -(-rows.shape[0] // s.tile_n)
+            _, ns = prune.plan_survivors(
+                jnp.asarray(q)[None, :], s.centroids, s.radii, s.counts,
+                10, "dot",
+            )
+            return 1.0 - int(ns) / n_tiles
+
+        full = it.batch_knn_dot(q, vb, 10)
+        r_default = it.batch_knn_dot(q, vb, 10, prune=True)
+        p_default = power(vb.tile_summary())
+        assert vb.set_prune_tile_n(256) is vb       # chainable
+        assert vb.tile_summary().tile_n == 256
+        p_knob = power(vb.tile_summary())
+        r_knob = it.batch_knn_dot(q, vb, 10, prune=True)
+        # Sub-tile clusters: default prunes ~nothing, aligned tile wins.
+        assert p_default < 0.05 and p_knob > 0.5, (p_default, p_knob)
+        for r in (r_default, r_knob):
+            np.testing.assert_array_equal(
+                np.asarray(r.indices), np.asarray(full.indices))
+            np.testing.assert_array_equal(
+                np.asarray(r.scores), np.asarray(full.scores))
+
+    def test_knob_validation_reset_and_cap(self, rng):
+        import innr_tpu as it
+        from innr_tpu.kernels.pruned_knn import pruned_tile_n
+
+        rows = rng.standard_normal((4096, 16)).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        default_tile = pruned_tile_n(4096, 16, vb.rows.dtype)
+        with pytest.raises(it.ContractError):
+            vb.set_prune_tile_n(0)
+        vb.set_prune_tile_n(300)                    # rounds up to a lane multiple
+        assert vb.tile_summary().tile_n == 384
+        vb.set_prune_tile_n(10**9)                  # capped at the VMEM budget
+        assert vb.tile_summary().tile_n == default_tile
+        vb.set_prune_tile_n(None)                   # reset to default
+        assert vb.tile_summary().tile_n == default_tile
