@@ -126,4 +126,6 @@ def corpus_from_process_local_rows(
     corpus.rows = rows
     corpus._norms2 = None
     corpus._inv_norms = None
+    corpus._summaries = {}
+    corpus._prune_tile_n = None
     return corpus

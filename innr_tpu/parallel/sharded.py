@@ -265,6 +265,28 @@ class ShardedCorpus:
         self._norms2 = None
         self._inv_norms = None
         self._summaries = {}
+        self._prune_tile_n = None
+
+    def set_prune_tile_n(self, tile_n) -> "ShardedCorpus":
+        """Override the per-shard pruning tile height (see
+        ``VerticalBatch.set_prune_tile_n``): corpora whose natural
+        cluster size is smaller than the default VMEM-budget tile cannot
+        prune; a matching tile height restores the win. Exactness never
+        depends on it. ``None`` resets; clears cached summaries."""
+        from innr_tpu.kernels.pruned_knn import pruned_tile_n
+
+        if tile_n is not None:
+            tile_n = int(tile_n)
+            if tile_n <= 0:
+                raise ContractError(
+                    "set_prune_tile_n: tile_n must be positive or None"
+                )
+            cap = pruned_tile_n(self.shard_rows, self.dimension,
+                                self.rows.dtype)
+            tile_n = min(round_up(tile_n, 128), cap)
+        self._prune_tile_n = tile_n
+        self._summaries = {}
+        return self
 
     def tile_summary(self, normalized: bool = False):
         """Per-shard tile summaries for distributed tile-skip pruning:
@@ -277,7 +299,7 @@ class ShardedCorpus:
             from innr_tpu.kernels.pruned_knn import pruned_tile_n
             from innr_tpu.prune import _summarize
 
-            tile_n = pruned_tile_n(
+            tile_n = self._prune_tile_n or pruned_tile_n(
                 self.shard_rows, self.dimension, self.rows.dtype
             )
             body = partial(_summarize, tile_n=tile_n, normalized=normalized)
@@ -365,6 +387,7 @@ class ShardedCorpus:
         self._norms2 = None
         self._inv_norms = None
         self._summaries = {}
+        self._prune_tile_n = None
         return self
 
     @property

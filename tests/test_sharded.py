@@ -1129,3 +1129,34 @@ class TestShardedPruned:
         assert cent.shape[0] == int(np.asarray(cnt).shape[0])
         assert int(np.asarray(cnt).sum()) == sc.n_pad
         assert sc.tile_summary() is sc.tile_summary()
+
+
+class TestShardedPruneTileKnob:
+    """ShardedCorpus.set_prune_tile_n mirrors the VerticalBatch knob:
+    per-shard summaries rebuild at the requested (lane-rounded, capped)
+    tile height and results stay exact."""
+
+    def test_knob_rebuilds_summaries_and_stays_exact(self, rng, devices_ok,
+                                                     monkeypatch):
+        from innr_tpu import config
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 64)
+        centers = 5.0 * rng.standard_normal((16, 16)).astype(np.float32)
+        assign = np.sort(rng.integers(0, 16, 8192))
+        rows = (
+            centers[assign]
+            + 0.05 * rng.standard_normal((8192, 16)).astype(np.float32)
+        ).astype(np.float32)
+        sc = ShardedCorpus(rows)
+        default_tile = sc.tile_summary()[3]
+        assert sc.set_prune_tile_n(130) is sc         # chainable
+        assert sc.tile_summary()[3] == 256            # lane-rounded
+        q = rng.standard_normal(16).astype(np.float32)
+        pv, pi = sc.knn_dot(q, 6, prune=True)
+        dots = rows.astype(np.float64) @ q.astype(np.float64)
+        want = np.argsort(-dots.astype(np.float32), kind="stable")[:6]
+        np.testing.assert_array_equal(np.asarray(pi), want)
+        sc.set_prune_tile_n(None)                     # reset
+        assert sc.tile_summary()[3] == default_tile
+        with pytest.raises(it.ContractError):
+            sc.set_prune_tile_n(-1)
