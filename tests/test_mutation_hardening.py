@@ -3204,3 +3204,61 @@ class TestScalarExhaustiveSweep:
             batch_knn_u8_multi(np.ones(16, np.float32), codes, params, 2)
         with pytest.raises(it.ContractError):      # width violation only
             batch_knn_u8_multi(np.ones((2, 17), np.float32), codes, params, 2)
+
+
+class TestSlotExhaustiveSweep:
+    """Killers for the ops/slot.py exhaustive-sweep survivors (round 4)."""
+
+    def test_slot_compare_counts_dtype_routing(self):
+        """The u64 branch is the only protection against JAX's
+        x64-disabled downcast (uint64 -> uint32 drops the hi word).
+        Pin the dtype disjunction with MIXED inputs in both orders and
+        hi-word-only differences — each would silently compare lo words
+        on the wrong path."""
+        from innr_tpu.ops.slot import SlotCounts, slot_compare_counts
+
+        hi1lo0 = np.array([1 << 32], np.uint64)        # (hi=1, lo=0)
+        zero32 = np.array([0], np.uint32)
+        # a u64, b u32: hi word differs -> gt (a > b), never eq.
+        assert slot_compare_counts(hi1lo0, zero32) == SlotCounts(0, 0, 1)
+        # a u32, b u64: symmetric -> lt.
+        assert slot_compare_counts(zero32, hi1lo0) == SlotCounts(0, 1, 0)
+        # both u64, equal hi, lo decides: lt via the hi_eq & lo< arm.
+        a = np.array([(1 << 32) + 5], np.uint64)
+        b = np.array([(1 << 32) + 7], np.uint64)
+        assert slot_compare_counts(a, b) == SlotCounts(0, 1, 0)
+        assert slot_compare_counts(b, a) == SlotCounts(0, 0, 1)
+        assert slot_compare_counts(a, a) == SlotCounts(1, 0, 0)
+        # both u32 sanity (the else arm).
+        assert slot_compare_counts(
+            np.array([3, 9, 9], np.uint32), np.array([9, 9, 3], np.uint32)
+        ) == SlotCounts(1, 1, 1)
+
+    def test_sketch_knn_k0_and_cap_gate(self, monkeypatch):
+        """k == 0 returns empty WITHOUT dispatching; k == single_pass_k
+        (boundary-inclusive) must dispatch the fused slot kernel; k ==
+        cap + 1 must take the XLA fallback — sentinel-kernel spy."""
+        import innr_tpu.kernels.knn as kknn
+        import innr_tpu.kernels.slot_knn as kslot
+        from innr_tpu import config
+        from innr_tpu.ops.slot import SketchCorpus, slot_knn_u32
+
+        rng = np.random.default_rng(9)
+        raw = rng.integers(0, 50, (8, 16)).astype(np.uint32)
+        sketches = SketchCorpus(raw)   # fused path needs the transpose
+        q = raw[3].copy()
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        monkeypatch.setattr(kknn, "single_pass_k", lambda n_q: 4)
+
+        def boom(*a, **kw):
+            raise AssertionError("fused slot kernel dispatched")
+
+        monkeypatch.setattr(kslot, "fused_slot_knn", boom)
+        counts, idx = slot_knn_u32(q, sketches, 0)
+        assert counts.shape == (0,) and idx.shape == (0,)
+        with pytest.raises(AssertionError, match="fused slot kernel"):
+            slot_knn_u32(q, sketches, 4)
+        # k over the cap: XLA fallback, correct results, sentinel silent.
+        counts, idx = slot_knn_u32(q, sketches, 5)
+        assert int(np.asarray(idx)[0]) == 3 and int(np.asarray(counts)[0]) == 0
