@@ -3262,3 +3262,238 @@ class TestSlotExhaustiveSweep:
         # k over the cap: XLA fallback, correct results, sentinel silent.
         counts, idx = slot_knn_u32(q, sketches, 5)
         assert int(np.asarray(idx)[0]) == 3 and int(np.asarray(counts)[0]) == 0
+
+
+class TestSparseExhaustiveSweep:
+    """Killers for the ops/sparse.py exhaustive-sweep survivors (round 4).
+
+    Each test names the mutant it kills (verified by re-applying the exact
+    AST mutation and watching the test fail).
+    """
+
+    def test_sparse_dot_one_sided_empty(self):
+        # sparse.py:54 [boolop Or -> And]: an empty *b* alone must return
+        # 0.0 — the mutant proceeds into searchsorted/gather on a zero-width
+        # array.
+        from innr_tpu.ops.sparse import sparse_dot
+
+        a_i = np.array([1, 2], np.uint32)
+        a_v = np.array([1.0, 2.0], np.float32)
+        e_i = np.array([], np.uint32)
+        e_v = np.array([], np.float32)
+        assert float(sparse_dot(a_i, a_v, e_i, e_v)) == 0.0
+        assert float(sparse_dot(e_i, e_v, a_i, a_v)) == 0.0
+
+    def test_padded_pair_rejects_list_on_either_side(self):
+        # sparse.py:112 [boolop Or -> And]: a python list on EITHER side of
+        # a two-tuple marks it as a doc list, not a padded pair. With
+        # (2-row ndarray, list) docs the doc-list path unpacks the ndarray's
+        # ROWS as doc0's (indices, values) — pin that dispatch so the mutant
+        # (which accepts the tuple as a padded pair) changes the values.
+        from innr_tpu.ops.sparse import SparseCorpus
+
+        c = SparseCorpus(
+            (np.array([[0, 1], [2, 3]], np.uint32), [[1.0, 2.0], [3.0, 4.0]])
+        )
+        assert np.asarray(c.indices).tolist() == [[0, 1], [1, 2]]
+        assert np.asarray(c.values).tolist() == [[2.0, 3.0], [3.0, 4.0]]
+
+    def test_tuple_of_three_doc_pairs_is_a_doc_list(self):
+        # sparse.py:109 [boolop And -> Or]: a TUPLE of three (idx, val) doc
+        # pairs has len != 2, so it must take the doc-list path; the mutant
+        # enters the padded-pair probe and crashes unpacking `a, b = obj`.
+        from innr_tpu.ops.sparse import SparseCorpus
+
+        doc = (np.array([0], np.uint32), np.array([1.0], np.float32))
+        c = SparseCorpus((doc, doc, doc))
+        assert c.num_docs == 3
+
+    def test_knn_k0_and_empty_corpus_never_dispatch(self, monkeypatch):
+        # sparse.py:210/:229 [cmp LtE -> Lt] and [boolop Or -> And]: k == 0
+        # and n == 0 must return empty WITHOUT scoring the corpus (the
+        # early return is a dispatch shortcut, observable via a scorer spy).
+        from innr_tpu.ops import sparse as sp
+
+        corpus = sp.SparseCorpus(
+            [(np.array([0, 2], np.uint32), np.array([1.0, 2.0], np.float32))]
+        )
+        empty = sp.SparseCorpus([])
+        q = (np.array([0], np.uint32), np.array([1.0], np.float32))
+
+        def boom(*a, **kw):
+            raise AssertionError("sparse scorer dispatched")
+
+        monkeypatch.setattr(sp, "_corpus_scores", boom)
+        s, i = sp.sparse_knn(q, corpus, 0)
+        assert s.shape == (0,) and i.shape == (0,)
+        s, i = sp.sparse_knn(q, empty, 3)
+        assert s.shape == (0,) and i.shape == (0,)
+        s, i = sp.sparse_knn_batch([q], corpus, 0)
+        assert s.shape == (1, 0) and i.shape == (1, 0)
+        s, i = sp.sparse_knn_batch([q], empty, 3)
+        assert s.shape == (1, 0) and i.shape == (1, 0)
+
+    def test_maxsim_empty_doc_array_returns_zero(self):
+        # sparse.py:271 [boolop Or -> And]: a pre-padded EMPTY doc array
+        # (0, W) with a non-empty query must return 0.0 — the mutant runs
+        # jnp.max over a zero-length axis and crashes.
+        from innr_tpu.ops.sparse import pad_sparse, sparse_maxsim
+
+        q = pad_sparse([(np.array([1, 2], np.uint32),
+                         np.array([1.0, 2.0], np.float32))])
+        d_empty = (jnp.zeros((0, 2), jnp.uint32), jnp.zeros((0, 2), jnp.float32))
+        assert float(sparse_maxsim(q, d_empty)) == 0.0
+
+    def test_maxsim_batch_empty_never_dispatches(self, monkeypatch):
+        # sparse.py:390 [boolop Or -> And]: empty corpus OR empty query
+        # alone must return zeros without calling the corpus scorer.
+        from innr_tpu.ops import sparse as sp
+
+        def boom(*a, **kw):
+            raise AssertionError("corpus maxsim scorer dispatched")
+
+        monkeypatch.setattr(sp, "_corpus_maxsim_scores", boom)
+        q = [(np.array([0], np.uint32), np.array([1.0], np.float32))]
+        doc = [[(np.array([0], np.uint32), np.array([1.0], np.float32))]]
+        d_tri = sp.pad_sparse_docs(doc)
+        out = sp.sparse_maxsim_batch(q, (jnp.zeros((0, 1, 1), jnp.uint32),
+                                         jnp.zeros((0, 1, 1), jnp.float32),
+                                         jnp.zeros((0, 1), bool)))
+        assert out.shape == (0,)
+        out = sp.sparse_maxsim_batch([], d_tri)
+        assert out.shape == (1,) and float(out[0]) == 0.0
+
+    def test_maxsim_knn_k0_and_empty_skip_topk(self, monkeypatch):
+        # sparse.py:403 [cmp LtE -> Lt] and [boolop Or -> And]: k == 0 or an
+        # empty corpus must return empty without running the top-k.
+        from innr_tpu.ops import sparse as sp
+        from innr_tpu.utils import order as order_mod
+
+        def boom(*a, **kw):
+            raise AssertionError("top_k_total dispatched")
+
+        monkeypatch.setattr(order_mod, "top_k_total", boom)
+        q = [(np.array([0], np.uint32), np.array([1.0], np.float32))]
+        doc = [[(np.array([0], np.uint32), np.array([1.0], np.float32))]]
+        s, i = sp.sparse_maxsim_knn(q, doc, 0)
+        assert s.shape == (0,) and i.shape == (0,)
+        s, i = sp.sparse_maxsim_knn(
+            q,
+            (jnp.zeros((0, 1, 1), jnp.uint32),
+             jnp.zeros((0, 1, 1), jnp.float32),
+             jnp.zeros((0, 1), bool)),
+            3,
+        )
+        assert s.shape == (0,) and i.shape == (0,)
+
+    def test_pad_sparse_docs_tokens_boundary(self):
+        # sparse.py:299 [cmp Gt -> GtE]: a doc with EXACTLY `tokens` tokens
+        # must be accepted; tokens-1 must raise.
+        from innr_tpu.ops.sparse import pad_sparse_docs
+        from innr_tpu.utils.asserts import ContractError
+
+        doc = [(np.array([0], np.uint32), np.array([1.0], np.float32)),
+               (np.array([1], np.uint32), np.array([2.0], np.float32))]
+        idx, val, mask = pad_sparse_docs([doc], tokens=2)
+        assert idx.shape[:2] == (1, 2) and int(mask.sum()) == 2
+        with pytest.raises(ContractError):
+            pad_sparse_docs([doc], tokens=1)
+
+
+class TestDenseF64ExhaustiveSweep:
+    """Killers for the ops/dense_f64.py exhaustive-sweep survivors."""
+
+    def test_quick_two_sum_canonicalizes(self):
+        # dense_f64.py:60 [binop Add -> Sub]: _quick_two_sum must return the
+        # CANONICAL (fl(s+e), residual) pair. For (1.0, 2^-24): round-to-even
+        # gives h == 1.0 exactly, l == 2^-24. The mutant returns
+        # (1 - 2^-24, 2^-23) — value-preserving but non-canonical, which is
+        # exactly the invariant the df64 error bound rests on.
+        from innr_tpu.ops.dense_f64 import _quick_two_sum
+
+        h, l = _quick_two_sum(jnp.float32(1.0), jnp.float32(2.0 ** -24))
+        assert float(h) == 1.0
+        assert float(l) == 2.0 ** -24
+
+    def test_split_is_dekker_12bit(self):
+        # dense_f64.py:65 [binop Mult -> Add]: Dekker splitting must cut the
+        # mantissa at 12 bits RELATIVE to the value. 8191.75 needs 13 bits,
+        # so hi must round to 8192.0 with lo == -0.25; the additive mutant
+        # returns (8191.75, 0.0) — a hi that no longer fits 12 bits, which
+        # breaks exact two_prod on FMA-less backends.
+        from innr_tpu.ops.dense_f64 import _split
+
+        hi, lo = _split(jnp.float32(8191.75))
+        assert float(hi) == 8192.0
+        assert float(lo) == -0.25
+
+    def test_l1_identical_vectors_positive_zero(self):
+        # dense_f64.py:170 [cmp Lt -> LtE]: |0.0| must keep the POSITIVE
+        # zero (neg = dh < 0 is False at +0.0). The mutant negates the zero
+        # and a single-element distance (no padding in the tree reduction)
+        # surfaces it as -0.0.
+        import math
+
+        from innr_tpu.ops.dense_f64 import l1_distance_f64
+
+        r = l1_distance_f64([2.5], [2.5])
+        assert r == 0.0 and math.copysign(1.0, r) == 1.0
+
+    def test_native_dot_exact(self):
+        # dense_f64.py:191 [binop Mult -> Add]: the impl="native" path is
+        # sum(a * b), only reachable with x64 on — toggle it for the test.
+        import jax
+
+        from innr_tpu.ops.dense_f64 import dot_f64
+
+        try:
+            jax.config.update("jax_enable_x64", True)
+            assert dot_f64([2.0, 3.0], [5.0, 7.0], impl="native") == 31.0
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    def test_normalize_norm_exactly_eps_unchanged(self):
+        # dense_f64.py:208 [cmp Gt -> GtE]: the contract is "norms AT or
+        # below f64::EPSILON leave the vector unchanged" — the boundary
+        # itself must NOT normalize. [eps] has norm exactly eps (eps^2 and
+        # its sqrt are exact in df64).
+        from innr_tpu.ops.dense_f64 import _F64_EPSILON, normalize_f64
+
+        v, n = normalize_f64([_F64_EPSILON])
+        assert n == _F64_EPSILON
+        assert v[0] == _F64_EPSILON  # unchanged, not 1.0
+
+
+class TestMaxsimOpsSweepSurvivors:
+    """Killers for the ops/maxsim.py exhaustive-sweep survivors."""
+
+    def test_maxsim_cosine_empty_doc_side(self):
+        # maxsim.py:106 [boolop Or -> And]: an empty DOC side alone must
+        # return 0.0 — the mutant proceeds and crashes on a row-max over a
+        # zero-length axis.
+        from innr_tpu.ops.maxsim import maxsim_cosine
+
+        q = np.ones((2, 4), np.float32)
+        assert float(maxsim_cosine(q, np.zeros((0, 4), np.float32))) == 0.0
+        assert float(maxsim_cosine(np.zeros((0, 4), np.float32), q)) == 0.0
+
+    def test_knn_batch_degenerate_never_dispatches(self, monkeypatch):
+        # maxsim.py:203 [boolop Or -> And]: each degenerate input alone
+        # (empty corpus, k == 0, token-less query batch, empty batch) must
+        # return (b, 0) empties without scoring.
+        from innr_tpu.ops import maxsim as mx
+
+        def boom(*a, **kw):
+            raise AssertionError("batch_maxsim dispatched")
+
+        monkeypatch.setattr(mx, "batch_maxsim", boom)
+        docs = np.ones((3, 2, 4), np.float32)
+        qs = np.ones((1, 2, 4), np.float32)
+        for args in (
+            (qs, np.zeros((0, 2, 4), np.float32), 2),   # n == 0
+            (qs, docs, 0),                               # k == 0
+            (np.ones((1, 0, 4), np.float32), docs, 2),   # Tq == 0
+            (np.ones((0, 2, 4), np.float32), docs, 2),   # b == 0
+        ):
+            s, i = mx.maxsim_knn_batch(*args)
+            assert s.shape[1] == 0 and i.shape[1] == 0
