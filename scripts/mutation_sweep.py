@@ -64,22 +64,28 @@ TARGETS: dict[str, tuple[str, ...]] = {
     "innr_tpu/batch.py": ("tests/test_batch.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/segmented.py": ("tests/test_segmented.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/pipeline.py": ("tests/test_pipeline_io.py", "tests/test_mutation_hardening.py"),
-    "innr_tpu/serving.py": ("tests/test_serving.py",),
+    "innr_tpu/serving.py": (
+        "tests/test_serving.py", "tests/test_mutation_hardening.py",
+    ),
     # The distribution layer: every module's mutants must be observable
     # through the 8-virtual-device mesh suite (test_sharded covers the
     # whole parallel/ family; multihost has its own 2-process smoke).
-    "innr_tpu/parallel/_scan.py": ("tests/test_sharded.py",),
-    "innr_tpu/parallel/_stream.py": ("tests/test_sharded.py",),
-    "innr_tpu/parallel/sharded.py": ("tests/test_sharded.py",),
-    "innr_tpu/parallel/hierarchical.py": ("tests/test_sharded.py",),
-    "innr_tpu/parallel/grid.py": ("tests/test_sharded.py",),
-    "innr_tpu/parallel/query_parallel.py": ("tests/test_sharded.py",),
-    "innr_tpu/parallel/sharded_maxsim.py": ("tests/test_sharded.py",),
-    "innr_tpu/parallel/sharded_packed.py": ("tests/test_sharded.py",),
-    "innr_tpu/parallel/sharded_pipeline.py": ("tests/test_sharded.py",),
-    "innr_tpu/parallel/sharded_quant.py": ("tests/test_sharded.py",),
-    "innr_tpu/parallel/sharded_slot.py": ("tests/test_sharded.py",),
-    "innr_tpu/parallel/sharded_sparse.py": ("tests/test_sharded.py",),
+    # test_mutation_hardening.py is REQUIRED here too — the sharded /
+    # hierarchical / local-scan / grid / query-parallel sweep killers all
+    # live there (TestShardedDispatchContracts and friends); omitting it
+    # disarmed them for a while (round-4 fix).
+    "innr_tpu/parallel/_scan.py": ("tests/test_sharded.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/parallel/_stream.py": ("tests/test_sharded.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/parallel/sharded.py": ("tests/test_sharded.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/parallel/hierarchical.py": ("tests/test_sharded.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/parallel/grid.py": ("tests/test_sharded.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/parallel/query_parallel.py": ("tests/test_sharded.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/parallel/sharded_maxsim.py": ("tests/test_sharded.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/parallel/sharded_packed.py": ("tests/test_sharded.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/parallel/sharded_pipeline.py": ("tests/test_sharded.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/parallel/sharded_quant.py": ("tests/test_sharded.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/parallel/sharded_slot.py": ("tests/test_sharded.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/parallel/sharded_sparse.py": ("tests/test_sharded.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/parallel/multihost.py": ("tests/test_multihost.py",),
     # Round-4 additions: every remaining non-__init__ module, so "all
     # modules swept" is literal. ops/reference.py is the force-reference

@@ -155,3 +155,108 @@ class TestSingleProcessArms:
         q = rows[11]
         vals, idx = corpus.knn_dot(q, 13)
         assert sorted(np.asarray(idx).tolist()) == list(range(13))
+
+
+class TestMultihostSweepSurvivors:
+    """Killers for the multihost.py exhaustive-sweep survivors (round 4):
+    initialize()'s arg/env precedence and the final-process padding
+    policy, both pinned with recorders (no cluster needed)."""
+
+    def test_initialize_explicit_args_win(self, monkeypatch):
+        # multihost.py:63 [boolop Or -> And]: an explicit coordinator
+        # address must reach jax.distributed.initialize even with no env
+        # var set (the mutant demotes it to None). Env vars for the other
+        # two are set to DIFFERENT values: explicit arguments win
+        # (:66/:68 And -> Or would read the env instead).
+        import jax
+
+        from innr_tpu.parallel import multihost
+
+        rec = {}
+
+        def recorder(coordinator_address=None, num_processes=None,
+                     process_id=None, local_device_ids=None):
+            rec.update(addr=coordinator_address, num=num_processes,
+                       pid=process_id)
+
+        monkeypatch.setattr(jax.distributed, "initialize", recorder)
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "7")
+        monkeypatch.setenv("JAX_PROCESS_ID", "9")
+        multihost.initialize("host:1234", num_processes=2, process_id=0)
+        assert rec == {"addr": "host:1234", "num": 2, "pid": 0}
+
+    def test_initialize_env_coordinator_used(self, monkeypatch):
+        # multihost.py:63 the other direction: env-only coordinator must
+        # be picked up when the argument is absent.
+        import jax
+
+        from innr_tpu.parallel import multihost
+
+        rec = {}
+
+        def recorder(coordinator_address=None, num_processes=None,
+                     process_id=None, local_device_ids=None):
+            rec.update(addr=coordinator_address)
+
+        monkeypatch.setattr(jax.distributed, "initialize", recorder)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "env-host:9")
+        monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+        monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+        multihost.initialize(num_processes=2, process_id=0)
+        assert rec == {"addr": "env-host:9"}
+
+    def test_initialize_coordinator_only_initializes(self, monkeypatch):
+        # multihost.py:70 [boolop And -> Or]: coordinator given but
+        # num_processes absent must STILL initialize (TPU pods
+        # auto-discover the rest); the mutant early-returns.
+        import jax
+
+        from innr_tpu.parallel import multihost
+
+        called = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize",
+            lambda **kw: called.append(kw),
+        )
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+        monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+        multihost.initialize("host:1234")
+        assert len(called) == 1
+        assert called[0]["coordinator_address"] == "host:1234"
+
+    def test_final_process_padding_policy(self, monkeypatch):
+        # multihost.py:113 [boolop And -> Or] (and the rest of the
+        # padding-arm sites): ONLY the final process pads its block, and
+        # pads it by exactly n_pad - owned rows. Fake a 2-process world
+        # and record what reaches make_array_from_process_local_data.
+        import jax
+
+        from innr_tpu.parallel import multihost
+
+        rec = {}
+
+        def recorder(sharding, local, global_shape):
+            rec["local_shape"] = tuple(local.shape)
+            rec["global_shape"] = tuple(global_shape)
+            return object()
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(
+            jax, "make_array_from_process_local_data", recorder
+        )
+        local = np.ones((5, 2), np.float32)
+
+        # Non-final process: NO padding, ever (the mutant pads here).
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+        corpus = multihost.corpus_from_process_local_rows(local)
+        assert rec["local_shape"] == (5, 2)
+        assert rec["global_shape"] == (16, 2)  # round_up(10, 8 devices)
+        assert corpus.n_true == 10 and corpus.n_pad == 16
+
+        # Final process: pads by exactly n_pad - owned = 6 rows.
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        multihost.corpus_from_process_local_rows(local)
+        assert rec["local_shape"] == (11, 2)
+        assert rec["global_shape"] == (16, 2)

@@ -3497,3 +3497,284 @@ class TestMaxsimOpsSweepSurvivors:
         ):
             s, i = mx.maxsim_knn_batch(*args)
             assert s.shape[1] == 0 and i.shape[1] == 0
+
+
+class TestGridPolicyContracts:
+    """Killers for the parallel/grid.py exhaustive-sweep survivors: the
+    local-k / use_fused policy, dispatch shortcuts, the l2 aux values and
+    the filtered-entry validation."""
+
+    @staticmethod
+    def _mesh(corpus_shards=2, query_shards=1):
+        from innr_tpu.parallel.grid import grid_mesh
+
+        return grid_mesh(corpus_shards, query_shards)
+
+    def test_aux_norms2_values(self):
+        # grid.py:180 [binop Mult -> Add]: the l2 aux must be the per-row
+        # SQUARED norm (sum r*r), not sum (r+r) — only the fused kernel
+        # consumes it, so pin the helper's values directly.
+        from innr_tpu.parallel.grid import GridIndex
+
+        rows = np.array([[3.0, 0.0, 0.0, 0.0], [1.0, 1.0, 1.0, 1.0],
+                         [0.5, -2.0, 4.0, 1.5]], np.float32)
+        g = GridIndex(rows, self._mesh())
+        got = np.asarray(g._aux("l2"))[: rows.shape[0]]
+        np.testing.assert_allclose(got, (rows * rows).sum(axis=1), rtol=1e-6)
+
+    def test_dispatch_shortcuts_never_launch(self, monkeypatch):
+        # grid.py:200 [cmp LtE -> Lt] and [boolop Or -> And]: k == 0 and an
+        # empty index alone must each return empty WITHOUT launching.
+        from innr_tpu.parallel import grid as gmod
+
+        def boom(*a, **kw):
+            raise AssertionError("_grid_knn dispatched")
+
+        monkeypatch.setattr(gmod, "_grid_knn", boom)
+        mesh = self._mesh()
+        g = gmod.GridIndex(np.ones((4, 4), np.float32), mesh)
+        vals, idx = g.knn_dot(np.ones((2, 4), np.float32), 0)
+        assert vals.shape == (2, 0) and idx.shape == (2, 0)
+        empty = gmod.GridIndex(np.zeros((0, 4), np.float32), mesh)
+        vals, idx = empty.knn_dot(np.ones((2, 4), np.float32), 3)
+        assert vals.shape == (2, 0) and idx.shape == (2, 0)
+
+    def test_local_k_policy_recorded(self, monkeypatch):
+        # grid.py:213 [binop Sub], :216 [boolop And], :217 [cmp GtE],
+        # :219 [binop Add], :277->220 call path: pin the exact
+        # (k_local, use_fused) handed to the launcher for a geometry where
+        # the min() does NOT bind (pad matters) and one where it DOES
+        # (shard_rows matters), at the fused gate boundary, plus the
+        # force_reference arm.
+        from innr_tpu import config
+        from innr_tpu.parallel import grid as gmod
+
+        rec = {}
+
+        def recorder(qs, rows, aux, k, k_local, mode, n_total, mesh, use_fused):
+            rec["k_local"] = k_local
+            rec["use_fused"] = use_fused
+            n_q = qs.shape[0]
+            kk = max(k, 1)
+            return jnp.zeros((n_q, kk), jnp.float32), jnp.zeros(
+                (n_q, kk), jnp.int32
+            )
+
+        monkeypatch.setattr(gmod, "_grid_knn", recorder)
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 5)
+        mesh = self._mesh()
+        # n_true=9 on 2 shards -> n_pad=10, pad=1, shard_rows=5 == MIN (the
+        # GtE boundary must fuse).
+        g = gmod.GridIndex(np.ones((9, 4), np.float32), mesh)
+        q = np.ones((2, 4), np.float32)
+        g.knn_dot(q, 2)
+        assert rec["use_fused"] is True
+        assert rec["k_local"] == 3  # min(k + pad, shard_rows) = min(3, 5)
+        g.knn_dot(q, 7)
+        assert rec["k_local"] == 5  # binding: min(8, 5)
+        monkeypatch.setattr(config, "reference_forced", lambda: True)
+        g.knn_dot(q, 2)
+        assert rec["use_fused"] is False
+        assert rec["k_local"] == 2  # unfused: min(k, shard_rows)
+
+    def test_filtered_policy_and_validation(self, monkeypatch):
+        # grid.py:246 [boolop Or], :258 [cmp LtE / boolop Or],
+        # :276 [binop Sub], :279 [boolop And], :280 [cmp GtE],
+        # :282 [binop Add]: the filtered twin of the two tests above.
+        from innr_tpu import config
+        from innr_tpu.parallel import grid as gmod
+        from innr_tpu.utils.asserts import ContractError
+
+        mesh = self._mesh()
+        g = gmod.GridIndex(np.ones((9, 4), np.float32), mesh)
+        q = np.ones((2, 4), np.float32)
+        ok = np.ones(9, bool)
+        with pytest.raises(ContractError, match="grid_knn_filtered"):
+            g.knn_filtered(np.ones((2, 5), np.float32), 2, ok)
+
+        rec = {}
+
+        def recorder(qs, rows, aux, mask, k, k_local, n_total, mesh_, use_fused):
+            rec["k_local"] = k_local
+            rec["use_fused"] = use_fused
+            n_q = qs.shape[0]
+            kk = max(k, 1)
+            return jnp.zeros((n_q, kk), jnp.float32), jnp.zeros(
+                (n_q, kk), jnp.int32
+            )
+
+        def boom(*a, **kw):
+            raise AssertionError("_grid_knn_filtered dispatched")
+
+        monkeypatch.setattr(gmod, "_grid_knn_filtered", boom)
+        vals, idx = g.knn_filtered(q, 0, ok)
+        assert vals.shape == (2, 0)
+        vals, idx = g.knn_filtered(q, 3, np.zeros(9, bool))  # none passing
+        assert vals.shape == (2, 0)
+        empty = gmod.GridIndex(np.zeros((0, 4), np.float32), mesh)
+        vals, idx = empty.knn_filtered(q, 3, np.zeros(0, bool))
+        assert vals.shape == (2, 0)
+
+        monkeypatch.setattr(gmod, "_grid_knn_filtered", recorder)
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 5)
+        g.knn_filtered(q, 2, ok)
+        assert rec["use_fused"] is True and rec["k_local"] == 3
+        g.knn_filtered(q, 7, ok)
+        assert rec["k_local"] == 5
+        monkeypatch.setattr(config, "reference_forced", lambda: True)
+        g.knn_filtered(q, 2, ok)
+        assert rec["use_fused"] is False and rec["k_local"] == 2
+
+
+class TestQueryParallelPolicyContracts:
+    """Killers for the parallel/query_parallel.py sweep survivors: aux
+    values and routing, use_fused policy, dispatch shortcuts, filtered
+    validation."""
+
+    def test_aux_norms2_values(self):
+        # query_parallel.py:110 [binop Mult -> Add]: per-row squared norms.
+        from innr_tpu.parallel.query_parallel import QueryParallelIndex
+
+        rows = np.array([[3.0, 0.0], [1.0, 1.0], [0.5, -2.0]], np.float32)
+        q = QueryParallelIndex(rows)
+        got = np.asarray(q._aux_norms2())
+        np.testing.assert_allclose(got, (rows * rows).sum(axis=1), rtol=1e-6)
+
+    def test_dispatch_shortcuts_never_launch(self, monkeypatch):
+        # query_parallel.py:151 [cmp LtE / boolop Or].
+        from innr_tpu.parallel import query_parallel as qp
+
+        def boom(*a, **kw):
+            raise AssertionError("_qp_knn dispatched")
+
+        monkeypatch.setattr(qp, "_qp_knn", boom)
+        idx = qp.QueryParallelIndex(np.ones((4, 4), np.float32))
+        vals, ids = idx.knn_dot(np.ones((2, 4), np.float32), 0)
+        assert vals.shape == (2, 0) and ids.shape == (2, 0)
+        empty = qp.QueryParallelIndex(np.zeros((0, 4), np.float32))
+        vals, ids = empty.knn_dot(np.ones((2, 4), np.float32), 3)
+        assert vals.shape == (2, 0) and ids.shape == (2, 0)
+
+    def test_use_fused_policy_and_aux_routing(self, monkeypatch):
+        # query_parallel.py:170 [boolop And], :171 [cmp GtE],
+        # :176 [cmp Eq]: the fused gate at the n == MIN boundary, the
+        # force_reference arm, and the mode-conditional aux routing (dot
+        # gets the 1-element dummy, l2 the (N,) norms).
+        from innr_tpu import config
+        from innr_tpu.parallel import query_parallel as qp
+
+        rec = {}
+
+        def recorder(qs, rows, norms2, inv, k, mode, mesh, use_fused):
+            rec["norms2_shape"] = tuple(norms2.shape)
+            rec["use_fused"] = use_fused
+            n_q = qs.shape[0]
+            return (jnp.zeros((n_q, k), jnp.float32),
+                    jnp.zeros((n_q, k), jnp.int32))
+
+        monkeypatch.setattr(qp, "_qp_knn", recorder)
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 4)
+        idx = qp.QueryParallelIndex(np.ones((4, 4), np.float32))  # n == MIN
+        q = np.ones((2, 4), np.float32)
+        idx.knn_dot(q, 2)
+        assert rec["use_fused"] is True
+        assert rec["norms2_shape"] == (1,)  # dot rides the dummy
+        idx.knn_l2(q, 2)
+        assert rec["norms2_shape"] == (4,)  # l2 gets real norms
+        monkeypatch.setattr(config, "reference_forced", lambda: True)
+        idx.knn_dot(q, 2)
+        assert rec["use_fused"] is False
+
+    def test_filtered_validation_and_policy(self, monkeypatch):
+        # query_parallel.py:203 [boolop Or], :215 [cmp LtE / boolop Or],
+        # :233 [boolop And], :234 [cmp GtE].
+        from innr_tpu import config
+        from innr_tpu.parallel import query_parallel as qp
+        from innr_tpu.utils.asserts import ContractError
+
+        idx = qp.QueryParallelIndex(np.ones((4, 4), np.float32))
+        q = np.ones((2, 4), np.float32)
+        ok = np.ones(4, bool)
+        with pytest.raises(ContractError, match="query_parallel_knn_filtered"):
+            idx.knn_filtered(np.ones((2, 5), np.float32), 2, ok)
+
+        def boom(*a, **kw):
+            raise AssertionError("_qp_knn_filtered dispatched")
+
+        monkeypatch.setattr(qp, "_qp_knn_filtered", boom)
+        vals, ids = idx.knn_filtered(q, 0, ok)
+        assert vals.shape == (2, 0)
+        vals, ids = idx.knn_filtered(q, 3, np.zeros(4, bool))
+        assert vals.shape == (2, 0)
+        empty = qp.QueryParallelIndex(np.zeros((0, 4), np.float32))
+        vals, ids = empty.knn_filtered(q, 3, np.zeros(0, bool))
+        assert vals.shape == (2, 0)
+
+        rec = {}
+
+        def recorder(qs, rows, norms2, mask, k, mesh, use_fused):
+            rec["use_fused"] = use_fused
+            n_q = qs.shape[0]
+            return (jnp.zeros((n_q, k), jnp.float32),
+                    jnp.zeros((n_q, k), jnp.int32))
+
+        monkeypatch.setattr(qp, "_qp_knn_filtered", recorder)
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 4)
+        idx.knn_filtered(q, 2, ok)
+        assert rec["use_fused"] is True  # n == MIN boundary fuses
+        monkeypatch.setattr(config, "reference_forced", lambda: True)
+        idx.knn_filtered(q, 2, ok)
+        assert rec["use_fused"] is False
+
+
+class TestStreamedArrayContracts:
+    """Killers for the parallel/_stream.py sweep survivors."""
+
+    @staticmethod
+    def _sharding():
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()[:2]), ("x",))
+        return NamedSharding(mesh, P("x", None))
+
+    def test_wholly_padded_shard_never_fetches(self):
+        # _stream.py:42 [cmp Gt -> GtE]: a wholly-padded shard must fetch
+        # ZERO rows — get_rows is never called with an empty range.
+        from innr_tpu.parallel._stream import streamed_array
+
+        calls = []
+        src = np.arange(8, dtype=np.float32).reshape(4, 2)
+
+        def get_rows(start, stop):
+            calls.append((start, stop))
+            assert stop > start, "empty-range fetch"
+            return src[start:stop]
+
+        arr = streamed_array(
+            get_rows, n_true=4, n_pad=8, width=2, np_dtype=np.float32,
+            sharding=self._sharding(), column_major=False, name="t",
+        )
+        out = np.asarray(arr)
+        np.testing.assert_array_equal(out[:4], src)
+        np.testing.assert_array_equal(out[4:], 0.0)
+        assert calls == [(0, 4)]
+
+    def test_shape_contract_message_counts_rows(self):
+        # _stream.py:49 [binop Sub -> Add]: the shape-mismatch message must
+        # report the true expected row count (real_stop - start), which
+        # only differs from the mutant on a shard with start > 0.
+        from innr_tpu.parallel._stream import streamed_array
+
+        src = np.arange(16, dtype=np.float32).reshape(8, 2)
+
+        def get_rows(start, stop):
+            if start >= 4:
+                return src[start : stop - 1]  # wrong: one row short
+            return src[start:stop]
+
+        with pytest.raises(Exception, match=r"want \(4, 2\)"):
+            np.asarray(streamed_array(
+                get_rows, n_true=8, n_pad=8, width=2, np_dtype=np.float32,
+                sharding=self._sharding(), column_major=False, name="t",
+            ))
