@@ -3778,3 +3778,262 @@ class TestStreamedArrayContracts:
                 get_rows, n_true=8, n_pad=8, width=2, np_dtype=np.float32,
                 sharding=self._sharding(), column_major=False, name="t",
             ))
+
+
+class TestShardedPackedContracts:
+    """Killers for the parallel/sharded_packed.py exhaustive-sweep
+    survivors: the _plan_packed policy table, the fused/jnp padding masks
+    and global-index bases (designed corpora where padding rows WOULD win
+    and the true winners sit on a nonzero shard), per-violation ctor and
+    query validation, dispatch shortcuts, and the encode/source edges."""
+
+    DIM = 64  # 2 uint32 words
+
+    @classmethod
+    def _binary_words(cls):
+        # 797 rows on the 8-device mesh -> n_pad 800, shard_cols 100,
+        # 3 padding rows. Generic rows: exactly 2 bits, all below 59.
+        # Row 450: ONE bit (the unique zero-query winner). Rows 700/701/
+        # 702: {60,61,62} plus 0/1/2 extras (unique distances 0/1/2 from
+        # the row-700 query; every generic row sits at distance 5).
+        n = 797
+        words = np.zeros((n, 2), np.uint64)
+        bits = np.zeros((n, cls.DIM), bool)
+        for i in range(n):
+            b1 = (i * 7) % 59
+            b2 = (b1 + 1 + (i % 57)) % 59
+            bits[i, b1] = True
+            bits[i, b2] = True
+        bits[450] = False
+        bits[450, 5] = True
+        for r, extras in ((700, ()), (701, (1,)), (702, (1, 2))):
+            bits[r] = False
+            bits[r, [60, 61, 62]] = True
+            for e in extras:
+                bits[r, e] = True
+        words = np.zeros((n, 2), np.uint32)
+        for w in range(2):
+            for b in range(32):
+                words[:, w] |= bits[:, 32 * w + b].astype(np.uint32) << b
+        return words
+
+    def _planes(self):
+        # Ternary twin: every TRUE row carries -1 at dim 0 (so a +1@dim0
+        # query scores -1 everywhere real and 0 on zero-plane padding
+        # rows); rows 700/701/702 add +1s at {60,61,62} / {60,61} / {60}.
+        n = 797
+        pos = np.zeros((n, 2), np.uint32)
+        neg = np.zeros((n, 2), np.uint32)
+        neg[:, 0] |= np.uint32(1)  # -1 at dim 0
+        for i in range(n):
+            pos[i, 0] |= np.uint32(1) << ((i * 7) % 30 + 1)
+        for r, dims in ((700, (60, 61, 62)), (701, (60, 61)), (702, (60,))):
+            pos[r] = 0
+            for d in dims:
+                pos[r, d // 32] |= np.uint32(1) << (d % 32)
+        return pos, neg
+
+    def test_plan_packed_policy_table(self, monkeypatch):
+        # sharded_packed.py:39 [binop Sub], :42 [boolop And],
+        # :43 [cmp GtE], :44 [binop Add], :44 [cmp LtE], :46 [binop Add]:
+        # exact (k_local, use_fused) pins across the policy space.
+        from innr_tpu import config
+        from innr_tpu.kernels import knn as kknn
+        from innr_tpu.parallel.sharded_packed import _plan_packed
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        monkeypatch.setattr(kknn, "single_pass_k", lambda n_q: 16)
+        # A: pad matters, min() not binding: pad=3, shard_cols=10.
+        assert _plan_packed(40, 37, 4, 5) == (8, True)
+        # C: fused gate boundary-inclusive at shard_cols == MIN.
+        assert _plan_packed(32, 32, 4, 4) == (4, True)
+        # D: k-cap boundary-inclusive at k + pad == single_pass_k.
+        assert _plan_packed(40, 37, 4, 13) == (10, True)
+        # E: one past the cap falls back (k_local = min(k, shard_cols)).
+        assert _plan_packed(40, 37, 4, 15) == (10, False)
+        assert _plan_packed(40, 37, 4, 14) == (10, False)
+        # force_reference wins over everything.
+        monkeypatch.setattr(config, "reference_forced", lambda: True)
+        assert _plan_packed(40, 37, 4, 5) == (5, False)
+
+    def _run_binary(self, monkeypatch, fused: bool):
+        from innr_tpu import config
+        from innr_tpu.ops.binary import PackedBinary
+        from innr_tpu.parallel.sharded_packed import ShardedPackedBinary
+
+        words = self._binary_words()
+        sb = ShardedPackedBinary(words, self.DIM)
+        if fused:
+            monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        # Zero query: row 450 (one bit) is the unique winner; the three
+        # zero padding rows would all beat it if the gidx < n_total mask
+        # slipped to <= (counts 0 vs 1).
+        zq = PackedBinary(np.zeros(2, np.uint32), self.DIM)
+        counts, idx = sb.knn(zq, 1)
+        assert int(idx[0]) == 450 and int(counts[0]) == 1
+        # Row-700 query: distances 0/1/2 at 700/701/702 — all on shard 7,
+        # so the fused global index base (base + lidx) is load-bearing.
+        q = PackedBinary(words[700].copy(), self.DIM)
+        counts, idx = sb.knn(q, 3)
+        assert np.asarray(idx).tolist() == [700, 701, 702]
+        assert np.asarray(counts).tolist() == [0, 1, 2]
+        # Batch form follows the same mask/base plumbing.
+        counts, idx = sb.knn_batch(
+            np.stack([np.zeros(2, np.uint32), words[700]]), 2
+        )
+        assert np.asarray(idx)[0, 0] == 450
+        assert np.asarray(idx)[1].tolist() == [700, 701]
+
+    def test_binary_padding_mask_and_base_jnp(self, monkeypatch):
+        # sharded_packed.py:71 [cmp Lt] (jnp padding mask).
+        self._run_binary(monkeypatch, fused=False)
+
+    def test_binary_padding_mask_and_base_fused(self, monkeypatch):
+        # sharded_packed.py:60 [binop Add] and :61 [cmp Lt] (fused arm).
+        self._run_binary(monkeypatch, fused=True)
+
+    def _run_ternary(self, monkeypatch, fused: bool):
+        from innr_tpu import config
+        from innr_tpu.parallel.sharded_packed import ShardedPackedTernary
+
+        pos, neg = self._planes()
+        st = ShardedPackedTernary(pos, neg, self.DIM)
+        if fused:
+            monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        # +1@dim0 query: every real row scores -1, zero-plane padding rows
+        # score 0 — the mask is the only thing keeping them out.
+        qp = np.zeros(2, np.uint32); qp[0] = 1
+        qn = np.zeros(2, np.uint32)
+        dots, idx = st.knn_batch((qp[None], qn[None]), 1)
+        assert int(dots[0, 0]) == -1 and int(idx[0, 0]) < 797
+        # +1@{60,61,62} query: unique dots 3/2/1 at 700/701/702 (shard 7).
+        qp2 = np.zeros(2, np.uint32)
+        for d in (60, 61, 62):
+            qp2[1] |= np.uint32(1) << (d - 32)
+        dots, idx = st.knn_batch((qp2[None], qn[None]), 3)
+        assert np.asarray(idx)[0].tolist() == [700, 701, 702]
+        assert np.asarray(dots)[0].tolist() == [3, 2, 1]
+
+    def test_ternary_padding_mask_and_base_jnp(self, monkeypatch):
+        # sharded_packed.py:235 [cmp Lt] (jnp padding mask).
+        self._run_ternary(monkeypatch, fused=False)
+
+    def test_ternary_padding_mask_and_base_fused(self, monkeypatch):
+        # sharded_packed.py:224 [binop Add] and :225 [cmp Lt] (fused arm).
+        self._run_ternary(monkeypatch, fused=True)
+
+    def test_ctor_and_query_validation_per_violation(self):
+        # sharded_packed.py:107 / :200 / :272 / :336 [boolop Or]: each
+        # disjunct violated ALONE must raise ContractError.
+        from innr_tpu.parallel.sharded_packed import (
+            ShardedPackedBinary, ShardedPackedTernary,
+        )
+        from innr_tpu.utils.asserts import ContractError
+
+        ok = np.zeros((4, 2), np.uint32)
+        with pytest.raises(ContractError):
+            ShardedPackedBinary(np.zeros(8, np.uint32), self.DIM)  # 1-D
+        with pytest.raises(ContractError):
+            ShardedPackedBinary(np.zeros((4, 3), np.uint32), self.DIM)
+        with pytest.raises(ContractError):
+            ShardedPackedTernary(np.zeros(8, np.uint32), ok, self.DIM)
+        with pytest.raises(ContractError):
+            ShardedPackedTernary(ok, np.zeros((5, 2), np.uint32), self.DIM)
+        with pytest.raises(ContractError):
+            ShardedPackedTernary(
+                np.zeros((4, 3), np.uint32), np.zeros((4, 3), np.uint32),
+                self.DIM,
+            )
+        sb = ShardedPackedBinary(ok, self.DIM)
+        with pytest.raises(ContractError):
+            sb.knn_batch(np.zeros(2, np.uint32), 1)  # 1-D queries
+        with pytest.raises(ContractError):
+            sb.knn_batch(np.zeros((2, 3), np.uint32), 1)  # wrong width
+        st = ShardedPackedTernary(ok, ok, self.DIM)
+        with pytest.raises(ContractError):
+            st.knn_batch((np.zeros(2, np.uint32), np.zeros(2, np.uint32)), 1)
+        with pytest.raises(ContractError):
+            st.knn_batch(
+                (np.zeros((2, 2), np.uint32), np.zeros((3, 2), np.uint32)), 1
+            )
+        with pytest.raises(ContractError):
+            st.knn_batch(
+                (np.zeros((2, 3), np.uint32), np.zeros((2, 3), np.uint32)), 1
+            )
+
+    def test_dispatch_shortcuts_never_launch(self, monkeypatch):
+        # sharded_packed.py:184 / :206 / :319 / :344 [cmp LtE + boolop Or]:
+        # k == 0 and empty corpus alone must return empty WITHOUT
+        # launching the sharded kernel.
+        from innr_tpu.ops.binary import PackedBinary
+        from innr_tpu.ops.ternary import PackedTernary
+        from innr_tpu.parallel import sharded_packed as sp
+
+        def boom(*a, **kw):
+            raise AssertionError("sharded packed kernel dispatched")
+
+        monkeypatch.setattr(sp, "_sharded_binary_knn", boom)
+        monkeypatch.setattr(sp, "_sharded_ternary_knn", boom)
+        words = np.ones((4, 2), np.uint32)
+        sb = sp.ShardedPackedBinary(words, self.DIM)
+        empty_b = sp.ShardedPackedBinary(np.zeros((0, 2), np.uint32), self.DIM)
+        q = PackedBinary(np.zeros(2, np.uint32), self.DIM)
+        assert sb.knn(q, 0)[0].shape == (0,)
+        assert empty_b.knn(q, 3)[0].shape == (0,)
+        assert sb.knn_batch(np.zeros((2, 2), np.uint32), 0)[0].shape == (2, 0)
+        assert empty_b.knn_batch(np.zeros((2, 2), np.uint32), 3)[0].shape == (2, 0)
+        st = sp.ShardedPackedTernary(words, words, self.DIM)
+        empty_t = sp.ShardedPackedTernary(
+            np.zeros((0, 2), np.uint32), np.zeros((0, 2), np.uint32), self.DIM
+        )
+        tq = PackedTernary(np.zeros(2, np.uint32), np.zeros(2, np.uint32), self.DIM)
+        assert st.knn(tq, 0)[0].shape == (0,)
+        assert empty_t.knn(tq, 3)[0].shape == (0,)
+        pair = (np.zeros((2, 2), np.uint32), np.zeros((2, 2), np.uint32))
+        assert st.knn_batch(pair, 0)[0].shape == (2, 0)
+        assert empty_t.knn_batch(pair, 3)[0].shape == (2, 0)
+
+    def test_encode_threshold_strictly_greater(self):
+        # sharded_packed.py:128 [cmp Gt -> GtE]: values EQUAL to the
+        # threshold encode as 0 (reference src/binary.rs:133 contract).
+        from innr_tpu.ops.binary import PackedBinary
+        from innr_tpu.parallel.sharded_packed import ShardedPackedBinary
+
+        rows = np.full((4, self.DIM), 0.5, np.float32)
+        rows[2, :] = 1.0  # the only row above threshold
+        sb = ShardedPackedBinary.encode(rows, threshold=0.5)
+        ones_q = PackedBinary(
+            np.full(2, 0xFFFFFFFF, np.uint32), self.DIM
+        )
+        counts, idx = sb.knn(ones_q, 1)
+        assert int(idx[0]) == 2 and int(counts[0]) == 0
+
+    def test_from_word_source_dim_multiple_of_32(self):
+        # sharded_packed.py:150 [const 0xFFFFFFFF]: rem == 0 keeps every
+        # bit of the last word (the mutant corrupts or overflows the
+        # mask). dimension=32 -> one word, all 32 bits live.
+        from innr_tpu.ops.binary import PackedBinary
+        from innr_tpu.parallel.sharded_packed import ShardedPackedBinary
+
+        words = np.zeros((5, 1), np.uint32)
+        words[3, 0] = 0x80000001  # high AND low bit set
+        sb = ShardedPackedBinary.from_word_source(
+            lambda a, b: words[a:b], num_vectors=5, dimension=32
+        )
+        q = PackedBinary(np.array([0x80000001], np.uint32), 32)
+        counts, idx = sb.knn(q, 1)
+        assert int(idx[0]) == 3 and int(counts[0]) == 0
+
+    def test_from_word_source_malformed_block_is_contract_error(self):
+        # sharded_packed.py:154 [boolop And -> Or]: a 1-D block from the
+        # source must surface the stream's shape ContractError, not an
+        # IndexError from masking a column that isn't there.
+        from innr_tpu.parallel.sharded_packed import ShardedPackedBinary
+
+        with pytest.raises(Exception, match="from_word_source"):
+            np.asarray(
+                ShardedPackedBinary.from_word_source(
+                    lambda a, b: np.zeros(2, np.uint32),  # 1-D, malformed
+                    num_vectors=16, dimension=self.DIM,
+                ).words_t
+            )
