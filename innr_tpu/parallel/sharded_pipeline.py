@@ -85,7 +85,10 @@ def _coarse_local_candidates(qs_enc, coarse_local, kind, n_cand, use_fused):
 
         _, lidx = fused_knn_keys_batch(qs, rep, None, n_cand, "dot")
         return lidx
-    rep = rep.astype(jnp.float32) if rep.dtype != jnp.float32 else rep
+    # Unconditional: astype is a no-op for f32 under XLA, and jnp matmul
+    # would promote u8 identically — a dtype conditional here is
+    # unobservable (mutation-equivalent), so it was removed.
+    rep = rep.astype(jnp.float32)
     scores = jnp.matmul(
         qs, rep.T,
         preferred_element_type=jnp.float32,

@@ -4037,3 +4037,182 @@ class TestShardedPackedContracts:
                     num_vectors=16, dimension=self.DIM,
                 ).words_t
             )
+
+
+class TestShardedPipelineContracts:
+    """Killers for the parallel/sharded_pipeline.py exhaustive-sweep
+    survivors: the ternary coarse-scan bit algebra, the rerank padding
+    mask, the n_cand/use_fused policy, validation arms, encode-threshold
+    strictness and the u8 quantile dispatch."""
+
+    def test_ternary_coarse_scan_matches_oracle(self):
+        # sharded_pipeline.py:69/:70 [BitOr/BitAnd x4] and :72 [binop Sub]:
+        # the jnp ternary coarse dots (popcount(same) - popcount(diff))
+        # pinned against an independent numpy oracle on random disjoint
+        # planes — any bit-algebra flip reorders the shortlist.
+        from innr_tpu.parallel.sharded_pipeline import _coarse_local_candidates
+
+        rng = np.random.default_rng(5)
+        n, w = 50, 2
+        pos = rng.integers(0, 2**32, (n, w)).astype(np.uint32)
+        neg = rng.integers(0, 2**32, (n, w)).astype(np.uint32) & ~pos
+        qp = rng.integers(0, 2**32, (1, w)).astype(np.uint32)
+        qn = rng.integers(0, 2**32, (1, w)).astype(np.uint32) & ~qp
+
+        def pc(a):
+            return sum(int(x).bit_count() for x in a)
+
+        dots = np.array([
+            pc((pos[i] & qp[0]) | (neg[i] & qn[0]))
+            - pc((pos[i] & qn[0]) | (neg[i] & qp[0]))
+            for i in range(n)
+        ])
+        lidx = _coarse_local_candidates(
+            (jnp.asarray(qp), jnp.asarray(qn)),
+            (jnp.asarray(pos.T), jnp.asarray(neg.T)),
+            "ternary", 10, use_fused=False,
+        )
+        got = dots[np.asarray(lidx)[0]]
+        want = np.sort(dots)[::-1][:10]
+        np.testing.assert_array_equal(got, want)
+
+    def test_rerank_padding_mask(self):
+        # sharded_pipeline.py:121 [cmp Lt -> LtE]: an all-padding shard's
+        # coarse top-1 IS a padding row (zero words match an all-negative
+        # query perfectly); with every true fine dot negative, the mask is
+        # the only thing keeping its 0.0 out of the merge.
+        from innr_tpu.parallel.sharded_pipeline import ShardedTwoStageIndex
+
+        d = 64
+        rows = np.outer(np.arange(1, 22, dtype=np.float32) / 10.0, np.ones(d, np.float32))
+        idx = ShardedTwoStageIndex(rows, "binary", rerank_factor=1)
+        q = -np.ones(d, np.float32)
+        vals, ids = idx.search(q, 1)
+        assert float(vals[0]) < 0.0
+        assert int(ids[0]) < 21
+
+    def test_policy_recorded_and_shortcuts(self, monkeypatch):
+        # sharded_pipeline.py:256 [boolop Or], :265 [binop Mult],
+        # :273 [boolop And], :274 [cmp GtE], :275 [cmp LtE]: the
+        # n_cand/k_local/use_fused policy handed to the launcher, at both
+        # gate boundaries and under force_reference, plus the degenerate
+        # shortcuts (never launch).
+        from innr_tpu import config
+        from innr_tpu.kernels import knn as kknn
+        from innr_tpu.parallel import sharded_pipeline as spl
+
+        rec = {}
+
+        def recorder(qs, rows, coarse, qs_enc, n_total, n_cand, k, k_local,
+                     kind, mesh, n_coarse, use_fused):
+            rec.update(n_cand=n_cand, k_local=k_local, use_fused=use_fused)
+            n_q = qs.shape[0]
+            return (jnp.zeros((n_q, k), jnp.float32),
+                    jnp.zeros((n_q, k), jnp.int32))
+
+        def boom(*a, **kw):
+            raise AssertionError("two-stage launcher dispatched")
+
+        rows = np.ones((64, 8), np.float32)  # 8 shards x 8 rows == MIN
+        q = np.ones((2, 8), np.float32)
+        monkeypatch.setattr(spl, "_sharded_two_stage", boom)
+        idx = spl.ShardedTwoStageIndex(rows, "binary", rerank_factor=3)
+        assert idx.search_batch(q, 0)[0].shape == (2, 0)
+        empty = spl.ShardedTwoStageIndex(np.zeros((0, 8), np.float32), "binary")
+        assert empty.search_batch(q, 5)[0].shape == (2, 0)
+        assert idx.search_batch(np.ones((0, 8), np.float32), 5)[0].shape == (0, 0)
+
+        monkeypatch.setattr(spl, "_sharded_two_stage", recorder)
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)   # shard_rows == 8
+        monkeypatch.setattr(kknn, "single_pass_k", lambda n_q: 6)
+        idx.search_batch(q, 2)  # n_cand = min(max(2*3, 2), 8) = 6 == cap
+        assert rec == {"n_cand": 6, "k_local": 2, "use_fused": True}
+        idx.search_batch(q, 3)  # n_cand = min(9, 8) = 8 > cap -> fallback
+        assert rec["n_cand"] == 8 and rec["use_fused"] is False
+        monkeypatch.setattr(config, "reference_forced", lambda: True)
+        idx.search_batch(q, 2)
+        assert rec["use_fused"] is False
+
+    def test_validation_arms(self):
+        # sharded_pipeline.py:170 [cmp Lt -> LtE] (rerank_factor == 1 is
+        # legal) and :250 [boolop Or] (each query violation alone raises
+        # ContractError).
+        from innr_tpu.parallel.sharded_pipeline import ShardedTwoStageIndex
+        from innr_tpu.utils.asserts import ContractError
+
+        rows = np.ones((8, 8), np.float32)
+        idx = ShardedTwoStageIndex(rows, "binary", rerank_factor=1)  # legal
+        with pytest.raises(ContractError):
+            ShardedTwoStageIndex(rows, "binary", rerank_factor=0)
+        with pytest.raises(ContractError):
+            idx.search_batch(np.ones(8, np.float32), 2)       # 1-D
+        with pytest.raises(ContractError):
+            idx.search_batch(np.ones((2, 9), np.float32), 2)  # wrong width
+
+    def test_encode_thresholds_strictly_greater(self):
+        # sharded_pipeline.py:186 and :233 [cmp Gt -> GtE]: corpus and
+        # query binary encodes treat values EQUAL to the threshold as 0.
+        from innr_tpu.parallel.sharded_pipeline import (
+            CoarseConfig, ShardedTwoStageIndex,
+        )
+
+        d = 64
+        rows = np.full((2, d), 0.5, np.float32)
+        rows[1] = 1.0
+        idx = ShardedTwoStageIndex(
+            rows, CoarseConfig(kind="binary", threshold=0.5)
+        )
+        words_t = np.asarray(idx._coarse[0])  # (W, n_pad)
+        assert (words_t[:, 0] == 0).all()          # == threshold -> 0
+        assert (words_t[:, 1] == 0xFFFFFFFF).all()  # > threshold -> 1
+        (qw,) = idx._encode_queries(jnp.full((1, d), 0.5))
+        assert (np.asarray(qw) == 0).all()
+
+    def test_matryoshka_query_prefix_width(self):
+        # sharded_pipeline.py:236 [cmp Eq -> NotEq]: the u8 arm's
+        # fallthrough is the matryoshka prefix slice — the mutant hands
+        # matryoshka queries FULL width (coarse stage silently becomes
+        # exact). Pin the encoded width.
+        from innr_tpu.parallel.sharded_pipeline import (
+            CoarseConfig, ShardedTwoStageIndex,
+        )
+
+        rows = np.ones((8, 8), np.float32)
+        idx = ShardedTwoStageIndex(
+            rows, CoarseConfig(kind="matryoshka", prefix_dims=4)
+        )
+        (enc,) = idx._encode_queries(jnp.ones((3, 8)))
+        assert enc.shape == (3, 4)
+
+    def test_u8_quantile_dispatch(self, monkeypatch):
+        # sharded_pipeline.py:197 [cmp GtE -> Gt]: quantile == 1.0 must
+        # take the plain min/max fit, anything below it the quantile fit.
+        from innr_tpu.ops.scalar import QuantizationParams
+        from innr_tpu.parallel.sharded_pipeline import (
+            CoarseConfig, ShardedTwoStageIndex,
+        )
+
+        calls = []
+        real_fit = QuantizationParams.fit.__func__
+        real_fq = QuantizationParams.fit_quantile.__func__
+
+        def spy_fit(cls, rows):
+            calls.append("fit")
+            return real_fit(cls, rows)
+
+        def spy_fq(cls, rows, quantile):
+            calls.append("fit_quantile")
+            return real_fq(cls, rows, quantile)
+
+        monkeypatch.setattr(
+            QuantizationParams, "fit", classmethod(spy_fit)
+        )
+        monkeypatch.setattr(
+            QuantizationParams, "fit_quantile", classmethod(spy_fq)
+        )
+        rows = np.linspace(-1, 1, 64, dtype=np.float32).reshape(8, 8)
+        ShardedTwoStageIndex(rows, CoarseConfig(kind="u8", quantile=1.0))
+        assert calls == ["fit"]
+        calls.clear()
+        ShardedTwoStageIndex(rows, CoarseConfig(kind="u8", quantile=0.9))
+        assert calls[0] == "fit_quantile"
