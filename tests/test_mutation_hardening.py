@@ -4216,3 +4216,137 @@ class TestShardedPipelineContracts:
         calls.clear()
         ShardedTwoStageIndex(rows, CoarseConfig(kind="u8", quantile=0.9))
         assert calls[0] == "fit_quantile"
+
+
+class TestShardedSparseContracts:
+    """Killers for the parallel/sharded_sparse.py exhaustive-sweep
+    survivors: padding masks where all-sentinel padding rows would win,
+    input-form dispatch, validation arms and the degenerate shortcuts."""
+
+    @staticmethod
+    def _neg_docs(n=21):
+        # Every doc holds index 0 with a positive value, so a query of
+        # (idx 0, val -1) scores strictly negative on every REAL row while
+        # all-sentinel padding rows score exactly 0.0.
+        return [
+            (np.array([0], np.uint32), np.array([float(i + 1)], np.float32))
+            for i in range(n)
+        ]
+
+    def test_knn_padding_mask(self):
+        # sharded_sparse.py:45 [cmp Lt -> LtE]: the gidx < n_total guard is
+        # the only thing keeping the 0.0-scoring padding rows out.
+        from innr_tpu.parallel.sharded_sparse import ShardedSparseCorpus
+
+        sc = ShardedSparseCorpus(self._neg_docs())
+        q = (np.array([0], np.uint32), np.array([-1.0], np.float32))
+        vals, idx = sc.knn(q, 1)
+        assert float(vals[0]) < 0.0 and int(idx[0]) < 21
+
+    def test_maxsim_padding_mask(self):
+        # sharded_sparse.py:84 [cmp Lt -> LtE]: fully-masked padding DOCS
+        # score 0.0 by the empty-doc contract; with every real maxsim
+        # negative they would win without the mask.
+        from innr_tpu.parallel.sharded_sparse import ShardedSparseMaxSimCorpus
+
+        docs = [[(np.array([0], np.uint32),
+                  np.array([float(i + 1)], np.float32))] for i in range(21)]
+        sm = ShardedSparseMaxSimCorpus(docs)
+        q = [(np.array([0], np.uint32), np.array([-1.0], np.float32))]
+        vals, idx = sm.knn(q, 1)
+        assert float(vals[0]) < 0.0 and int(idx[0]) < 21
+
+    def test_maxsim_doc_input_forms(self):
+        # sharded_sparse.py:117 [boolop And / cmp Eq / const 3]: a LIST of
+        # three documents is a doc list (the Or-mutant unpacks it as a
+        # padded triple), and a genuine pre-padded TRIPLE is accepted as
+        # arrays (the NotEq/const mutants shove it through
+        # pad_sparse_docs).
+        from innr_tpu.ops.sparse import pad_sparse_docs
+        from innr_tpu.parallel.sharded_sparse import ShardedSparseMaxSimCorpus
+
+        doc = [(np.array([0], np.uint32), np.array([1.0], np.float32))]
+        three = ShardedSparseMaxSimCorpus([doc, doc, doc])
+        assert three.num_docs == 3
+        triple = pad_sparse_docs([doc, doc])
+        pre = ShardedSparseMaxSimCorpus(triple)
+        assert pre.num_docs == 2
+        q = doc
+        vals, idx = pre.knn(q, 2)
+        np.testing.assert_allclose(np.asarray(vals), [1.0, 1.0])
+
+    def test_maxsim_triple_validation_per_violation(self):
+        # sharded_sparse.py:123 [boolop Or]: each violated disjunct alone
+        # must raise ContractError.
+        from innr_tpu.parallel.sharded_sparse import ShardedSparseMaxSimCorpus
+        from innr_tpu.utils.asserts import ContractError
+
+        idx3 = np.zeros((2, 2, 2), np.uint32)
+        val3 = np.zeros((2, 2, 2), np.float32)
+        mask2 = np.zeros((2, 2), bool)
+        with pytest.raises(ContractError):
+            ShardedSparseMaxSimCorpus((np.zeros((2, 2), np.uint32), val3, mask2))
+        with pytest.raises(ContractError):
+            ShardedSparseMaxSimCorpus((idx3, np.zeros((2, 2, 3), np.float32), mask2))
+        with pytest.raises(ContractError):
+            ShardedSparseMaxSimCorpus((idx3, val3, np.zeros((2, 3), bool)))
+
+    def test_shortcuts_never_launch_and_shapes(self, monkeypatch):
+        # sharded_sparse.py:159 / :227 [cmp LtE + boolop Or]: k == 0 and
+        # empty corpus alone must return empty WITHOUT launching;
+        # :228 [const 2]: the batch form of the empty return keeps its
+        # (n_q, 0) shape.
+        from innr_tpu.parallel import sharded_sparse as ss
+
+        def boom(*a, **kw):
+            raise AssertionError("sharded sparse kernel dispatched")
+
+        monkeypatch.setattr(ss, "_sharded_sparse_knn", boom)
+        monkeypatch.setattr(ss, "_sharded_sparse_maxsim", boom)
+        sc = ss.ShardedSparseCorpus(self._neg_docs(4))
+        empty = ss.ShardedSparseCorpus([])
+        q = (np.array([0], np.uint32), np.array([1.0], np.float32))
+        assert sc.knn(q, 0)[0].shape == (0,)
+        assert empty.knn(q, 3)[0].shape == (0,)
+        s, i = sc.knn_batch([q, q], 0)
+        assert s.shape == (2, 0) and i.shape == (2, 0)
+        assert empty.knn_batch([q, q], 3)[0].shape == (2, 0)
+        doc = [q]
+        sm = ss.ShardedSparseMaxSimCorpus([doc])
+        sm_empty = ss.ShardedSparseMaxSimCorpus(
+            (np.full((0, 1, 1), 0xFFFFFFFF, np.uint32),
+             np.zeros((0, 1, 1), np.float32), np.zeros((0, 1), bool))
+        )
+        assert sm.knn(doc, 0)[0].shape == (0,)
+        assert sm_empty.knn(doc, 3)[0].shape == (0,)
+
+    def test_empty_1d_query_still_scans(self):
+        # sharded_sparse.py:236 [cmp Eq -> NotEq]: an EMPTY 1-D query is
+        # not an empty batch — it scans (every doc scores 0.0) and returns
+        # (k,) results; the mutant returns the (0, k) batch shape.
+        from innr_tpu.parallel.sharded_sparse import ShardedSparseCorpus
+
+        sc = ShardedSparseCorpus(self._neg_docs(6))
+        q = (np.array([], np.uint32), np.array([], np.float32))
+        vals, idx = sc.knn(q, 2)
+        assert vals.shape == (2,) and idx.shape == (2,)
+        np.testing.assert_allclose(np.asarray(vals), [0.0, 0.0])
+        assert all(0 <= int(i) < 6 for i in np.asarray(idx))
+        # :236 [const 2 -> 3]: an EMPTY 2-D batch must short-circuit to
+        # (0, k) — the per-query stack in the shard body cannot handle
+        # zero queries, so the mutant crashes here instead.
+        vals, idx = sc.knn_batch([], 2)
+        assert vals.shape == (0, 2) and idx.shape == (0, 2)
+
+    def test_two_pair_batch_is_a_batch(self):
+        # sharded_sparse.py:212 [boolop And -> Or]: a LIST of exactly two
+        # (indices, values) pairs must parse as TWO queries, not as one
+        # 2-D pair of (pair0, pair1).
+        from innr_tpu.parallel.sharded_sparse import ShardedSparseCorpus
+
+        sc = ShardedSparseCorpus(self._neg_docs(6))
+        q0 = (np.array([0], np.uint32), np.array([1.0], np.float32))
+        q1 = (np.array([0], np.uint32), np.array([2.0], np.float32))
+        vals, idx = sc.knn_batch([q0, q1], 1)
+        np.testing.assert_allclose(np.asarray(vals), [[6.0], [12.0]])
+        np.testing.assert_array_equal(np.asarray(idx), [[5], [5]])
