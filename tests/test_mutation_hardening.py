@@ -4350,3 +4350,112 @@ class TestShardedSparseContracts:
         vals, idx = sc.knn_batch([q0, q1], 1)
         np.testing.assert_allclose(np.asarray(vals), [[6.0], [12.0]])
         np.testing.assert_array_equal(np.asarray(idx), [[5], [5]])
+
+
+class TestShardedMaxSimContracts:
+    """Killers for the parallel/sharded_maxsim.py exhaustive-sweep
+    survivors: padding mask, mask-shape validation, query validation,
+    degenerate shortcuts, and the k_local/use_fused policy."""
+
+    def test_padding_mask(self):
+        # sharded_maxsim.py:44 [cmp Lt -> LtE]: padded doc rows are
+        # fully-masked (score exactly 0.0 by the empty-doc contract);
+        # with every real maxsim negative they would win without the
+        # gidx < n_total guard.
+        from innr_tpu.parallel.sharded_maxsim import ShardedMaxSimCorpus
+
+        docs = np.ones((21, 2, 4), np.float32)
+        sm = ShardedMaxSimCorpus(docs)
+        q = -np.ones((2, 4), np.float32)
+        vals, idx = sm.knn(q, 1)
+        assert float(vals[0]) < 0.0 and int(idx[0]) < 21
+
+    def test_explicit_doc_mask_accepted(self):
+        # sharded_maxsim.py:99 [const 2 -> 3]: a VALID (N, Td) doc_mask
+        # must be accepted (the mutant compares it against the full 3-D
+        # shape and rejects every valid mask), and masked tokens must be
+        # excluded from the max.
+        from innr_tpu.parallel.sharded_maxsim import ShardedMaxSimCorpus
+        from innr_tpu.utils.asserts import ContractError
+
+        docs = np.zeros((9, 2, 4), np.float32)
+        docs[3, 0] = 1.0   # real token, positive
+        docs[3, 1] = 9.0   # masked token — must NOT contribute
+        mask = np.zeros((9, 2), bool)
+        mask[:, 0] = True
+        sm = ShardedMaxSimCorpus(docs, doc_mask=mask)
+        q = np.ones((1, 4), np.float32)
+        vals, idx = sm.knn(q, 1)
+        assert int(idx[0]) == 3
+        np.testing.assert_allclose(float(vals[0]), 4.0)  # not 36.0
+        # The message must report the EXPECTED (N, Td) shape — the const
+        # mutant renders docs.shape[:3] there instead.
+        with pytest.raises(ContractError, match=r"!= \(9, 2\)"):
+            ShardedMaxSimCorpus(docs, doc_mask=np.zeros((9, 3), bool))
+
+    def test_query_validation_per_violation(self):
+        # sharded_maxsim.py:126 [boolop Or -> And]: each violation alone
+        # must raise ContractError.
+        from innr_tpu.parallel.sharded_maxsim import ShardedMaxSimCorpus
+        from innr_tpu.utils.asserts import ContractError
+
+        sm = ShardedMaxSimCorpus(np.ones((4, 2, 4), np.float32))
+        with pytest.raises(ContractError):
+            sm.knn(np.ones(4, np.float32), 1)            # 1-D, width OK
+        with pytest.raises(ContractError):
+            sm.knn(np.ones((2, 5), np.float32), 1)       # wrong width
+
+    def test_shortcuts_never_launch(self, monkeypatch):
+        # sharded_maxsim.py:131 [cmp LtE + boolop Or]: k == 0, empty
+        # corpus, and a token-less query must each return empty without
+        # launching, in both single and batch forms.
+        from innr_tpu.parallel import sharded_maxsim as sms
+
+        def boom(*a, **kw):
+            raise AssertionError("sharded maxsim kernel dispatched")
+
+        monkeypatch.setattr(sms, "_sharded_maxsim_knn", boom)
+        sm = sms.ShardedMaxSimCorpus(np.ones((4, 2, 4), np.float32))
+        empty = sms.ShardedMaxSimCorpus(np.ones((0, 2, 4), np.float32))
+        q2 = np.ones((2, 4), np.float32)
+        q3 = np.ones((3, 2, 4), np.float32)
+        assert sm.knn(q2, 0)[0].shape == (0,)
+        assert empty.knn(q2, 5)[0].shape == (0,)
+        assert sm.knn(np.ones((0, 4), np.float32), 5)[0].shape == (0,)
+        assert sm.knn(q3, 0)[0].shape == (3, 0)
+        assert empty.knn(q3, 5)[0].shape == (3, 0)
+
+    def test_policy_recorded(self, monkeypatch):
+        # sharded_maxsim.py:142 [binop FloorDiv], :145 [boolop And],
+        # :146 [cmp GtE / binop FloorDiv / const 16 / const 64]: the
+        # (k_local, use_fused) pair handed to the launcher, pinned at both
+        # gate constants' boundaries, the k clamp, and force_reference.
+        from innr_tpu import config
+        from innr_tpu.parallel import sharded_maxsim as sms
+
+        rec = {}
+
+        def recorder(q, docs, mask, k, k_local, n_total, mesh, use_fused):
+            rec.update(k_local=k_local, use_fused=use_fused)
+            return (jnp.zeros((k,), jnp.float32), jnp.zeros((k,), jnp.int32))
+
+        monkeypatch.setattr(sms, "_sharded_maxsim_knn", recorder)
+        q = np.ones((1, 4), np.float32)
+
+        def mk(n):
+            return sms.ShardedMaxSimCorpus(np.ones((n, 1, 4), np.float32))
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 1600)  # gate = 100
+        mk(800).knn(q, 3)   # shard_rows == 100 == gate: fused (GtE)
+        assert rec == {"k_local": 3, "use_fused": True}
+        mk(768).knn(q, 3)   # shard_rows 96: below gate 100, above the
+        assert rec["use_fused"] is False  # const-16 mutant's gate of 94
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 512)   # gate = 64
+        mk(512).knn(q, 3)   # shard_rows == 64 == the const-64 floor
+        assert rec["use_fused"] is True
+        mk(16).knn(q, 5)    # shard_rows 2: k clamps, gate fails
+        assert rec == {"k_local": 2, "use_fused": False}
+        monkeypatch.setattr(config, "reference_forced", lambda: True)
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 1600)
+        mk(800).knn(q, 3)
+        assert rec["use_fused"] is False
