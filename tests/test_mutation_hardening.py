@@ -4459,3 +4459,96 @@ class TestShardedMaxSimContracts:
         monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 1600)
         mk(800).knn(q, 3)
         assert rec["use_fused"] is False
+
+
+class TestShardedQuantContracts:
+    """Killers for the parallel/sharded_quant.py exhaustive-sweep
+    survivors: fused/jnp padding masks + global-index base, the
+    k_local/use_fused policy, and the degenerate shortcuts."""
+
+    @staticmethod
+    def _corpus():
+        # 797 rows, 8 shards x 100: code-sums 10.. for generic rows and
+        # 1/2/3 at rows 700/701/702 (unique mixed dots -1/-2/-3 against
+        # the all-minus-ones query); padding rows are all-zero codes
+        # (mixed dot 0 — they WIN unless masked).
+        from innr_tpu.ops.scalar import QuantizationParams
+
+        n, d = 797, 16
+        codes = np.zeros((n, d), np.uint8)
+        for i in range(n):
+            codes[i, i % d] = 10 + (i % 50)
+        for r, s in ((700, 1), (701, 2), (702, 3)):
+            codes[r] = 0
+            codes[r, 0] = s
+        params = QuantizationParams(alpha=255.0, offset=0.0)
+        return codes, params
+
+    def _run(self, monkeypatch, fused: bool):
+        from innr_tpu import config
+        from innr_tpu.parallel.sharded_quant import ShardedQuantizedU8
+
+        codes, params = self._corpus()
+        sq = ShardedQuantizedU8(codes, params)
+        if fused:
+            monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        q = -np.ones(16, np.float32)
+        vals, idx = sq.knn(q, 3)
+        assert np.asarray(idx).tolist() == [700, 701, 702]
+        np.testing.assert_allclose(np.asarray(vals), [-1.0, -2.0, -3.0])
+        vals, idx = sq.knn(np.stack([q, q]), 1)
+        assert np.asarray(idx)[0, 0] == 700 and float(vals[0, 0]) == -1.0
+
+    def test_padding_mask_and_base_jnp(self, monkeypatch):
+        # sharded_quant.py:49 [cmp Lt] (jnp padding mask).
+        self._run(monkeypatch, fused=False)
+
+    def test_padding_mask_and_base_fused(self, monkeypatch):
+        # sharded_quant.py:37 [binop Add] and :38 [cmp Lt] (fused arm).
+        self._run(monkeypatch, fused=True)
+
+    def test_shortcuts_never_launch(self, monkeypatch):
+        # sharded_quant.py:153 [cmp LtE + boolop Or].
+        from innr_tpu.ops.scalar import QuantizationParams
+        from innr_tpu.parallel import sharded_quant as sqm
+
+        def boom(*a, **kw):
+            raise AssertionError("sharded u8 kernel dispatched")
+
+        monkeypatch.setattr(sqm, "_sharded_u8_knn", boom)
+        params = QuantizationParams(alpha=1.0, offset=0.0)
+        sq = sqm.ShardedQuantizedU8(np.ones((4, 8), np.uint8), params)
+        empty = sqm.ShardedQuantizedU8(np.ones((0, 8), np.uint8), params)
+        q = np.ones(8, np.float32)
+        assert sq.knn(q, 0)[0].shape == (0,)
+        assert empty.knn(q, 3)[0].shape == (0,)
+        assert sq.knn(np.ones((2, 8), np.float32), 0)[0].shape == (2, 0)
+        assert empty.knn(np.ones((2, 8), np.float32), 3)[0].shape == (2, 0)
+
+    def test_policy_recorded(self, monkeypatch):
+        # sharded_quant.py:164 [binop Sub], :165 [binop FloorDiv],
+        # :169 [boolop And], :170 [cmp GtE], :172 [binop Add].
+        from innr_tpu import config
+        from innr_tpu.ops.scalar import QuantizationParams
+        from innr_tpu.parallel import sharded_quant as sqm
+
+        rec = {}
+
+        def recorder(q, codes, alpha, offset, k, k_local, n_total, mesh,
+                     use_fused):
+            rec.update(k_local=k_local, use_fused=use_fused)
+            return (jnp.zeros((k,), jnp.float32), jnp.zeros((k,), jnp.int32))
+
+        monkeypatch.setattr(sqm, "_sharded_u8_knn", recorder)
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 9)
+        params = QuantizationParams(alpha=1.0, offset=0.0)
+        # 69 rows on 8 devices -> n_pad 72, shard_rows 9 == MIN, pad 3.
+        sq = sqm.ShardedQuantizedU8(np.ones((69, 8), np.uint8), params)
+        q = np.ones(8, np.float32)
+        sq.knn(q, 2)   # non-binding: k_local = min(2 + 3, 9) = 5
+        assert rec == {"k_local": 5, "use_fused": True}
+        sq.knn(q, 8)   # binding: min(11, 9) = 9
+        assert rec["k_local"] == 9
+        monkeypatch.setattr(config, "reference_forced", lambda: True)
+        sq.knn(q, 2)   # unfused: min(k, shard_rows) = 2
+        assert rec == {"k_local": 2, "use_fused": False}
