@@ -4552,3 +4552,101 @@ class TestShardedQuantContracts:
         monkeypatch.setattr(config, "reference_forced", lambda: True)
         sq.knn(q, 2)   # unfused: min(k, shard_rows) = 2
         assert rec == {"k_local": 2, "use_fused": False}
+
+
+class TestShardedSlotContracts:
+    """Killers for the parallel/sharded_slot.py exhaustive-sweep
+    survivors: padding masks, the n_q plumbing into the packed plan,
+    shortcut spies and the MinHash similarity formula."""
+
+    @staticmethod
+    def _sketches():
+        # 797 sketches, 8 shards x 100. Every sketch differs from the
+        # all-zero query in >= 2 slots except row 450 (exactly 1), so the
+        # all-zero PADDING sketches (count 0) would win without the mask.
+        n, s = 797, 8
+        sk = np.zeros((n, s), np.uint32)
+        for i in range(n):
+            sk[i, i % s] = 1 + (i % 9)
+            sk[i, (i + 3) % s] = 2 + (i % 7)
+        sk[450] = 0
+        sk[450, 5] = 7
+        return sk
+
+    def _run_mask(self, monkeypatch, fused: bool):
+        from innr_tpu import config
+        from innr_tpu.parallel.sharded_slot import ShardedSlotCorpus
+
+        sc = ShardedSlotCorpus(self._sketches())
+        if fused:
+            monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        counts, idx = sc.knn(np.zeros(8, np.uint32), 1)
+        assert int(idx[0]) == 450 and int(counts[0]) == 1
+        counts, idx = sc.knn_batch(np.zeros((2, 8), np.uint32), 1)
+        assert np.asarray(idx)[:, 0].tolist() == [450, 450]
+
+    def test_padding_mask_jnp(self, monkeypatch):
+        # sharded_slot.py:54 [cmp Lt] (jnp padding mask).
+        self._run_mask(monkeypatch, fused=False)
+
+    def test_padding_mask_fused(self, monkeypatch):
+        # sharded_slot.py:46 [cmp Lt] (fused arm).
+        self._run_mask(monkeypatch, fused=True)
+
+    def test_shortcuts_never_launch(self, monkeypatch):
+        # sharded_slot.py:174 [cmp LtE + boolop Or].
+        from innr_tpu.parallel import sharded_slot as ssl
+
+        def boom(*a, **kw):
+            raise AssertionError("sharded slot kernel dispatched")
+
+        monkeypatch.setattr(ssl, "_sharded_slot_knn", boom)
+        sc = ssl.ShardedSlotCorpus(np.ones((4, 8), np.uint32))
+        empty = ssl.ShardedSlotCorpus(np.ones((0, 8), np.uint32))
+        q = np.ones(8, np.uint32)
+        assert sc.knn(q, 0)[0].shape == (0,)
+        assert empty.knn(q, 3)[0].shape == (0,)
+        assert sc.knn_batch(np.ones((2, 8), np.uint32), 0)[0].shape == (2, 0)
+        assert empty.knn_batch(np.ones((2, 8), np.uint32), 3)[0].shape == (2, 0)
+
+    def test_nq_reaches_the_plan(self, monkeypatch):
+        # sharded_slot.py:185 [cmp Eq / const 2]: the planner must see the
+        # TRUE query count — 1 for a single sketch, Q for a (Q, S) batch.
+        # With a single_pass_k that depends on n_q, the fuse decision
+        # flips if the wrong count is plumbed.
+        from innr_tpu import config
+        from innr_tpu.kernels import knn as kknn
+        from innr_tpu.parallel import sharded_slot as ssl
+
+        rec = {}
+
+        def recorder(q, slots, k, k_local, n_total, mesh, use_fused):
+            rec["use_fused"] = use_fused
+            shape = (k,) if q.ndim == 1 else (q.shape[0], k)
+            return (jnp.zeros(shape, jnp.uint32), jnp.zeros(shape, jnp.int32))
+
+        monkeypatch.setattr(ssl, "_sharded_slot_knn", recorder)
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 8)
+        monkeypatch.setattr(
+            kknn, "single_pass_k", lambda n_q: 16 if n_q == 1 else 4
+        )
+        # 69 sketches -> n_pad 72, shard 9, pad 3; k=2 -> k + pad = 5.
+        sc = ssl.ShardedSlotCorpus(np.ones((69, 8), np.uint32))
+        sc.knn(np.ones(8, np.uint32), 2)        # n_q=1: cap 16 -> fused
+        assert rec["use_fused"] is True
+        sc.knn_batch(np.ones((3, 8), np.uint32), 2)  # n_q=3: cap 4 -> not
+        assert rec["use_fused"] is False
+
+    def test_minhash_similarity_formula(self):
+        # sharded_slot.py:217 [binop Div / binop Sub]: sims must be
+        # exactly 1 - count / num_slots.
+        from innr_tpu.parallel.sharded_slot import ShardedSlotCorpus
+
+        sk = np.zeros((3, 8), np.uint32)
+        sk[0] = 9                 # equal to the query -> sim 1.0
+        sk[1, :4] = 9             # 4 of 8 differ -> sim 0.5
+        sk[2, :] = 5              # all differ -> sim 0.0
+        sc = ShardedSlotCorpus(sk)
+        sims, idx = sc.minhash_knn(np.full(8, 9, np.uint32), 3)
+        np.testing.assert_allclose(np.asarray(sims), [1.0, 0.5, 0.0])
+        assert np.asarray(idx).tolist() == [0, 1, 2]
