@@ -4650,3 +4650,62 @@ class TestShardedSlotContracts:
         sims, idx = sc.minhash_knn(np.full(8, 9, np.uint32), 3)
         np.testing.assert_allclose(np.asarray(sims), [1.0, 0.5, 0.0])
         assert np.asarray(idx).tolist() == [0, 1, 2]
+
+
+class TestReferenceOracleContracts:
+    """Killers for the ops/reference.py exhaustive-sweep survivors. The
+    oracle IS the contract — each pin nails the portable semantics at the
+    exact input where a mutant diverges, cross-checked against the
+    production op where meaningful."""
+
+    def test_cosine_guard_band(self):
+        # reference.py:18 [binop Mult -> Add]: NORM_EPSILON_SQ must be
+        # eps^2 = 1e-18, not 2e-9 — vectors of norm 1e-6 sit between and
+        # must cosine to 1.0, matching production.
+        import innr_tpu as it
+        from innr_tpu.ops.reference import cosine_portable
+
+        a = np.array([1e-6], np.float32)
+        assert cosine_portable(a, a) == 1.0
+        np.testing.assert_allclose(float(it.cosine(a, a)), 1.0)
+
+    def test_cosine_one_sided_zero_norm(self):
+        # reference.py:46 [boolop And -> Or]: a zero-norm side alone must
+        # yield 0.0 (the mutant divides 0/0 into NaN).
+        from innr_tpu.ops.reference import cosine_portable
+
+        z = np.zeros(3, np.float32)
+        b = np.array([1.0, 2.0, 3.0], np.float32)
+        assert cosine_portable(z, b) == 0.0
+        assert cosine_portable(b, z) == 0.0
+
+    def test_normalize_guard_boundary_exact(self):
+        # reference.py:80 [cmp Gt -> GtE]: norms AT the epsilon leave the
+        # vector unchanged. This 3-element f32 vector's f64 norm rounds to
+        # EXACTLY 1e-9 (constructed by walking the sqrt rounding window).
+        from innr_tpu.ops.reference import norm_portable, normalize_portable
+
+        v = np.array(
+            [9.000000189551827e-10, 4.3588985199072283e-10,
+             5.302996133578833e-14],
+            np.float32,
+        )
+        assert norm_portable(v) == 1e-9
+        out, n = normalize_portable(v)
+        assert n == 1e-9
+        np.testing.assert_array_equal(out, v)
+
+    def test_maxsim_one_sided_empty(self):
+        # reference.py:154 and :163 [boolop Or -> And]: an empty DOC side
+        # alone must return 0.0 in both portable maxsims (the mutants
+        # reduce over an empty axis / sum -inf).
+        from innr_tpu.ops.reference import (
+            maxsim_cosine_portable, maxsim_portable,
+        )
+
+        q = np.ones((2, 4), np.float32)
+        e = np.zeros((0, 4), np.float32)
+        assert maxsim_portable(q, e) == 0.0
+        assert maxsim_portable(e, q) == 0.0
+        assert maxsim_cosine_portable(q, e) == 0.0
+        assert maxsim_cosine_portable(e, q) == 0.0
