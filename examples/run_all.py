@@ -8,6 +8,13 @@ import runpy
 import sys
 import time
 
+# Invoked as `python examples/run_all.py`, sys.path[0] is examples/, not
+# the repo root — make the runner self-sufficient instead of relying on
+# an editable install being present.
+_ROOT = str(pathlib.Path(__file__).resolve().parent.parent)
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
 EXAMPLES = [
     "01_basic_ops",
     "batch_demo",

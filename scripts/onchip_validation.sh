@@ -6,6 +6,10 @@
 # doesn't mask the rest.
 set -u
 cd "$(dirname "$0")/.."
+# scripts/ and examples/ are invoked as `python path/to/file.py`, which
+# puts their own directory (not the repo root) at sys.path[0]; export the
+# root so `import innr_tpu` resolves without an editable install.
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 mkdir -p /tmp/onchip
 
 stage() {
