@@ -112,9 +112,12 @@ TARGETS: dict[str, tuple[str, ...]] = {
         "tests/test_dispatch_coverage.py", "tests/test_dense.py",
         "tests/test_mutation_hardening.py",
     ),
-    "innr_tpu/loader.py": ("tests/test_native_loader.py",),
+    "innr_tpu/loader.py": (
+        "tests/test_native_loader.py", "tests/test_mutation_hardening.py",
+    ),
     "innr_tpu/_native.py": (
         "tests/test_native_loader.py", "tests/test_topk.py",
+        "tests/test_mutation_hardening.py",
     ),
     "innr_tpu/utils/padding.py": (
         "tests/test_kernels.py", "tests/test_binary.py",
@@ -180,6 +183,13 @@ EXCLUDED_FUNCS = {
 EXCLUDED_CONSTS = {
     "_TOPK_VMEM_BUDGET", "_K_MAX_PASS", "_W_CHUNK", "_S_CHUNK", "_SPLITTER",
     "_Q_TILE", "_LANE",
+    # MIN_ROWS_PALLAS is the fused-kernel dispatch threshold: every gate
+    # test derives its boundary shapes from the constant itself (the
+    # TestFusedGateContracts spy tables), so a mutated value moves the
+    # gate and the tests consistently — any value is *correct*, only
+    # launch-overhead amortization (perf) changes. Same class as the
+    # tile pickers (phase-2 sweep, round 4).
+    "MIN_ROWS_PALLAS",
 }
 
 # Functions that only execute on real TPU silicon: the emit_pipeline
@@ -209,6 +219,12 @@ def _excluded_ranges(tree: ast.AST) -> list[tuple[int, int]]:
             isinstance(t, ast.Name) and t.id in EXCLUDED_CONSTS
             for t in node.targets
         ):
+            out.append((node.lineno, node.end_lineno or node.lineno))
+        elif isinstance(node, ast.AnnAssign) and (
+            isinstance(node.target, ast.Name)
+            and node.target.id in EXCLUDED_CONSTS
+        ):
+            # `NAME: type = const` form (e.g. config.MIN_ROWS_PALLAS).
             out.append((node.lineno, node.end_lineno or node.lineno))
     return out
 

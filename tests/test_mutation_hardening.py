@@ -4709,3 +4709,93 @@ class TestReferenceOracleContracts:
         assert maxsim_portable(e, q) == 0.0
         assert maxsim_cosine_portable(q, e) == 0.0
         assert maxsim_cosine_portable(e, q) == 0.0
+
+
+class TestNativeHostContracts:
+    """Killers for the _native.py phase-2 sweep survivors: the native
+    host runtime must be PRESENT when buildable (a broken ABI check or
+    word-count bug silently downgrades every loader to the Python path),
+    and its encoders must match the jnp encoders bit-for-bit."""
+
+    def test_native_available_when_buildable(self):
+        # _native.py:58/:72 [const 3 -> 4]: a fresh build reports ABI 3;
+        # mutating the check makes every load look stale (rebuild, still
+        # "stale", give up) and silently drops the whole native runtime.
+        import shutil
+
+        from innr_tpu import _native
+
+        if not (shutil.which("cc") and _native._SRC.exists()):
+            pytest.skip("no C toolchain in this environment")
+        assert _native.available()
+
+    def test_pack_ternary_word_count_and_values(self):
+        # _native.py:178/:194 [const 32 -> 33, const 31 -> 32]: the
+        # uint32 word count must be exactly ceil(d/32). d=33 is the
+        # boundary a 33-divisor mutant collapses to one word; d=64 is the
+        # exact multiple an extra-word mutant widens. Values must equal
+        # the jnp bitplane encoders bit-for-bit.
+        from innr_tpu import _native
+        from innr_tpu.ops.ternary import encode_ternary, encode_ternary_batch
+
+        if not _native.available():
+            pytest.skip("native host runtime unavailable")
+        rng = np.random.default_rng(7)
+        for d in (33, 64):
+            rows = rng.standard_normal((5, d)).astype(np.float32)
+            got = _native.pack_ternary_rows(rows, 0.25)
+            assert got is not None
+            pos, neg = got
+            w = -(-d // 32)
+            assert pos.shape == (5, w) and neg.shape == (5, w)
+            jp, jn = encode_ternary_batch(rows, 0.25)
+            np.testing.assert_array_equal(pos, np.asarray(jp))
+            np.testing.assert_array_equal(neg, np.asarray(jn))
+            sp, sn = _native.pack_ternary(rows[0], 0.25)
+            ref = encode_ternary(rows[0], 0.25)
+            np.testing.assert_array_equal(sp, np.asarray(ref.pos))
+            np.testing.assert_array_equal(sn, np.asarray(ref.neg))
+
+    def test_pack_binary_word_count_and_values(self):
+        # Same word-count contract for the binary row packer
+        # (_native.py:163) at the d=33 boundary and d=64 multiple.
+        from innr_tpu import _native
+        from innr_tpu.ops.binary import encode_binary_batch
+
+        if not _native.available():
+            pytest.skip("native host runtime unavailable")
+        rng = np.random.default_rng(11)
+        for d in (33, 64):
+            rows = rng.standard_normal((5, d)).astype(np.float32)
+            words = _native.pack_binary_rows(rows, 0.0)
+            assert words is not None
+            assert words.shape == (5, -(-d // 32))
+            np.testing.assert_array_equal(
+                words, np.asarray(encode_binary_batch(rows, 0.0))
+            )
+
+
+class TestTernaryWordsKernelOracle:
+    """Kills the hamming.py:64 BitOr/BitAnd survivors: _ternary_kernel's
+    same/diff plane composition. The mapped suites only reach the kernel
+    through the MIN_ROWS-gated dispatch (small test corpora take the jnp
+    path), so the composition was unobservable — drive the kernel
+    directly against the integer dot oracle."""
+
+    def test_ternary_words_kernel_matches_dot_oracle(self):
+        from innr_tpu.kernels.hamming import batch_ternary_dot_words
+        from innr_tpu.ops.ternary import (
+            encode_ternary_batch, encode_ternary_values,
+        )
+
+        rng = np.random.default_rng(3)
+        # d=130: 5 words with a ragged tail; values in {-1, 0, +1} so the
+        # ternary dot equals the integer dot exactly.
+        vals = rng.integers(-1, 2, size=(97, 130)).astype(np.int32)
+        q = rng.integers(-1, 2, size=130).astype(np.int32)
+        cpos, cneg = encode_ternary_batch(vals.astype(np.float32), 0.5)
+        pq = encode_ternary_values(q)
+        out = np.asarray(
+            batch_ternary_dot_words(pq.pos, pq.neg, cpos, cneg)
+        )
+        np.testing.assert_array_equal(out, (vals * q[None, :]).sum(axis=1))
