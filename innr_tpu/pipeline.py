@@ -38,11 +38,10 @@ __all__ = ["TwoStageIndex", "CoarseConfig"]
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("k",))
-def _rerank_jit(rows, queries, cand, k):
-    """Exact rerank of per-query shortlists in ONE launch: gather + batched
-    matvec + total-order top-k (the fine stage fused into a single
-    dispatch; per-dispatch latency dominates small reranks)."""
+def _rerank_core(rows, queries, cand, k):
+    """Exact rerank of per-query shortlists: gather + batched matvec +
+    total-order top-k. Traced inline by the fused one-launch searches and
+    by :func:`_rerank_jit`."""
     from innr_tpu import config as _cfg
 
     shortlists = rows[cand]  # (Q, n_cand, D)
@@ -53,6 +52,105 @@ def _rerank_jit(rows, queries, cand, k):
     )
     vals, pos = top_k_total(fine, k, largest=True)
     return vals, jnp.take_along_axis(cand, pos, axis=1)
+
+
+@_partial(jax.jit, static_argnames=("k",))
+def _rerank_jit(rows, queries, cand, k):
+    """Exact rerank of per-query shortlists in ONE launch: gather + batched
+    matvec + total-order top-k (the fine stage fused into a single
+    dispatch; per-dispatch latency dominates small reranks)."""
+    return _rerank_core(rows, queries, cand, k)
+
+
+# -- fused one-launch two-stage searches ------------------------------------
+#
+# Coarse scan + exact rerank traced into ONE jitted computation, so a
+# search_batch costs a single dispatch. Measured on-chip (round 4): each
+# extra dispatch through the relay costs ~28 ms of launch floor, which held
+# the matryoshka config at roofline 0.51 — the coarse scan and the rerank
+# were two back-to-back launches with a dead gap between them. Fusing them
+# is worth ~2x at serving batch sizes (PERF.md round 5). ``use_pallas`` is
+# a static flag mirroring the MIN_ROWS_PALLAS/reference_forced dispatch
+# decision, resolved OUTSIDE the trace.
+
+
+@_partial(jax.jit, static_argnames=("k", "n_cand", "use_pallas"))
+def _search_matryoshka_jit(queries, coarse, rows, k, n_cand, use_pallas):
+    from innr_tpu import config as _cfg
+
+    qp = queries[:, : coarse.shape[1]]
+    if use_pallas:
+        from innr_tpu.kernels import knn as _kern
+
+        _, cand = _kern.fused_knn_dot_batch(qp, coarse, n_cand)
+    else:
+        scores = jnp.matmul(
+            qp, coarse.T,
+            preferred_element_type=jnp.float32,
+            precision=_cfg.matmul_precision(),
+        )
+        _, cand = top_k_total(scores, n_cand, largest=True)
+    return _rerank_core(rows, queries, cand, k)
+
+
+@_partial(jax.jit, static_argnames=("k", "n_cand", "use_pallas"))
+def _search_binary_jit(queries, threshold, words, words_t, rows, k, n_cand,
+                       use_pallas):
+    q_words = _binary.encode_binary_batch(queries, threshold)
+    if use_pallas:
+        from innr_tpu.kernels import packed_knn as _kern
+
+        _, cand = _kern.fused_binary_knn_batch(q_words, words_t, n_cand)
+    else:
+        counts = jnp.sum(
+            jax.lax.population_count(
+                words[None, :, :] ^ q_words[:, None, :]
+            ).astype(jnp.int32),
+            axis=2,
+        )
+        _, cand = jax.lax.top_k(-counts, n_cand)
+    return _rerank_core(rows, queries, cand, k)
+
+
+@_partial(jax.jit, static_argnames=("k", "n_cand", "use_pallas"))
+def _search_ternary_jit(queries, threshold, pos, neg, pos_t, neg_t, rows, k,
+                        n_cand, use_pallas):
+    qp, qn = _ternary.encode_ternary_batch(queries, threshold)
+    if use_pallas:
+        from innr_tpu.kernels import packed_knn as _kern
+
+        _, cand = _kern.fused_ternary_knn_batch(qp, qn, pos_t, neg_t, n_cand)
+    else:
+        same = (qp[:, None, :] & pos[None, :, :]) | (qn[:, None, :] & neg[None, :, :])
+        diff = (qp[:, None, :] & neg[None, :, :]) | (qn[:, None, :] & pos[None, :, :])
+        dots = jnp.sum(
+            jax.lax.population_count(same).astype(jnp.int32)
+            - jax.lax.population_count(diff).astype(jnp.int32),
+            axis=2,
+        )
+        _, cand = jax.lax.top_k(dots, n_cand)
+    return _rerank_core(rows, queries, cand, k)
+
+
+@_partial(jax.jit, static_argnames=("k", "n_cand", "use_pallas"))
+def _search_u8_jit(queries, codes, rows, k, n_cand, use_pallas):
+    from innr_tpu import config as _cfg
+
+    if use_pallas:
+        from innr_tpu.kernels import knn as _kern
+
+        # Selection only needs the raw mixed dots: the affine correction
+        # (alpha/255)*mixed + offset*sum(q) is per-query monotone
+        # (alpha > 0) and cannot reorder candidates.
+        _, cand = _kern.fused_knn_u8_batch(queries, codes, n_cand)
+    else:
+        mixed = jnp.matmul(
+            queries, codes.astype(jnp.float32).T,
+            preferred_element_type=jnp.float32,
+            precision=_cfg.matmul_precision(),
+        )
+        _, cand = top_k_total(mixed, n_cand, largest=True)
+    return _rerank_core(rows, queries, cand, k)
 
 
 @dataclass(frozen=True)
@@ -129,37 +227,6 @@ class TwoStageIndex:
 
     # -- search ---------------------------------------------------------------
 
-    def _coarse_candidates(self, query: jax.Array, n_cand: int) -> jax.Array:
-        kind = self.config.kind
-        if kind == "binary":
-            q = _binary.encode_binary(query, self.config.threshold)
-            _, idx = _binary.binary_knn(q, self._coarse, n_cand)
-            return jnp.asarray(idx, dtype=jnp.int32)
-        if kind == "ternary":
-            q = _ternary.encode_ternary(query, self.config.threshold)
-            _, idx = _ternary.ternary_knn(q, self._coarse, n_cand)
-            return jnp.asarray(idx, dtype=jnp.int32)
-        if kind == "u8":
-            res = _scalar.batch_knn_u8(query, self._coarse, self.params, n_cand)
-            return jnp.asarray([i for i, _ in res], dtype=jnp.int32)
-        # matryoshka
-        from innr_tpu import config as _cfg
-
-        p = self._coarse.shape[1]
-        qp = jnp.asarray(query, dtype=jnp.float32)[:p]
-        if self.num_vectors >= _cfg.MIN_ROWS_PALLAS and not _cfg.reference_forced():
-            from innr_tpu.kernels import knn as _kern
-
-            _, idx = _kern.fused_knn_dot(qp, self._coarse, n_cand)
-        else:
-            scores = jnp.matmul(
-                self._coarse, qp,
-                preferred_element_type=jnp.float32,
-                precision=_cfg.matmul_precision(),
-            )
-            _, idx = top_k_total(scores, n_cand, largest=True)
-        return idx
-
     def search(self, query, k: int) -> BatchKnnResult:
         """Top-k by exact dot product, shortlisted by the coarse stage.
 
@@ -180,51 +247,51 @@ class TwoStageIndex:
             )
         k = min(int(k), self.num_vectors)
         n_cand = min(k * self.rerank_factor, self.num_vectors)
-        cand = self._coarse_candidates(query, n_cand)
-        vals, idx = _rerank_jit(self.rows, query[None, :], cand[None, :], k)
+        vals, idx = self._search_fused(query[None, :], k, n_cand)
         return BatchKnnResult(
             indices=np.asarray(idx[0], dtype=np.int64),
             scores=np.asarray(vals[0], dtype=np.float32),
         )
 
-    def _coarse_candidates_batch(self, queries: jax.Array, n_cand: int) -> jax.Array:
-        """(Q, D) queries -> (Q, n_cand) candidate indices in ONE coarse
-        launch per kind (all queries share the compressed-corpus read)."""
-        kind = self.config.kind
-        if kind == "binary":
-            from innr_tpu.ops.binary import binary_knn_batch, encode_binary_batch
+    def _search_fused(self, queries: jax.Array, k: int, n_cand: int):
+        """Coarse scan + exact rerank in ONE jitted dispatch.
 
-            q_words = encode_binary_batch(queries, self.config.threshold)
-            _, cand = binary_knn_batch(q_words, self._coarse, n_cand)
-            return jnp.asarray(cand, dtype=jnp.int32)
-        if kind == "ternary":
-            from innr_tpu.ops.ternary import encode_ternary_batch, ternary_knn_batch
-
-            planes = encode_ternary_batch(queries, self.config.threshold)
-            _, cand = ternary_knn_batch(planes, self._coarse, n_cand)
-            return jnp.asarray(cand, dtype=jnp.int32)
-        if kind == "u8":
-            _, cand = _scalar.batch_knn_u8_multi(
-                queries, self._coarse, self.params, n_cand
-            )
-            return jnp.asarray(cand, dtype=jnp.int32)
-        # matryoshka: multi-query prefix MIPS.
+        The Pallas-vs-jnp coarse dispatch decision (corpus size, forced
+        reference mode, and — for the packed kinds — the single-pass k
+        cap) resolves OUTSIDE the trace as a static flag; either way both
+        stages trace into one computation, so a search never pays a second
+        launch floor."""
         from innr_tpu import config as _cfg
 
-        p = self._coarse.shape[1]
-        qp = queries[:, :p]
-        if self.num_vectors >= _cfg.MIN_ROWS_PALLAS and not _cfg.reference_forced():
-            from innr_tpu.kernels import knn as _kern
-
-            _, cand = _kern.fused_knn_dot_batch(qp, self._coarse, n_cand)
-        else:
-            scores = jnp.matmul(
-                qp, self._coarse.T,
-                preferred_element_type=jnp.float32,
-                precision=_cfg.matmul_precision(),
+        kind = self.config.kind
+        n_q = int(queries.shape[0])
+        pallas_ok = (
+            self.num_vectors >= _cfg.MIN_ROWS_PALLAS
+            and not _cfg.reference_forced()
+        )
+        if kind == "matryoshka":
+            return _search_matryoshka_jit(
+                queries, self._coarse, self.rows, k, n_cand, pallas_ok
             )
-            _, cand = top_k_total(scores, n_cand, largest=True)
-        return cand
+        if kind == "u8":
+            return _search_u8_jit(
+                queries, self._coarse.codes, self.rows, k, n_cand, pallas_ok
+            )
+        from innr_tpu.kernels.knn import single_pass_k
+
+        pallas_ok = pallas_ok and n_cand <= single_pass_k(n_q)
+        if kind == "binary":
+            c = self._coarse
+            return _search_binary_jit(
+                queries, jnp.float32(self.config.threshold), c.words,
+                c.words_t, self.rows, k, n_cand, pallas_ok,
+            )
+        # ternary (the ctor rejects every other kind)
+        c = self._coarse
+        return _search_ternary_jit(
+            queries, jnp.float32(self.config.threshold), c.pos, c.neg,
+            c.pos_t, c.neg_t, self.rows, k, n_cand, pallas_ok,
+        )
 
     def search_batch(self, queries, k: int) -> BatchKnnResult:
         """Batched search: (Q, D) queries -> (Q, k) results.
@@ -248,8 +315,7 @@ class TwoStageIndex:
             )
         k = min(int(k), self.num_vectors)
         n_cand = min(k * self.rerank_factor, self.num_vectors)
-        cand = self._coarse_candidates_batch(queries, n_cand)
-        vals, idx = _rerank_jit(self.rows, queries, cand, k)
+        vals, idx = self._search_fused(queries, k, n_cand)
         return BatchKnnResult(
             indices=np.asarray(idx, dtype=np.int64),
             scores=np.asarray(vals, dtype=np.float32),

@@ -2446,7 +2446,9 @@ class TestTwoStagePolicyContracts:
         big = TwoStageIndex(
             rng.standard_normal((16, 4)).astype(np.float32), cfg)
         big.search(self.Q, 2); big.search_batch(q2, 2)
-        assert calls == ["s", "b"]    # boundary-INCLUSIVE fuse
+        # Boundary-INCLUSIVE fuse; search() routes through the batch
+        # kernel (Q=1) since the round-5 one-dispatch fusion.
+        assert calls == ["b", "b"]
 
         calls.clear()
         config.force_reference(True)
@@ -2478,8 +2480,7 @@ class TestTwoStagePolicyContracts:
         def boom(*a, **kw):  # pragma: no cover - mutant-only path
             raise AssertionError("coarse stage must not run for k=0/empty")
 
-        monkeypatch.setattr(TwoStageIndex, "_coarse_candidates", boom)
-        monkeypatch.setattr(TwoStageIndex, "_coarse_candidates_batch", boom)
+        monkeypatch.setattr(TwoStageIndex, "_search_fused", boom)
         assert ix.search(self.Q, 0).indices.shape == (0,)
         assert ix.search_batch(np.stack([self.Q] * 2), 0).indices.shape == (2, 0)
         assert ix0.search(self.Q, 3).indices.shape == (0,)
