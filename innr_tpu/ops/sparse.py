@@ -146,6 +146,22 @@ class SparseCorpus:
             idx, val = pad_sparse(docs, width)
         self.indices = idx
         self.values = val
+        self._t = None  # lazy (L, N) entry-major transposes (fused kernel)
+
+    def _transposed(self):
+        """Cached entry-major ``((L, N) idx, (L, N) val)`` pair — the
+        layout the fused compare-select kernel streams (lane = document;
+        the packed containers' words_t discipline). Materialized on first
+        large-corpus kNN; doubles the corpus footprint only when the
+        Pallas path is actually used."""
+        if self._t is None:
+            from innr_tpu.utils.padding import materialize_words
+
+            self._t = (
+                materialize_words(self.indices.T),
+                materialize_words(self.values.T),
+            )
+        return self._t
 
     @property
     def num_docs(self) -> int:
@@ -210,7 +226,27 @@ def sparse_knn(query, corpus: SparseCorpus, k: int):
     if n == 0 or k <= 0:
         return jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32)
     k = min(int(k), n)
+    from innr_tpu import config as _cfg
     from innr_tpu.utils.order import top_k_total
+
+    lq = int(q_idx.shape[0])
+    from innr_tpu.kernels.knn import single_pass_k
+    from innr_tpu.kernels.sparse_knn import MAX_QUERY_NNZ
+
+    if (
+        n >= _cfg.MIN_ROWS_PALLAS
+        and 0 < lq <= MAX_QUERY_NNZ
+        and k <= single_pass_k(1)
+        and not _cfg.reference_forced()
+    ):
+        # Fused compare-select join: the searchsorted join's per-element
+        # gathers measured 0.007 of the corpus-read roofline on silicon
+        # (63 ms vs 0.5 ms device time at 1M x 32nnz) — see
+        # kernels/sparse_knn.py for the redesign.
+        from innr_tpu.kernels.sparse_knn import fused_sparse_knn
+
+        idx_t, val_t = corpus._transposed()
+        return fused_sparse_knn(q_idx, q_val, idx_t, val_t, k)
 
     scores = _corpus_scores(q_idx, q_val, corpus.indices, corpus.values)
     return top_k_total(scores, k, largest=True)

@@ -263,3 +263,140 @@ class TestRaggedBlockBoundaries:
         brute = np.unpackbits(xor.view(np.uint8), axis=1).sum(axis=1)
         want = np.argsort(brute, kind="stable")[:7]
         np.testing.assert_array_equal(np.asarray(idx), want)
+
+
+class TestFusedSparseKnn:
+    """Fused compare-select sparse join (kernels/sparse_knn.py) vs the XLA
+    searchsorted join oracle — differential, exact (f32 sums share the
+    same association order: both reduce over the L axis per doc)."""
+
+    @staticmethod
+    def _corpus(rng, n, l, vocab=4096):
+        ci = np.sort(rng.integers(0, vocab, (n, l)).astype(np.uint32), axis=1)
+        cv = rng.standard_normal((n, l)).astype(np.float32)
+        return ci, cv
+
+    @staticmethod
+    def _oracle(qi, qv, corpus, k):
+        from innr_tpu.ops.sparse import _corpus_scores
+        from innr_tpu.utils.order import top_k_total
+
+        scores = _corpus_scores(
+            jnp.asarray(qi), jnp.asarray(qv), corpus.indices, corpus.values
+        )
+        return top_k_total(scores, k, largest=True)
+
+    @pytest.mark.parametrize("n,l,lq", [(700, 16, 24), (1100, 8, 1), (513, 24, 7)])
+    def test_matches_xla_join(self, rng, n, l, lq):
+        from innr_tpu.kernels.sparse_knn import fused_sparse_knn
+        from innr_tpu.ops.sparse import SparseCorpus
+
+        ci, cv = self._corpus(rng, n, l)
+        corpus = SparseCorpus((jnp.asarray(ci), jnp.asarray(cv)))
+        qi = np.sort(rng.choice(4096, lq, replace=False)).astype(np.uint32)
+        qv = rng.standard_normal(lq).astype(np.float32)
+        idx_t, val_t = corpus._transposed()
+        vals, idx = fused_sparse_knn(
+            jnp.asarray(qi), jnp.asarray(qv), idx_t, val_t, 9
+        )
+        rv, ri = self._oracle(qi, qv, corpus, 9)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(rv))
+
+    def test_sentinel_padding_and_nan(self, rng):
+        from innr_tpu.kernels.sparse_knn import fused_sparse_knn
+        from innr_tpu.ops.sparse import SENTINEL_INDEX, SparseCorpus
+
+        ci, cv = self._corpus(rng, 640, 12)
+        ci[3, 8:] = SENTINEL_INDEX
+        cv[3, 8:] = 0.0
+        cv[5, 2] = np.nan          # unmatched NaN must contribute 0
+        ci[7, 4] = 77
+        cv[7, 4] = np.nan          # matched NaN must poison doc 7's score
+        corpus = SparseCorpus((jnp.asarray(ci), jnp.asarray(cv)))
+        qi = np.unique(
+            np.concatenate([[77], rng.choice(4096, 15, replace=False)])
+        ).astype(np.uint32)
+        qi = qi[qi != ci[5, 2]]    # ensure the doc-5 NaN entry stays unmatched
+        qv = rng.standard_normal(qi.size).astype(np.float32)
+        idx_t, val_t = corpus._transposed()
+        vals, idx = fused_sparse_knn(
+            jnp.asarray(qi), jnp.asarray(qv), idx_t, val_t, 8
+        )
+        rv, ri = self._oracle(qi, qv, corpus, 8)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+        # NaN == NaN fails; compare bit patterns instead.
+        np.testing.assert_array_equal(
+            np.asarray(vals).view(np.uint32), np.asarray(rv).view(np.uint32)
+        )
+        # the matched-NaN doc sorts FIRST under IEEE total order descending
+        assert int(np.asarray(idx)[0]) == 7
+        assert np.isnan(np.asarray(vals)[0])
+
+    def test_duplicate_query_indices_first_occurrence_wins(self, rng):
+        from innr_tpu.kernels.sparse_knn import fused_sparse_knn
+        from innr_tpu.ops.sparse import SparseCorpus
+
+        ci, cv = self._corpus(rng, 520, 8, vocab=64)
+        corpus = SparseCorpus((jnp.asarray(ci), jnp.asarray(cv)))
+        qi = np.array([3, 9, 9, 40], dtype=np.uint32)  # sorted, dup 9
+        qv = np.array([1.0, 5.0, -5.0, 2.0], dtype=np.float32)
+        idx_t, val_t = corpus._transposed()
+        vals, idx = fused_sparse_knn(
+            jnp.asarray(qi), jnp.asarray(qv), idx_t, val_t, 6
+        )
+        rv, ri = self._oracle(qi, qv, corpus, 6)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(rv))
+
+    def test_ragged_tail_doc_can_win(self, rng):
+        from innr_tpu.kernels.sparse_knn import fused_sparse_knn
+        from innr_tpu.ops.sparse import SparseCorpus
+
+        n = 601  # not a tile multiple
+        ci, cv = self._corpus(rng, n, 8, vocab=128)
+        ci[-1, 0] = 5
+        cv[-1, 0] = 100.0  # overwhelming winner in the ragged block
+        corpus = SparseCorpus((jnp.asarray(ci), jnp.asarray(cv)))
+        qi = np.array([5], dtype=np.uint32)
+        qv = np.array([1.0], dtype=np.float32)
+        idx_t, val_t = corpus._transposed()
+        _, idx = fused_sparse_knn(jnp.asarray(qi), jnp.asarray(qv), idx_t, val_t, 3)
+        assert int(np.asarray(idx)[0]) == n - 1
+
+    def test_sparse_knn_dispatches_to_kernel(self, rng, monkeypatch):
+        """Gate: corpus >= MIN_ROWS_PALLAS and lq <= MAX_QUERY_NNZ fuse;
+        oversized queries and force_reference fall back to the XLA join."""
+        from innr_tpu import config
+        from innr_tpu.kernels import sparse_knn as ksp
+        from innr_tpu.ops.sparse import SparseCorpus, sparse_knn
+
+        monkeypatch.setattr(config, "MIN_ROWS_PALLAS", 256)
+        calls = []
+        real = ksp.fused_sparse_knn
+        monkeypatch.setattr(
+            ksp, "fused_sparse_knn",
+            lambda *a, **k: calls.append(1) or real(*a, **k),
+        )
+        ci, cv = self._corpus(rng, 300, 8, vocab=256)
+        corpus = SparseCorpus((jnp.asarray(ci), jnp.asarray(cv)))
+        qi = np.sort(rng.choice(256, 5, replace=False)).astype(np.uint32)
+        qv = rng.standard_normal(5).astype(np.float32)
+
+        v1, i1 = sparse_knn((qi, qv), corpus, 4)
+        assert calls == [1]
+        config.force_reference(True)
+        try:
+            v2, i2 = sparse_knn((qi, qv), corpus, 4)
+        finally:
+            config.force_reference(False)
+        assert calls == [1]  # no new kernel call
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+        # oversized query nnz -> XLA join
+        big_lq = ksp.MAX_QUERY_NNZ + 1
+        qi_big = np.sort(rng.choice(10**6, big_lq, replace=False)).astype(np.uint32)
+        qv_big = rng.standard_normal(big_lq).astype(np.float32)
+        sparse_knn((qi_big, qv_big), corpus, 4)
+        assert calls == [1]
