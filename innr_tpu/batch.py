@@ -174,6 +174,36 @@ class VerticalBatch:
             self._tile_summary = build_tile_summary(self.rows, self._tile_n())
         return self._tile_summary
 
+    def cluster_reorder(self, n_clusters: int = 256, n_iters: int = 5,
+                        seed: int = 0, sample: int = 65536):
+        """IVF-style layout pass for ``prune=True``: returns ``(reordered
+        VerticalBatch, perm)`` where ``perm`` is the (N,) int32 device
+        permutation (``new.rows[i] == self.rows[perm[i]]`` — map a kNN
+        index ``j`` on the new batch back as ``perm[j]``).
+
+        Everything runs on device (:func:`innr_tpu.prune.cluster_reorder`:
+        sampled k-means++ fit, full-corpus assign, stable argsort, row
+        gather — no host round-trip of any N-sized array; ~10
+        scan-equivalents at 10M x 128, measured), and the new batch's
+        pruning tile height is set automatically from the measured
+        cluster-size distribution (:func:`innr_tpu.prune.suggest_tile_n`),
+        so fine-grained corpora prune without the manual
+        :meth:`set_prune_tile_n` knob. Correctness never depends on the
+        layout — pruned scans are exact under any order — only the
+        achievable HBM elision does."""
+        from innr_tpu.prune import cluster_reorder, suggest_tile_n
+
+        reordered, perm, sizes = cluster_reorder(
+            self.rows, n_clusters=n_clusters, n_iters=n_iters, seed=seed,
+            sample=sample,
+        )
+        out = VerticalBatch(reordered, dtype=self.rows.dtype)
+        out.set_prune_tile_n(
+            suggest_tile_n(sizes, self.num_vectors, self.dimension,
+                           self.rows.dtype)
+        )
+        return out, perm
+
     # -- constructors (reference src/batch.rs:103/138/167) ------------------
 
     @classmethod

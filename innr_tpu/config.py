@@ -42,6 +42,34 @@ PRUNE_BOUND_EPS: float = 1e-4
 # (reference src/lib.rs:181).
 NORM_EPSILON_SQ: float = NORM_EPSILON * NORM_EPSILON
 
+# Minimum fraction of corpus tiles the survivor plan must elide for the
+# pruned (dynamic-pipeline) scan to engage; below it the router runs the
+# plain full fused scan instead (innr_tpu/kernels/pruned_knn.py::routed_raw,
+# one device-side lax.cond — no host sync). The measured envelope showed
+# the dynamic pipeline costs ~7-14% over the static full scan when nothing
+# prunes (PERF_PRUNE_ENVELOPE.md "gaussian"/"sigma=2.0" rows); routing to
+# the full kernel whenever the predicted win is below that overhead makes
+# prune=True never-worse instead of usually-better. Results are exact and
+# bit-identical on BOTH routes, so this is purely a perf knob.
+_PRUNE_ROUTE_MIN_ELIDE: float = 0.10
+
+
+def set_prune_route_min_elide(fraction: float) -> None:
+    """Set the routing threshold (0 disables routing: always prune; 1.0
+    effectively forces the full scan). Takes effect on the next trace —
+    already-jitted (shape, k) combinations keep the threshold they were
+    traced with (call ``jax.clear_caches()`` to force a retrace)."""
+    global _PRUNE_ROUTE_MIN_ELIDE
+    f = float(fraction)
+    if not 0.0 <= f <= 1.0:
+        raise ValueError("prune route threshold must be in [0, 1]")
+    _PRUNE_ROUTE_MIN_ELIDE = f
+
+
+def prune_route_min_elide() -> float:
+    """Current routing threshold (fraction of tiles that must be elided)."""
+    return _PRUNE_ROUTE_MIN_ELIDE
+
 
 # Precision for f32 score matmuls. TPU MXUs multiply f32 as bf16 passes by
 # default (~1e-4 relative error); "highest" uses enough passes for full f32

@@ -250,14 +250,22 @@ def _knn_kernel(n_rows, k, mode, has_excl, q_ref, rows_ref, *rest):
         # dot * (1/||r||); the 1/||q|| factor is a per-query monotone
         # scale applied on the host.
         scores = scores * norms_ref[:]
+    elif mode == "cosinem":
+        # Masked cosine: aux row 0 = inverse norms, row 1 = predicate.
+        scores = scores * norms_ref[0:1, :]
+    # "dotm": plain dot scores; aux row 0 IS the predicate.
 
     keys = f32_keys(scores)
     if mode in ("l2", "l2m"):
         keys = ~keys  # L2: smaller distance = better
-    if mode == "l2m":
+    if mode in ("l2m", "cosinem", "dotm"):
         # Predicate pushdown: non-passing rows can never win
-        # (reference src/batch.rs:842-845 pins them to f32::MAX).
-        keys = jnp.where(norms_ref[1:, :] > 0.0, keys, _INT_MIN)
+        # (reference src/batch.rs:842-845 pins them to f32::MAX). The
+        # masked dot/cosine forms exist for IVF containers whose
+        # cluster segments are padded to tile boundaries
+        # (innr_tpu/ivf.py) — padding rows must never be selected.
+        mask_row = norms_ref[0:1, :] if mode == "dotm" else norms_ref[1:, :]
+        keys = jnp.where(mask_row > 0.0, keys, _INT_MIN)
 
     keys, global_idx = masked_global_idx(step, n_q, tile_n, n_rows, keys)
     if has_excl:

@@ -106,10 +106,17 @@ def _scan_tile_into(q_tile, rows, norms_tile, mode, tile_id, tile_n,
     update_topk(keys, global_idx, best_keys, best_idx, k)
 
 
+_MASKED_MODES = ("l2m", "dotm", "cosinem")
+
+
 def _pruned_body_scores(qs_tile, rows, norms_tile, mode):
     """Shared score computation for one survivor tile (dot, l2, or
     cosine — cosine streams per-row inverse norms like the full fused
-    scan and expects pre-normalized queries)."""
+    scan and expects pre-normalized queries). The masked modes
+    ("l2m"/"dotm"/"cosinem") carry a validity predicate as the LAST aux
+    row (the only row for "dotm") and pin non-passing rows to the worst
+    key — how :class:`innr_tpu.ivf.IVFIndex`'s tile-aligned padding rows
+    are kept out of every top-k."""
     from innr_tpu import config
 
     precision = config.matmul_precision()
@@ -125,11 +132,18 @@ def _pruned_body_scores(qs_tile, rows, norms_tile, mode):
     )
     if mode == "l2":
         scores = norms_tile - 2.0 * scores
+    elif mode == "l2m":
+        scores = norms_tile[0:1, :] - 2.0 * scores
     elif mode == "cosine":
         scores = scores * norms_tile
+    elif mode == "cosinem":
+        scores = scores * norms_tile[0:1, :]
     keys = f32_keys(scores)
-    if mode == "l2":
+    if mode in ("l2", "l2m"):
         keys = ~keys
+    if mode in _MASKED_MODES:
+        mask_row = norms_tile[0:1, :] if mode == "dotm" else norms_tile[1:, :]
+        keys = jnp.where(mask_row > 0.0, keys, _INT_MIN)
     return keys
 
 
@@ -162,7 +176,11 @@ def _pruned_outer_kernel(n_rows, tile_n, k, mode, d_pad, order_ref,
     ]
     refs = [rows_hbm]
     if mode != "dot":
-        in_specs.append(pl.BlockSpec((1, tile_n), lambda i: (0, order_ref[i])))
+        in_specs.append(
+            pl.BlockSpec(
+                (norms_hbm.shape[0], tile_n), lambda i: (0, order_ref[i])
+            )
+        )
         refs.append(norms_hbm)
     pltpu.emit_pipeline(
         inner,
@@ -201,10 +219,10 @@ def _pruned_raw_dynamic(qs, rows, aux, order, n_surv, k: int, mode: str,
         rows_p,
     ]
     if mode != "dot":
-        aux2 = aux[None, :]  # always a 1-D per-row stream here
-        # Lane-dim tiling is 128: pad the (1, N) norm stream so the
-        # clamped final block never reads past the allocation (cheap —
-        # 4 bytes/row).
+        aux2 = aux if aux.ndim == 2 else aux[None, :]
+        # Lane-dim tiling is 128: pad the (n_aux, N) norm/mask stream so
+        # the clamped final block never reads past the allocation (cheap
+        # — 4 bytes/row/stream).
         aux2 = pad_axis_to(aux2, 1, round_up(aux2.shape[1], _LANE))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         inputs.append(aux2)
@@ -246,7 +264,7 @@ def _pruned_raw(qs, rows, aux, order, n_surv, k: int, mode: str, tile_n: int):
     ]
     inputs = [qs_p, rows_p]
     if mode != "dot":
-        aux2 = aux[None, :]  # always a 1-D per-row stream here
+        aux2 = aux if aux.ndim == 2 else aux[None, :]
         in_specs.append(
             pl.BlockSpec(
                 (aux2.shape[0], tile_n), lambda i, o, s: (0, o[i]),
@@ -332,22 +350,79 @@ def _fast_plan_ok(k: int, summary) -> bool:
     return k <= summary.tile_n or summary.n_tiles == 1
 
 
-def _pruned_run(qs, rows, aux, summary, k: int, mode: str):
+def routed_raw(qs, rows, aux, order, n_surv, k: int, mode: str,
+               tile_n: int, dynamic: bool):
+    """Self-routing pruned scan: one device-side ``lax.cond`` picks the
+    tile-skipping pipeline when the plan elides at least
+    ``config.prune_route_min_elide()`` of the corpus tiles, and the plain
+    full fused scan otherwise. No host sync — ``n_surv`` never leaves the
+    device. Both routes return the identical raw-key contract (the full
+    scan and the pruned scan are bit-identical by construction), so the
+    router is purely a performance decision: it kills the measured
+    ~7-14% dynamic-pipeline overhead on corpora where nothing prunes
+    (PERF_PRUNE_ENVELOPE.md pathology rows) while keeping the full HBM
+    win when pruning pays."""
+    from innr_tpu import config
+    from innr_tpu.kernels.knn import _fused_knn_raw
+
+    n_tiles = order.shape[0]
+    min_elide = max(1, int(round(config.prune_route_min_elide() * n_tiles)))
+    raw = _pruned_raw_dynamic if dynamic else _pruned_raw
+
+    def pruned_branch(_):
+        return raw(qs, rows, aux, order, n_surv, k, mode, tile_n)
+
+    def full_branch(_):
+        return _fused_knn_raw(qs, rows, aux, k, mode, None)
+
+    return jax.lax.cond(
+        n_surv <= n_tiles - min_elide, pruned_branch, full_branch, None
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mode", "plan_mode",
+                                              "tile_n", "fast", "dynamic"))
+def _planned_routed(qs_plan, qs, rows, aux, cents, radii, counts, k: int,
+                    mode: str, plan_mode: str, tile_n: int, fast: bool,
+                    dynamic: bool):
+    """Plan + route + scan in ONE jitted dispatch. Fusing the survivor
+    plan into the same computation as the scan removes the second kernel
+    launch the eager path used to pay (the single-launch envelope rows
+    charged a whole dispatch floor to the tiny bound pass)."""
     from innr_tpu.prune import plan_survivors
 
+    order, n_surv = plan_survivors(
+        qs_plan, cents, radii, counts, k, plan_mode, fast=fast
+    )
+    return routed_raw(qs, rows, aux, order, n_surv, k, mode, tile_n, dynamic)
+
+
+def _pruned_run(qs, rows, aux, summary, k: int, mode: str):
     if summary.tile_n * summary.n_tiles < rows.shape[0]:
         raise ValueError("TileSummary does not cover the corpus")
     cap = single_pass_k(qs.shape[0])
     if k > cap:
         # Large k falls back to the multi-pass full scan (exclusion
-        # bounds + pruning don't compose yet); correctness first.
+        # bounds + pruning don't compose yet); correctness first. The
+        # L2 post-processing below must be replicated here — the raw
+        # fused values are norms^2 - 2 q.r (round-5 regression: the
+        # early return used to skip the +||q||^2 add-back).
         from innr_tpu.kernels.knn import _fused_knn
 
-        return _fused_knn(qs, rows, aux, k, mode)
+        vals, idx = _fused_knn(qs, rows, aux, k, mode)
+        if mode in ("l2", "l2m"):
+            qq = jnp.sum(qs * qs, axis=1, keepdims=True)
+            vals = jnp.maximum(vals + qq, 0.0)
+        return vals, idx
     fast = _fast_plan_ok(k, summary)
     # Cosine plans as DOT against the unit-row summary with the already
-    # pre-normalized queries (|q_hat| = 1 folds into the dot bounds).
-    plan_mode = {"cosine": "dot"}.get(mode, mode)
+    # pre-normalized queries (|q_hat| = 1 folds into the dot bounds);
+    # masked modes plan as their base mode (the summary's COUNTS cover
+    # valid rows only — see build_tile_summary's ``valid`` — so the
+    # threshold guarantee "at least k valid rows beat t0" stays sound).
+    plan_mode = {
+        "cosine": "dot", "cosinem": "dot", "dotm": "dot", "l2m": "l2",
+    }.get(mode, mode)
     if rows.dtype == jnp.bfloat16:
         # The scan kernels score bf16(q) . r (the same cast the full
         # fused scan makes — bit-identity demands it), a 2^-9 relative
@@ -358,19 +433,19 @@ def _pruned_run(qs, rows, aux, summary, k: int, mode: str):
         qs_plan = qs.astype(jnp.bfloat16).astype(jnp.float32)
     else:
         qs_plan = qs
-    order, n_surv = plan_survivors(
-        qs_plan, summary.centroids, summary.radii, summary.counts, k,
-        plan_mode, fast=fast,
-    )
     # Real hardware: dynamic-grid inner pipeline (only survivor tiles are
     # ever DMA'd). Interpreter (CPU tests): the static-grid variant —
-    # identical results, no bandwidth claim.
-    raw = _pruned_raw if should_interpret() else _pruned_raw_dynamic
-    keys, idx = raw(qs, rows, aux, order, n_surv, k, mode, summary.tile_n)
-    if mode == "l2":
+    # identical results, no bandwidth claim. Either way the plan, the
+    # route, and the scan are one dispatch.
+    keys, idx = _planned_routed(
+        qs_plan, qs, rows, aux, summary.centroids, summary.radii,
+        summary.counts, k, mode, plan_mode, summary.tile_n, fast,
+        not should_interpret(),
+    )
+    if mode in ("l2", "l2m"):
         keys = ~keys
     vals = _invert_total_key(keys)
-    if mode == "l2":
+    if mode in ("l2", "l2m"):
         qq = jnp.sum(qs * qs, axis=1, keepdims=True)
         vals = jnp.maximum(vals + qq, 0.0)
     return vals, idx

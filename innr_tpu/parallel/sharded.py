@@ -81,7 +81,7 @@ def _local_topk_pruned(qs, rows_shard, aux_shard, cent, rad, cnt, n_total,
     summaries, run the pruned scan locally, emit raw keys + global
     indices (the same contract as :func:`_local_topk`)."""
     from innr_tpu.kernels import should_interpret
-    from innr_tpu.kernels.pruned_knn import _pruned_raw, _pruned_raw_dynamic
+    from innr_tpu.kernels.pruned_knn import routed_raw
     from innr_tpu.prune import plan_survivors
 
     base = jax.lax.axis_index(AXIS) * rows_shard.shape[0]
@@ -98,9 +98,13 @@ def _local_topk_pruned(qs, rows_shard, aux_shard, cent, rad, cnt, n_total,
     order, n_surv = plan_survivors(
         qs_plan, cent, rad, cnt, k_local, plan_mode, fast=fast
     )
-    raw = _pruned_raw if should_interpret() else _pruned_raw_dynamic
-    keys, lidx = raw(
-        qs, rows_shard, aux_shard, order, n_surv, k_local, mode, tile_n
+    # Same self-routing as the single-chip path (kernels/pruned_knn.py):
+    # shards whose local plan elides too little run the plain full scan.
+    # Per-shard and device-side, so an incoherent shard can route to the
+    # full kernel while a clustered one prunes — no host sync either way.
+    keys, lidx = routed_raw(
+        qs, rows_shard, aux_shard, order, n_surv, k_local, mode, tile_n,
+        dynamic=not should_interpret(),
     )
     gidx = base + lidx
     keys = jnp.where(gidx < n_total, keys, _INT_MIN)

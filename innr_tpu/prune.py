@@ -41,7 +41,13 @@ import numpy as np
 
 from innr_tpu.utils.padding import round_up
 
-__all__ = ["TileSummary", "build_tile_summary", "cluster_order"]
+__all__ = [
+    "TileSummary",
+    "build_tile_summary",
+    "cluster_order",
+    "cluster_reorder",
+    "suggest_tile_n",
+]
 
 
 class TileSummary:
@@ -74,7 +80,8 @@ class TileSummary:
 
 
 @partial(jax.jit, static_argnames=("tile_n", "normalized"))
-def _summarize(rows: jax.Array, tile_n: int, normalized: bool = False):
+def _summarize(rows: jax.Array, tile_n: int, normalized: bool = False,
+               row_valid=None):
     n, d = rows.shape
     n_tiles = -(-n // tile_n)
     pad = n_tiles * tile_n - n
@@ -94,6 +101,16 @@ def _summarize(rows: jax.Array, tile_n: int, normalized: bool = False):
         jnp.arange(n_tiles * tile_n, dtype=jnp.int32).reshape(n_tiles, tile_n)
         < n
     )
+    if row_valid is not None:
+        # Masked summary (IVF tile-aligned padding, innr_tpu/ivf.py):
+        # centroid/radius/count cover VALID rows only. The plan's
+        # threshold guarantee becomes "at least k VALID rows beat t0",
+        # and masked rows — pinned to the worst key by the scan kernels'
+        # "l2m"/"dotm"/"cosinem" modes — cannot weaken the bound or
+        # poison a radius with their (arbitrary) padding values.
+        valid = valid & jnp.pad(
+            jnp.asarray(row_valid, jnp.bool_), (0, pad)
+        ).reshape(n_tiles, tile_n)
     r3 = rp.reshape(n_tiles, tile_n, d)
     cnt = jnp.sum(valid, axis=1).astype(jnp.int32)
     cent = jnp.sum(jnp.where(valid[..., None], r3, 0.0), axis=1) / jnp.maximum(
@@ -107,7 +124,8 @@ def _summarize(rows: jax.Array, tile_n: int, normalized: bool = False):
 
 
 def build_tile_summary(rows: jax.Array, tile_n: int,
-                       normalized: bool = False) -> TileSummary:
+                       normalized: bool = False,
+                       row_valid=None) -> TileSummary:
     """One pass over the corpus -> :class:`TileSummary` (device arrays).
 
     The ragged final tile is summarized over its real rows only. NaN/inf
@@ -116,8 +134,14 @@ def build_tile_summary(rows: jax.Array, tile_n: int,
     always scanned (the conservative direction).
 
     ``normalized=True`` summarizes the UNIT rows (cosine pruning: plan
-    survivors with mode "dot" against pre-normalized queries)."""
-    cent, radii, cnt = _summarize(rows, tile_n, normalized)
+    survivors with mode "dot" against pre-normalized queries).
+
+    ``row_valid``: optional (N,) boolean — summarize only rows where it is
+    True (tile-aligned padded layouts: the scan must mask the same rows
+    via the "l2m"/"dotm"/"cosinem" kernel modes). Tiles with zero valid
+    rows get centroid 0 / radius 0 / count 0; :func:`plan_survivors`
+    prunes them unconditionally."""
+    cent, radii, cnt = _summarize(rows, tile_n, normalized, row_valid)
     return TileSummary(tile_n, cent, radii, cnt, int(rows.shape[0]))
 
 
@@ -181,6 +205,11 @@ def plan_survivors(qs, summary_cent, summary_rad, summary_cnt, k: int,
         # Cancellation-aware scale: the kernel's norms^2 - 2 q.r + ||q||^2
         # form loses bits against the qq + cc + 2|qd| magnitudes.
         slack = PRUNE_BOUND_EPS * (qq + cc + 2.0 * jnp.abs(qd))
+    # Zero-valid-row tiles (masked summaries: pure-padding tiles in a
+    # tile-aligned IVF layout) can never hold a winner: their bounds must
+    # not dilute t0 (sort them last) and the tile itself is always dead.
+    empty = (summary_cnt <= 0)[None, :]
+    gkeys = jnp.where(empty, -jnp.inf, gkeys)
     if fast:
         # k fits inside a single tile (the caller statically verified a
         # tile with >= k rows exists): t0 = the best guaranteed bound
@@ -215,6 +244,7 @@ def plan_survivors(qs, summary_cent, summary_rad, summary_cnt, k: int,
     else:
         dead_q = optimistic > t0 + slack
     alive = ~jnp.all(dead_q, axis=0)  # (n_tiles,)
+    alive = alive & ~empty[0]  # no valid rows -> nothing to scan
     n_surv = jnp.sum(alive.astype(jnp.int32))
     # Survivors first in ascending tile order (stable: False < True).
     order = jnp.argsort(~alive, stable=True).astype(jnp.int32)
@@ -246,10 +276,80 @@ def plan_threshold_survivors(qs, summary_cent, summary_rad, threshold):
     return _pad_tail(order, n_surv, n_tiles), n_surv, alive
 
 
+def _kmeans_params(rows, n_clusters: int, sample: int):
+    rows = jnp.asarray(rows)
+    n = int(rows.shape[0])
+    n_clusters = int(min(n_clusters, max(n, 1)))
+    m = int(min(n, max(sample, n_clusters)))
+    return rows, n_clusters, m
+
+
+@partial(jax.jit, static_argnames=("iters", "kc", "m"))
+def _kmeans_assign(r, key, iters: int, kc: int, m: int):
+    """Sampled k-means++ fit + one full-corpus nearest-centroid pass ->
+    (N,) int32 cluster assignment, entirely on device (shared by
+    :func:`cluster_order` and :func:`cluster_reorder`)."""
+    k_sample, k_first, k_pp = jax.random.split(key, 3)
+    r32 = r.astype(jnp.float32)
+    s = r32[jax.random.choice(k_sample, r.shape[0], (m,), replace=False)]
+    sn = jnp.sum(s * s, axis=1)  # (m,)
+
+    def d2_to(c):
+        # Exact-enough L2^2 of every sample row to one center; the
+        # max(., 0) keeps the categorical weights nonnegative.
+        return jnp.maximum(
+            sn - 2.0 * jnp.matmul(s, c, preferred_element_type=jnp.float32)
+            + jnp.sum(c * c),
+            0.0,
+        )
+
+    first = s[jax.random.randint(k_first, (), 0, m)]
+    cent0 = jnp.zeros((kc, s.shape[1]), jnp.float32).at[0].set(first)
+
+    def pp_step(carry, j):
+        cents, mind2 = carry
+        # Sample the next seed proportional to squared distance from
+        # the chosen set (k-means++); all-zero mind2 (kc > distinct
+        # rows) degrades to uniform via the categorical's clamp.
+        logits = jnp.log(jnp.maximum(mind2, 1e-30))
+        nxt = jax.random.categorical(jax.random.fold_in(k_pp, j), logits)
+        c = s[nxt]
+        cents = jax.lax.dynamic_update_index_in_dim(cents, c, j, 0)
+        return (cents, jnp.minimum(mind2, d2_to(c))), None
+
+    (cent, _), _ = jax.lax.scan(
+        pp_step, (cent0, d2_to(first)), jnp.arange(1, kc)
+    )
+
+    def nearest(cent, x):
+        # ONE shared scoring for the Lloyd steps and the final
+        # assignment, so the two can never drift apart. The ||x||^2
+        # term of the L2^2 expansion is a per-row constant — it
+        # cannot change an argmin over centroids — so it is dropped
+        # (one less (N,) broadcast per pass).
+        d2 = (
+            jnp.sum(cent * cent, axis=1)[None, :]
+            - 2.0 * jnp.matmul(x, cent.T, preferred_element_type=jnp.float32)
+        )
+        return jnp.argmin(d2, axis=1)
+
+    def step(cent, _):
+        assign = nearest(cent, s)
+        one_hot = jax.nn.one_hot(assign, kc, dtype=jnp.float32)
+        sums = jnp.matmul(one_hot.T, s, preferred_element_type=jnp.float32)
+        cnts = jnp.sum(one_hot, axis=0)[:, None]
+        new_cent = jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1.0), cent)
+        return new_cent, None
+
+    cent, _ = jax.lax.scan(step, cent, None, length=iters)
+    return nearest(cent, r32)
+
+
+
 def cluster_order(rows, n_clusters: int = 256, n_iters: int = 5, seed: int = 0,
                   sample: int = 65536):
-    """Device-side mini k-means ordering pass: returns a permutation that
-    groups rows by nearest centroid — the layout step that makes tile
+    """Device-side mini k-means ordering pass: returns a HOST permutation
+    that groups rows by nearest centroid — the layout step that makes tile
     pruning effective on corpora that arrive in random order (IVF-style).
 
     Centers are seeded with **k-means++ on a row sample** (``sample``
@@ -261,73 +361,80 @@ def cluster_order(rows, n_clusters: int = 256, n_iters: int = 5, seed: int = 0,
     well-separated mode get a seed with high probability. Lloyd then
     runs ``n_iters`` steps on the sample; the full corpus is scored
     ONCE for the final assignment. O(sample * n_clusters * D) fit +
-    O(N * n_clusters * D) assign. Returns a host int64 permutation.
+    O(N * n_clusters * D) assign.
 
-    The permutation never affects correctness — pruned scans are exact
-    under any layout — only the achievable pruning power.
+    Returns a host int64 permutation for callers who manage their own
+    layout; prefer :func:`cluster_reorder` (all-device, no host
+    round-trip of N-sized arrays, auto tile suggestion) for corpora that
+    live on device. The permutation never affects correctness — pruned
+    scans are exact under any layout — only the achievable pruning power.
     """
-    rows = jnp.asarray(rows)
-    n = int(rows.shape[0])
-    n_clusters = int(min(n_clusters, max(n, 1)))
-    m = int(min(n, max(sample, n_clusters)))
-
-    @partial(jax.jit, static_argnames=("iters", "kc", "m"))
-    def _fit(r, iters: int, kc: int, m: int):
-        key = jax.random.PRNGKey(seed)
-        k_sample, k_first, k_pp = jax.random.split(key, 3)
-        r32 = r.astype(jnp.float32)
-        s = r32[jax.random.choice(k_sample, r.shape[0], (m,), replace=False)]
-        sn = jnp.sum(s * s, axis=1)  # (m,)
-
-        def d2_to(c):
-            # Exact-enough L2^2 of every sample row to one center; the
-            # max(., 0) keeps the categorical weights nonnegative.
-            return jnp.maximum(
-                sn - 2.0 * jnp.matmul(s, c, preferred_element_type=jnp.float32)
-                + jnp.sum(c * c),
-                0.0,
-            )
-
-        first = s[jax.random.randint(k_first, (), 0, m)]
-        cent0 = jnp.zeros((kc, s.shape[1]), jnp.float32).at[0].set(first)
-
-        def pp_step(carry, j):
-            cents, mind2 = carry
-            # Sample the next seed proportional to squared distance from
-            # the chosen set (k-means++); all-zero mind2 (kc > distinct
-            # rows) degrades to uniform via the categorical's clamp.
-            logits = jnp.log(jnp.maximum(mind2, 1e-30))
-            nxt = jax.random.categorical(jax.random.fold_in(k_pp, j), logits)
-            c = s[nxt]
-            cents = jax.lax.dynamic_update_index_in_dim(cents, c, j, 0)
-            return (cents, jnp.minimum(mind2, d2_to(c))), None
-
-        (cent, _), _ = jax.lax.scan(
-            pp_step, (cent0, d2_to(first)), jnp.arange(1, kc)
-        )
-
-        def nearest(cent, x):
-            # ONE shared scoring for the Lloyd steps and the final
-            # assignment, so the two can never drift apart. The ||x||^2
-            # term of the L2^2 expansion is a per-row constant — it
-            # cannot change an argmin over centroids — so it is dropped
-            # (one less (N,) broadcast per pass).
-            d2 = (
-                jnp.sum(cent * cent, axis=1)[None, :]
-                - 2.0 * jnp.matmul(x, cent.T, preferred_element_type=jnp.float32)
-            )
-            return jnp.argmin(d2, axis=1)
-
-        def step(cent, _):
-            assign = nearest(cent, s)
-            one_hot = jax.nn.one_hot(assign, kc, dtype=jnp.float32)
-            sums = jnp.matmul(one_hot.T, s, preferred_element_type=jnp.float32)
-            cnts = jnp.sum(one_hot, axis=0)[:, None]
-            new_cent = jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1.0), cent)
-            return new_cent, None
-
-        cent, _ = jax.lax.scan(step, cent, None, length=iters)
-        return nearest(cent, r32)
-
-    assign = _fit(rows, n_iters, n_clusters, m)
+    rows, n_clusters, m = _kmeans_params(rows, n_clusters, sample)
+    assign = _kmeans_assign(rows, jax.random.PRNGKey(seed), n_iters,
+                            n_clusters, m)
     return np.argsort(np.asarray(assign), kind="stable")
+
+
+@partial(jax.jit, static_argnames=("kc",))
+def _apply_order(rows, assign, kc: int):
+    perm = jnp.argsort(assign, stable=True).astype(jnp.int32)
+    reordered = jnp.take(rows, perm, axis=0)
+    sizes = jnp.bincount(assign, length=kc)
+    return reordered, perm, sizes
+
+
+def cluster_reorder(rows, n_clusters: int = 256, n_iters: int = 5,
+                    seed: int = 0, sample: int = 65536):
+    """All-device IVF layout pass: fit (sampled k-means++), assign,
+    stable argsort, and the row gather happen on device with no host
+    round-trip of any N-sized array.
+
+    Returns ``(reordered_rows, perm (N,) int32 device, cluster_sizes
+    (n_clusters,) int32 device)`` — ``reordered_rows[i] ==
+    rows[perm[i]]``, so a kNN index ``j`` on the reordered corpus maps
+    back as ``perm[j]``. Needs ~2x the corpus bytes of HBM during the
+    gather (an out-of-place permutation).
+
+    Measured cost on silicon (10M x 128d f32, launch floor excluded):
+    fit+assign ~10 ms, argsort+gather ~80 ms — ~10 scan-equivalents
+    total, amortized after a few query batches (the round-4 host-side
+    path measured 50-100 scan-equivalents: np.argsort of N int64 plus a
+    full corpus re-upload). Feed ``cluster_sizes`` to
+    :func:`suggest_tile_n` (or use ``VerticalBatch.cluster_reorder``,
+    which wires both) so the pruning tile height matches the measured
+    cluster granularity.
+    """
+    rows, n_clusters, m = _kmeans_params(rows, n_clusters, sample)
+    assign = _kmeans_assign(rows, jax.random.PRNGKey(seed), n_iters,
+                            n_clusters, m)
+    return _apply_order(rows, assign, n_clusters)
+
+
+def suggest_tile_n(cluster_sizes, n: int, d: int, dtype=None) -> int:
+    """Pruning tile height matched to measured cluster granularity.
+
+    A tile larger than the typical cluster straddles clusters, its
+    radius approaches the inter-center distance, and nothing prunes (the
+    measured envelope boundary; round 4 needed a manual
+    ``set_prune_tile_n`` for sub-tile clusters). Cluster boundaries are
+    not tile-aligned in a plain reorder, so even tile == cluster size
+    leaves most tiles straddling two clusters (measured: 86% survivors
+    at tile ~= cluster vs 31% at tile ~= cluster/2); picks HALF the 25th
+    percentile of non-empty cluster sizes rounded DOWN to a lane
+    multiple, floored at 256 (emit_pipeline per-step overhead dominates
+    below) and capped at the VMEM-budget default ``pruned_tile_n``. For
+    full boundary alignment — the real fix — use
+    :class:`innr_tpu.ivf.IVFIndex`, which pads each cluster segment to a
+    tile multiple."""
+    import jax.numpy as _jnp
+
+    from innr_tpu.kernels.pruned_knn import pruned_tile_n
+
+    sizes = np.asarray(cluster_sizes)
+    sizes = sizes[sizes > 0]
+    cap = pruned_tile_n(n, d, dtype if dtype is not None else _jnp.float32)
+    if sizes.size == 0:
+        return cap
+    p25 = float(np.percentile(sizes, 25))
+    tile = int(p25 / 2) // 128 * 128
+    return int(max(256, min(tile, cap)))

@@ -4722,12 +4722,20 @@ class TestNativeHostContracts:
         # _native.py:58/:72 [const 3 -> 4]: a fresh build reports ABI 3;
         # mutating the check makes every load look stale (rebuild, still
         # "stale", give up) and silently drops the whole native runtime.
+        # Environment failures must SKIP, not fail (ADVICE r4): _load()
+        # legitimately returns None when the compiler/sandbox refuses, and
+        # a pre-existing stale-ABI .so can stay dlopen-cached in-process —
+        # remove it first so the assertion exercises a fresh build.
         import shutil
 
         from innr_tpu import _native
 
         if not (shutil.which("cc") and _native._SRC.exists()):
             pytest.skip("no C toolchain in this environment")
+        if _native._LIB_PATH.exists():
+            _native._LIB_PATH.unlink()
+        if not _native._try_build():
+            pytest.skip("C toolchain present but build failed (sandbox?)")
         assert _native.available()
 
     def test_pack_ternary_word_count_and_values(self):

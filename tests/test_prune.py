@@ -451,3 +451,160 @@ class TestPruneTileKnob:
         assert vb.tile_summary().tile_n == default_tile
         vb.set_prune_tile_n(None)                   # reset to default
         assert vb.tile_summary().tile_n == default_tile
+
+
+class TestClusterReorder:
+    """All-device IVF layout pass (cluster_reorder) + auto tile suggestion:
+    the round-5 'make cluster_order economical and pruning self-routing'
+    work (VERDICT r4 item 2)."""
+
+    def test_matches_host_permutation_path(self, rng):
+        rows = _clustered(rng, n=4096, d=32, sort=False)
+        reordered, perm, sizes = prune.cluster_reorder(
+            rows, n_clusters=16, n_iters=4
+        )
+        perm = np.asarray(perm)
+        assert sorted(perm.tolist()) == list(range(4096))
+        np.testing.assert_array_equal(np.asarray(reordered), rows[perm])
+        assert int(np.sum(np.asarray(sizes))) == 4096
+        # Same seed => bit-identical layout to the host-permutation path.
+        host_perm = prune.cluster_order(rows, n_clusters=16, n_iters=4)
+        np.testing.assert_array_equal(perm, np.asarray(host_perm))
+
+    def test_suggest_tile_n(self):
+        from innr_tpu.kernels.pruned_knn import pruned_tile_n
+
+        # Clusters of ~600 rows -> HALF the cluster (straddling tiles
+        # at tile ~= cluster barely prune; measured in round 5) rounded
+        # DOWN to a lane multiple: 300 // 128 * 128 = 256.
+        assert prune.suggest_tile_n(np.full(100, 600), 60_000, 128) == 256
+        # ~1200-row clusters -> 600 -> 512.
+        assert prune.suggest_tile_n(np.full(100, 1200), 120_000, 128) == 512
+        # Floors at 256 (emit_pipeline per-step overhead).
+        assert prune.suggest_tile_n(np.full(10, 40), 400, 8) == 256
+        cap = pruned_tile_n(1_000_000, 128, jnp.float32)
+        # No non-empty clusters -> the VMEM-budget default.
+        assert (
+            prune.suggest_tile_n(np.zeros(5, np.int64), 1_000_000, 128) == cap
+        )
+        # Huge clusters -> capped at the VMEM-budget default.
+        assert (
+            prune.suggest_tile_n(np.full(3, 10**9), 1_000_000, 128) == cap
+        )
+
+    def test_batch_cluster_reorder_end_to_end(self, rng):
+        """VerticalBatch.cluster_reorder: pruned kNN on the reordered batch
+        maps back through perm to the direct answer, and the auto tile
+        height re-enables pruning on sub-tile clusters without the manual
+        knob."""
+        n, d, nc = 30_000, 32, 64  # ~470 rows/cluster, far below the cap
+        centers = 6.0 * rng.standard_normal((nc, d)).astype(np.float32)
+        assign = rng.integers(0, nc, n)
+        rows = (
+            centers[assign]
+            + 0.05 * rng.standard_normal((n, d)).astype(np.float32)
+        ).astype(np.float32)
+        vb = it.VerticalBatch.from_rows(rows)
+        nb, perm = vb.cluster_reorder(n_clusters=nc, n_iters=4)
+        perm = np.asarray(perm)
+        # Auto tile height dropped below the VMEM default to match the
+        # measured cluster granularity.
+        from innr_tpu.kernels.pruned_knn import pruned_tile_n
+
+        assert nb.tile_summary().tile_n < pruned_tile_n(n, d, nb.rows.dtype)
+        qs = (centers[:4] + 0.01).astype(np.float32)
+        full = it.batch_knn(qs, vb, 5)
+        pruned = it.batch_knn(qs, nb, 5, prune=True)
+        np.testing.assert_array_equal(
+            perm[np.asarray(pruned.indices)], np.asarray(full.indices)
+        )
+        np.testing.assert_allclose(
+            np.asarray(pruned.scores), np.asarray(full.scores), rtol=1e-5
+        )
+        # And the layout actually prunes. Cluster boundaries are NOT
+        # tile-aligned in a plain reorder, so straddling tiles cap the
+        # elision well below the ideal (~4/64 clusters relevant); demand
+        # a real but modest win here — full boundary alignment is
+        # IVFIndex's job (tests/test_ivf.py asserts the strong bound).
+        s = nb.tile_summary()
+        _, ns = prune.plan_survivors(
+            jnp.asarray(qs), s.centroids, s.radii, s.counts, 5, "l2"
+        )
+        assert int(ns) < int(0.75 * s.n_tiles), (int(ns), s.n_tiles)
+
+    def test_bf16_batch_reorder_keeps_dtype(self, rng):
+        rows = _clustered(rng, n=4096, d=32, sort=False)
+        vb = it.VerticalBatch(rows, dtype=jnp.bfloat16)
+        nb, perm = vb.cluster_reorder(n_clusters=8, n_iters=2)
+        assert nb.rows.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(nb.rows.astype(jnp.float32)),
+            np.asarray(vb.rows.astype(jnp.float32))[np.asarray(perm)],
+        )
+
+
+class TestPruneRouter:
+    """Self-routing prune=True: lax.cond picks the full fused scan when the
+    plan elides too little (config.prune_route_min_elide) — results must be
+    bit-identical on both routes, and the route must actually be taken at
+    runtime (observed with a sentinel spy on the full-scan branch)."""
+
+    def _mk(self, rng, n):
+        rows = _clustered(rng, n=n, d=32, n_centers=16, sort=True)
+        vb = it.VerticalBatch.from_rows(rows).set_prune_tile_n(256)
+        qs = (rows[:3] + 0.01).astype(np.float32)
+        return rows, vb, qs
+
+    def test_full_route_exact(self, rng):
+        from innr_tpu import config
+
+        rows, vb, qs = self._mk(rng, 4104)  # unique shape: fresh trace
+        want = it.batch_knn(qs, vb, 5)
+        old = config.prune_route_min_elide()
+        try:
+            config.set_prune_route_min_elide(1.0)  # always the full branch
+            got = it.batch_knn(qs, vb, 5, prune=True)
+        finally:
+            config.set_prune_route_min_elide(old)
+        np.testing.assert_array_equal(
+            np.asarray(got.indices), np.asarray(want.indices)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.scores), np.asarray(want.scores)
+        )
+
+    def test_route_taken_at_runtime(self, rng, monkeypatch):
+        """Sentinel spy: replace the full-scan branch with one returning
+        index 7 everywhere. A clustered corpus (high elision) must return
+        the REAL pruned answer (pruned branch ran); with the threshold at
+        1.0 the sentinel must surface (full branch ran). This observes the
+        runtime lax.cond decision, not just trace-time structure."""
+        from innr_tpu import config
+        from innr_tpu.kernels import knn as knn_mod
+        from innr_tpu.kernels.knn import _INT_MIN
+
+        real = knn_mod._fused_knn_raw
+
+        def sentinel(qs_, rows_, aux_, k_, mode_, excl_=None):
+            keys, idx = real(qs_, rows_, aux_, k_, mode_, excl_)
+            return jnp.full_like(keys, _INT_MIN + 1), jnp.full_like(idx, 7)
+
+        rows, vb, qs = self._mk(rng, 4232)  # unique shape: fresh trace
+        # The oracle must be computed BEFORE the patch: the plain
+        # batch_knn path also flows through _fused_knn_raw.
+        want = it.batch_knn(qs, it.VerticalBatch.from_rows(rows), 5)
+
+        monkeypatch.setattr(knn_mod, "_fused_knn_raw", sentinel)
+
+        got = it.batch_knn(qs, vb, 5, prune=True)  # elides >10%: pruned
+        np.testing.assert_array_equal(
+            np.asarray(got.indices), np.asarray(want.indices)
+        )
+        old = config.prune_route_min_elide()
+        try:
+            config.set_prune_route_min_elide(1.0)
+            rows2, vb2, qs2 = self._mk(rng, 4360)  # fresh trace again
+            got2 = it.batch_knn(qs2, vb2, 5, prune=True)
+        finally:
+            config.set_prune_route_min_elide(old)
+        assert np.all(np.asarray(got2.indices) == 7)
