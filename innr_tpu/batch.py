@@ -556,6 +556,11 @@ def _empty_result(q=None) -> BatchKnnResult:
 
 
 def _result(vals, idx) -> BatchKnnResult:
+    # ONE device_get for both arrays: sequential np.asarray fetches cost
+    # a full host<->device round trip EACH (~35 ms through the axon relay
+    # — measured round 5: 69 ms for two asarray vs 43 ms for the pair),
+    # which dominated small-result searches.
+    vals, idx = jax.device_get((vals, idx))
     return BatchKnnResult(
         indices=np.asarray(idx, dtype=np.int64),
         scores=np.asarray(vals, dtype=np.float32),

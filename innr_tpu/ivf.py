@@ -226,7 +226,8 @@ class IVFIndex:
             qs = _unit_queries(qs)
         vals, idx = _pruned_run(qs, self.rows, self._aux, self._summary,
                                 k, mode)
-        orig = jnp.take(self.orig_idx, idx)
+        # One device_get for both arrays (one relay round trip, not two).
+        vals, orig = jax.device_get((vals, jnp.take(self.orig_idx, idx)))
         return BatchKnnResult(
             indices=np.asarray(orig, dtype=np.int64),
             scores=np.asarray(vals, dtype=np.float32),

@@ -289,6 +289,8 @@ class SegmentedCorpus:
             jnp.concatenate(per_gids, axis=1),
             k,
         )
+        # One device_get for the pair (one relay round trip, not two).
+        out_scores, out_ids = jax.device_get((out_scores, out_ids))
         out_scores = np.asarray(out_scores)
         out_ids = np.asarray(out_ids, dtype=np.int64)
         if single:

@@ -10,12 +10,21 @@ reference never needed this (a CPU library call has no launch floor), but
 the survey's serving north star (SURVEY.md §6 "MaxSim QPS") does.
 
 :class:`MicroBatcher` wraps any batched search backend. Concurrent callers
-block in :meth:`search`; a collector thread accumulates requests until
-``max_batch`` are waiting or the oldest has waited ``max_wait_ms``, then
-runs ONE fused launch for the whole window and wakes every caller with its
+block in :meth:`search` (or get a ``Future`` from :meth:`submit`); a
+collector thread accumulates requests until ``max_batch`` are waiting or
+the oldest has waited ``max_wait_ms``, then hands the window to a flush
+worker: ONE fused launch for the whole window, every caller woken with its
 own row of the result. Batches are padded up to a small set of bucket
-sizes (powers of two) so XLA compiles each shape once, not once per
-window occupancy.
+sizes (powers of two, plus quarter-steps above ``max_batch/2`` so
+near-full windows don't pad all the way up) so XLA compiles each shape
+once, not once per window occupancy.
+
+``pipeline_depth`` flush workers (default 2) keep one launch in flight
+while the next window collects and the previous result fetches: the
+launch floor is mostly round-trip LATENCY, not device occupancy, so
+overlapping two in-flight windows nearly doubles coalesced QPS (round-5
+measurement; the round-4 collect-then-launch serialization recovered only
+~half of manual b=32 throughput).
 
 Single-caller note: with no concurrency there is nothing to coalesce —
 each request pays up to ``max_wait_ms`` extra latency (keep it small, a
@@ -28,6 +37,7 @@ from __future__ import annotations
 
 import threading
 import time
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -52,22 +62,28 @@ class BatcherStats:
 
 
 class _Request:
-    __slots__ = ("query", "event", "values", "indices", "error")
+    __slots__ = ("query", "future")
 
     def __init__(self, query):
         self.query = query
-        self.event = threading.Event()
-        self.values = None
-        self.indices = None
-        self.error = None
+        self.future = Future()
 
 
 def _bucket(n: int, max_batch: int) -> int:
-    """Smallest power-of-two >= n, capped at max_batch (one XLA
-    compilation per bucket instead of one per window occupancy)."""
+    """Smallest padded size >= n from the bucket ladder, capped at
+    max_batch (one XLA compilation per bucket instead of one per window
+    occupancy). The ladder is powers of two up to ``max_batch/2``, then
+    quarter-steps of ``max_batch`` — a 17-query window on max_batch=32
+    pads to 24, not 32 (the pure power-of-two ladder wasted up to ~2x
+    compute exactly where windows are largest)."""
     b = 1
-    while b < n:
+    while b < n and b < max_batch // 2:
         b *= 2
+    if b >= n:
+        return min(b, max_batch)
+    step = max(max_batch // 4, 1)
+    while b < n:
+        b += step
     return min(b, max_batch)
 
 
@@ -91,11 +107,13 @@ class MicroBatcher:
     """
 
     def __init__(self, backend, k: int, max_batch: int = 32,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0, pipeline_depth: int = 2):
         if k < 1:
             raise ContractError("MicroBatcher: k must be >= 1")
         if max_batch < 1:
             raise ContractError("MicroBatcher: max_batch must be >= 1")
+        if pipeline_depth < 1:
+            raise ContractError("MicroBatcher: pipeline_depth must be >= 1")
         self.k = int(k)
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
@@ -105,6 +123,16 @@ class MicroBatcher:
         self._queue: list[_Request] = []
         self._oldest_t = 0.0
         self._closed = False
+        # Flush workers: while one window's launch+fetch round trip is in
+        # flight, the collector keeps collecting and the next window can
+        # launch — the floor is RTT latency, not device occupancy, so
+        # depth 2 nearly doubles coalesced QPS (module doc).
+        self._depth = int(pipeline_depth)
+        self._pool = ThreadPoolExecutor(
+            max_workers=self._depth,
+            thread_name_prefix="innr-microbatcher-flush",
+        )
+        self._inflight = 0
         self._collector = threading.Thread(
             target=self._collect_loop, name="innr-microbatcher", daemon=True
         )
@@ -140,9 +168,13 @@ class MicroBatcher:
 
     # -- caller side --------------------------------------------------------
 
-    def search(self, query, timeout: float | None = 30.0):
-        """Blocking single-query search; returns ``(values (k,), indices
-        (k,))`` NumPy arrays. Coalesces with concurrent callers."""
+    def submit(self, query) -> Future:
+        """Non-blocking single-query search: returns a
+        :class:`concurrent.futures.Future` resolving to ``(values (k,),
+        indices (k,))`` NumPy arrays — the async interface a real server
+        loop needs (resolve with ``future.result()``, add callbacks with
+        ``future.add_done_callback``, or bridge to asyncio via
+        ``asyncio.wrap_future``). Coalesces with concurrent callers."""
         q = np.asarray(query, dtype=np.float32)
         if q.ndim != 1:
             raise ContractError(
@@ -156,11 +188,12 @@ class MicroBatcher:
                 self._oldest_t = time.monotonic()
             self._queue.append(req)
             self._lock.notify_all()
-        if not req.event.wait(timeout):
-            raise TimeoutError("MicroBatcher.search: timed out")
-        if req.error is not None:
-            raise req.error
-        return req.values, req.indices
+        return req.future
+
+    def search(self, query, timeout: float | None = 30.0):
+        """Blocking single-query search; returns ``(values (k,), indices
+        (k,))`` NumPy arrays. Coalesces with concurrent callers."""
+        return self.submit(query).result(timeout)
 
     # -- collector side -----------------------------------------------------
 
@@ -176,8 +209,12 @@ class MicroBatcher:
                         # exactly, the next iteration recomputes a strictly
                         # smaller wait and breaks anyway.
                         if wait <= 0:
-                            break
-                        self._lock.wait(timeout=wait)
+                            # Every flush worker busy: keep collecting (a
+                            # bigger window amortizes better than a queued
+                            # launch); workers notify on completion.
+                            if self._inflight < self._depth:
+                                break
+                        self._lock.wait(timeout=self.max_wait_s)
                     else:
                         self._lock.wait()
                 if self._closed and not self._queue:
@@ -186,7 +223,8 @@ class MicroBatcher:
                 del self._queue[: self.max_batch]
                 if self._queue:
                     self._oldest_t = time.monotonic()
-            self._flush(window)
+                self._inflight += 1
+            self._pool.submit(self._flush, window)
 
     def _flush(self, window):
         try:
@@ -199,18 +237,21 @@ class MicroBatcher:
             res = self._run(qs)
             vals, idx = self._normalize(res)
             for i, r in enumerate(window):
-                r.values = np.asarray(vals[i])
-                r.indices = np.asarray(idx[i])
-                r.event.set()
-            self.stats.requests += n
-            self.stats.launches += 1
-            self.stats.batch_histogram[bucket] = (
-                self.stats.batch_histogram.get(bucket, 0) + 1
-            )
+                r.future.set_result((vals[i], idx[i]))
+            with self._lock:
+                self.stats.requests += n
+                self.stats.launches += 1
+                self.stats.batch_histogram[bucket] = (
+                    self.stats.batch_histogram.get(bucket, 0) + 1
+                )
         except Exception as e:  # noqa: BLE001 — delivered to each caller
             for r in window:
-                r.error = e
-                r.event.set()
+                if not r.future.done():
+                    r.future.set_exception(e)
+        finally:
+            with self._lock:
+                self._inflight -= 1
+                self._lock.notify_all()
 
     def _run(self, qs):
         return self._scan(qs, self.k)
@@ -220,16 +261,24 @@ class MicroBatcher:
         if hasattr(res, "indices"):  # BatchKnnResult
             return res.scores, res.indices
         vals, idx = res
-        return vals, idx
+        if not (isinstance(vals, np.ndarray) and isinstance(idx, np.ndarray)):
+            # Device arrays: ONE device_get for the pair — per-request
+            # np.asarray row fetches cost a relay round trip EACH
+            # (~35 ms; round-5 measurement), 2 x batch of them here.
+            import jax
+
+            vals, idx = jax.device_get((vals, idx))
+        return np.asarray(vals), np.asarray(idx)
 
     # -- lifecycle ----------------------------------------------------------
 
     def close(self):
-        """Drain pending requests, stop the collector."""
+        """Drain pending requests, stop the collector and flush workers."""
         with self._lock:
             self._closed = True
             self._lock.notify_all()
         self._collector.join(timeout=60.0)
+        self._pool.shutdown(wait=True)
 
     def __enter__(self):
         return self

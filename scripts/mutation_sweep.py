@@ -125,6 +125,11 @@ TARGETS: dict[str, tuple[str, ...]] = {
     "innr_tpu/utils/asserts.py": (
         "tests/test_dense.py", "tests/test_batch.py",
     ),
+    # Round-5 addition: the IVF aligned-layout index (masked summary +
+    # padded scatter + metric dispatch all live here).
+    "innr_tpu/ivf.py": (
+        "tests/test_ivf.py", "tests/test_mutation_hardening.py",
+    ),
 }
 
 _BINOP_SWAPS = {

@@ -49,8 +49,20 @@ class TestBucket:
             1, 2, 4, 4, 8, 8, 16, 32, 32,
         ]
 
+    def test_quarter_steps_above_half(self):
+        # Above max_batch/2 the ladder steps by max_batch/4: a 17-query
+        # window pads to 24, not 32 (round-5: the pure power-of-two
+        # ladder wasted up to ~2x compute exactly where windows are
+        # largest).
+        assert [_bucket(n, 32) for n in (17, 20, 24, 25)] == [24, 24, 24, 32]
+        assert [_bucket(n, 64) for n in (33, 48, 49, 63)] == [48, 48, 64, 64]
+
     def test_capped_at_max_batch(self):
         assert _bucket(7, 4) == 4
+
+    def test_tiny_max_batch(self):
+        assert [_bucket(n, 1) for n in (1,)] == [1]
+        assert [_bucket(n, 3) for n in (1, 2, 3)] == [1, 2, 3]
 
 
 class TestCorrectness:
@@ -203,3 +215,93 @@ class TestLifecycle:
         mb.close()  # must flush, not strand, the waiter
         t.join(timeout=10)
         assert got.get("idx") == 3
+
+
+class TestAsyncAndPipelining:
+    """Round-5 saturation work: Future interface + pipelined flushes."""
+
+    def test_submit_returns_future(self, rng):
+        rows = _unit_rows(rng, 64, 8)
+        with MicroBatcher(_brute_backend(rows), k=3, max_wait_ms=1.0) as mb:
+            futs = [mb.submit(rows[i]) for i in (5, 9, 21)]
+            for want, f in zip((5, 9, 21), futs):
+                vals, idx = f.result(timeout=10)
+                assert int(idx[0]) == want
+                assert vals.shape == (3,)
+
+    def test_future_carries_backend_error(self):
+        def broken(qs):
+            raise ValueError("backend exploded")
+
+        with MicroBatcher(broken, k=1, max_wait_ms=1.0) as mb:
+            f = mb.submit(np.zeros(4, np.float32))
+            with pytest.raises(ValueError, match="backend exploded"):
+                f.result(timeout=10)
+
+    def test_pipelined_flushes_overlap(self, rng):
+        """With a slow backend and pipeline_depth=2, two windows must be
+        in flight concurrently (observed via a high-water mark); with
+        depth=1 they must serialize."""
+        rows = _unit_rows(rng, 16, 4)
+        oracle = _brute_backend(rows)
+
+        class Spy:
+            def __init__(self):
+                self.active = 0
+                self.high = 0
+                self.lock = threading.Lock()
+
+            def __call__(self, qs):
+                with self.lock:
+                    self.active += 1
+                    self.high = max(self.high, self.active)
+                time.sleep(0.05)
+                out = oracle(qs)
+                with self.lock:
+                    self.active -= 1
+                return out
+
+        for depth, want_high in ((2, 2), (1, 1)):
+            spy = Spy()
+            with MicroBatcher(spy, k=1, max_batch=2, max_wait_ms=1.0,
+                              pipeline_depth=depth) as mb:
+                futs = [mb.submit(rows[i % 16]) for i in range(8)]
+                for f in futs:
+                    f.result(timeout=30)
+            if depth == 2:
+                assert spy.high == want_high, spy.high
+            else:
+                assert spy.high == 1, spy.high
+
+    def test_depth_contract(self, rng):
+        rows = _unit_rows(rng, 8, 4)
+        with pytest.raises(ContractError):
+            MicroBatcher(_brute_backend(rows), k=1, pipeline_depth=0)
+
+    def test_results_exact_under_pipelining(self, rng):
+        """48 concurrent callers through depth-2 pipelining: every caller
+        gets its own exact row (no cross-window mixups)."""
+        rows = _unit_rows(rng, 64, 8)
+        with MicroBatcher(_brute_backend(rows), k=1, max_batch=8,
+                          max_wait_ms=1.0, pipeline_depth=2) as mb:
+            results = {}
+            errs = []
+
+            def worker(i):
+                try:
+                    _, idx = mb.search(rows[i])
+                    results[i] = int(idx[0])
+                except Exception as e:  # noqa: BLE001
+                    errs.append(e)
+
+            threads = [
+                threading.Thread(target=worker, args=(i,)) for i in range(48)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=30)
+        assert not errs
+        assert results == {i: i for i in range(48)}
+        assert mb.stats.requests == 48
+        assert mb.stats.launches >= 6  # windows of <= max_batch
