@@ -225,6 +225,37 @@ def bench_bf16_parity(n=1_000_000, d=128, k=10, queries=32):
     )
 
 
+def bench_sharded_overhead(n=2_000_000, d=128, k=10, queries=32):
+    """shard_map overhead bound on a trivial mesh (round-5 verdict item
+    8): the sharded kNN path on a 1-device mesh vs the direct fused
+    kernel over the same corpus. Multi-chip hardware isn't reachable
+    here, but the DEGENERATE mesh runs the full shard_map + local-scan +
+    merge machinery on silicon — the ratio bounds what the distribution
+    layer costs when the mesh is trivial (should be ~1.0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from innr_tpu.kernels import knn as kknn
+    from innr_tpu.parallel import ShardedCorpus
+    from innr_tpu.parallel.sharded import default_mesh
+
+    rng = np.random.default_rng(11)
+    rows = jax.jit(
+        lambda: jax.random.normal(
+            jax.random.PRNGKey(21), (n, d), dtype=jnp.float32
+        )
+    )()
+    jax.block_until_ready(rows)
+    qs = jnp.asarray(rng.standard_normal((queries, d)).astype(np.float32))
+    direct = _time_best(
+        lambda: np.asarray(kknn.fused_knn_dot_batch(qs, rows, k)[0])
+    )
+    sc = ShardedCorpus(rows, mesh=default_mesh(jax.devices()[:1]))
+    sharded = _time_best(lambda: np.asarray(sc.knn_dot(qs, k)[0]))
+    del rows, sc
+    return sharded / direct
+
+
 def bench_full():
     """All BASELINE.json north-star configs with per-config roofline
     fractions (same-session jnp.sum read time / kernel time); prints one
@@ -522,6 +553,23 @@ def main():
         u8_evals, u8_roofline = bench_u8()
         stage = "bf16_parity"
         parity = bench_bf16_parity()
+        # GATE (round-5 verdict item 5): the headline rides the bf16
+        # corpus, which is only legitimate while its fidelity holds. A
+        # kernel change that degraded bf16 agreement below this floor
+        # must FAIL the bench, not print a big number with a quiet
+        # submetric. Override only for deliberate experiments.
+        overlap_floor = float(
+            os.environ.get("INNR_BENCH_MIN_BF16_OVERLAP", 0.98)
+        )
+        if parity < overlap_floor:
+            _emit_error(
+                stage,
+                f"bf16_vs_f32_top10_overlap {parity:.4f} < floor "
+                f"{overlap_floor} — bf16 headline fidelity regressed",
+            )
+            sys.exit(1)
+        stage = "sharded_overhead_1dev"
+        sharded_ratio = bench_sharded_overhead(n=min(args.n, 2_000_000))
         # Headline: bf16 corpus at the same HBM byte count as the f32
         # north-star config (2x rows at 2 bytes/dim) — the recorded serving
         # configuration for d=128 retrieval.
@@ -553,6 +601,7 @@ def main():
                         "roofline_fraction": round(u8_roofline, 3),
                     },
                     "bf16_vs_f32_top10_overlap": round(parity, 4),
+                    "sharded_overhead_1dev": round(sharded_ratio, 3),
                 },
             }
         )

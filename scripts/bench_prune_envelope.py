@@ -122,13 +122,15 @@ def main() -> int:
             )
         return jnp.asarray(rng.standard_normal((n_q, d)).astype(np.float32))
 
-    def measure(rows, qs, order_cost_s=0.0):
+    def measure(rows, qs, order_cost_s=0.0, tile=None):
         """Returns (pruning_power, speedup_1x, speedup_8x, overhead_pct)."""
-        summ = _prune.build_tile_summary(rows, tile_n)
+        t_n = tile or tile_n
+        nt = -(-rows.shape[0] // t_n)
+        summ = _prune.build_tile_summary(rows, t_n)
         order, n_surv = _prune.plan_survivors(
             qs, summ.centroids, summ.radii, summ.counts, k, "dot"
         )
-        power = 1.0 - float(n_surv) / n_tiles
+        power = 1.0 - float(n_surv) / nt
         if args.plan_only:
             return power, None, None, None, summ
 
@@ -166,8 +168,10 @@ def main() -> int:
             for q in qbatches:
                 o, ns = _prune.plan_survivors(q, ce, ra, cn, k, "dot",
                                               fast=True)
-                keys, _ = kpruned._pruned_raw_dynamic(
-                    q, r, None, o, ns, k, "dot", tile_n
+                # Same self-routing as the product path: unprunable
+                # batches fall back to the full fused scan in-device.
+                keys, _ = kpruned.routed_raw(
+                    q, r, None, o, ns, k, "dot", t_n, dynamic=True
                 )
                 outs.append(keys[:, 0])
             return jnp.stack(outs)
@@ -218,20 +222,35 @@ def main() -> int:
         ("clustered (arrival order)", "0.05", "near-center", power_r, s1_r,
          s8_r, over_r)
     )
+    # All-device layout pass (round 5: cluster_reorder — fit, assign,
+    # argsort, gather on device; no host round trip of N-sized arrays).
+    # Warm the trace first so order_cost is the run cost, not compile.
+    _ = _prune.cluster_reorder(rows[: 4 * tile_n], n_clusters=4)
     t0 = time.perf_counter()
-    perm = _prune.cluster_order(rows, n_clusters=centers_eff)
-    rows_o = jnp.asarray(np.asarray(rows)[perm])
+    rows_o, _perm, _sizes = _prune.cluster_reorder(
+        rows, n_clusters=centers_eff
+    )
     jax.block_until_ready(rows_o)
     order_cost = time.perf_counter() - t0
     del rows
-    print(f"# cluster_order pass: {order_cost:.2f}s", file=sys.stderr)
+    scan_equiv = None
     for amort in (1, 100):
         power, s1, s8, over, _ = measure(
             rows_o, qs, order_cost_s=order_cost / amort
         )
         rows_md.append(
-            (f"cluster_order (cost/{amort})", "0.05", "near-center", power,
+            (f"cluster_reorder (cost/{amort})", "0.05", "near-center", power,
              s1, s8, over)
+        )
+    if not args.plan_only:
+        t_full1 = _time_best(
+            lambda: np.asarray(kknn.fused_knn_dot_batch(qs, rows_o, k)[0])
+        )
+        scan_equiv = order_cost / t_full1
+        print(
+            f"# cluster_reorder pass: {order_cost:.2f}s = "
+            f"{scan_equiv:.1f} scan-equivalents",
+            file=sys.stderr,
         )
     del rows_o
 
@@ -258,7 +277,47 @@ def main() -> int:
         (f"clustered (sub-tile: {sub_centers} centers)", "0.05",
          "near-center", power, s1, s8, over)
     )
+
+    # Same corpus with the AUTOMATIC tile height (round 5:
+    # prune.suggest_tile_n from the measured cluster-size distribution —
+    # no manual set_prune_tile_n knob).
+    auto_tile = _prune.suggest_tile_n(
+        np.full(sub_centers, n // sub_centers), n, d
+    )
+    power, s1, s8, over, _ = measure(rows, qs, tile=auto_tile)
+    rows_md.append(
+        (f"sub-tile + auto tile ({auto_tile})", "0.05", "near-center",
+         power, s1, s8, over)
+    )
     del rows
+
+    # And the aligned-layout answer: IVFIndex pads each cluster segment
+    # to a tile multiple, so no tile straddles a cluster (round 5).
+    ivf_row = None
+    if not args.plan_only:
+        rows, centers = _make_gen(sub_centers)(jnp.float32(0.05), False)
+        jax.block_until_ready(rows)
+        from innr_tpu.ivf import IVFIndex
+
+        t0 = time.perf_counter()
+        ivf = IVFIndex(rows, n_clusters=sub_centers, metric="dot",
+                       n_iters=3)
+        jax.block_until_ready(ivf.rows)
+        build_s = time.perf_counter() - t0
+        qs = _queries(centers, "near-center")
+        surv, tot = ivf.plan_stats(qs, k)
+        t_full = _time_best(
+            lambda: np.asarray(kknn.fused_knn_dot_batch(qs, rows, k)[0])
+        )
+        t_ivf = _time_best(lambda: ivf.search_batch(qs, k).scores)
+        ivf_row = (
+            f"IVFIndex (aligned, pad {ivf.padding_fraction:.1%}, "
+            f"build {build_s / t_full:.0f} scans)",
+            "0.05", "near-center", 1.0 - surv / tot,
+            t_full / t_ivf, None, (t_ivf - t_full) / t_full * 100.0,
+        )
+        rows_md.append(ivf_row)
+        del rows, ivf
 
     lines = [
         "# Pruned-scan envelope (measured)",
@@ -267,8 +326,16 @@ def main() -> int:
         f"(requested {args.centers}, scaled so clusters span >= 4 tiles), "
         f"tile_n={tile_n} ({n_tiles} tiles). speedup_1x = one launch; "
         "speedup_8x = 8 scans amortized per launch; overhead% = pruned vs "
-        "full single-launch when nothing (or little) prunes. cluster_order "
-        "rows charge the one-time k-means pass against 1 or 100 scans.",
+        "full single-launch when nothing (or little) prunes — the scan "
+        "self-routes to the full kernel below "
+        "config.prune_route_min_elide, so this bounds the router+plan "
+        "cost. cluster_reorder rows charge the all-device layout pass "
+        "against 1 or 100 scans"
+        + (
+            f" (measured: {scan_equiv:.1f} scan-equivalents)."
+            if scan_equiv is not None
+            else "."
+        ),
         "",
         "| corpus | sigma | queries | DMAs elided | speedup 1x | "
         "speedup 8x | overhead % |",

@@ -31,8 +31,12 @@ echo "bench --full rc=$?"
 stage check python scripts/plot_benchmarks.py --check /tmp/onchip/bench_full.stderr
 
 # 4. pruned-scan envelope (coherence/order/placement sweep, amortized +
-#    single-launch, cluster_order build cost included)
+#    single-launch, cluster_reorder build cost included)
 stage envelope python -u scripts/bench_prune_envelope.py --n 10000000
+
+# 4b. mechanized DMA-elision assertion: rc=0 holds, rc=2 elision
+#     regressed, rc=3 relay too noisy to adjudicate (round-5 item 6)
+stage elision python -u scripts/validate_elision.py --n 10000000
 
 # 5. serving QPS vs batch size (launch-floor economics)
 stage serving python -u examples/serving_demo.py

@@ -161,3 +161,56 @@ class TestSparseTupleAmbiguityPin:
         val = np.array([[1.0, 2.0], [3.0, 0.0]], np.float32)
         corpus = it.SparseCorpus((idx, val))
         assert corpus.num_docs == 2 and corpus.width == 2
+
+
+class TestBenchBf16Gate:
+    """bench.py must FAIL (structured error line + rc 1) when bf16
+    headline fidelity drops below the overlap floor — the north-star
+    number can never silently ride a degraded half-precision mode
+    (round-5 verdict item 5). The real main() runs with every measuring
+    stage stubbed; only the gate logic is live."""
+
+    def _run_main(self, monkeypatch, capsys, parity):
+        import sys as _sys
+
+        import bench
+
+        monkeypatch.setattr(
+            bench, "bench_knn_dot", lambda **kw: (1e9, 0.01, 0.9)
+        )
+        monkeypatch.setattr(bench, "bench_u8", lambda **kw: (1e9, 0.9))
+        monkeypatch.setattr(
+            bench, "bench_sharded_overhead", lambda **kw: 1.01
+        )
+        monkeypatch.setattr(bench, "bench_bf16_parity", lambda: parity)
+        monkeypatch.setattr(
+            _sys, "argv", ["bench.py", "--no-probe", "--n", "1000"]
+        )
+        try:
+            bench.main()
+            code = 0
+        except SystemExit as e:
+            code = e.code
+        out = capsys.readouterr().out
+        return code, out
+
+    def test_degraded_overlap_trips_gate(self, monkeypatch, capsys):
+        import json as _json
+
+        code, out = self._run_main(monkeypatch, capsys, parity=0.83)
+        assert code == 1
+        line = _json.loads(out.strip().splitlines()[-1])
+        assert line["value"] is None
+        assert "overlap" in line["error"]
+        assert line["stage"] == "bf16_parity"
+
+    def test_healthy_overlap_passes_gate(self, monkeypatch, capsys):
+        import json as _json
+
+        code, out = self._run_main(monkeypatch, capsys, parity=0.99)
+        assert code == 0
+        line = _json.loads(out.strip().splitlines()[-1])
+        assert line["value"] == 1_000_000_000
+        sub = line["submetrics"]
+        assert sub["bf16_vs_f32_top10_overlap"] == 0.99
+        assert sub["sharded_overhead_1dev"] == 1.01
