@@ -579,6 +579,20 @@ def main():
     except Exception as e:  # noqa: BLE001 — one JSON line, then re-raise code
         _emit_error(stage, f"{type(e).__name__}: {e}")
         sys.exit(1)
+    # Same `# name: value [roofline=F]` stderr format as the bench_full
+    # stages, so plot_benchmarks.py --check/--update can pin these too.
+    print(
+        f"# f32_headline_evals_per_s: {f32_evals:,.1f} "
+        f"roofline={f32_roofline:.2f}",
+        file=sys.stderr,
+    )
+    print(
+        f"# bf16_headline_evals_per_s: {evals_per_s:,.1f} "
+        f"roofline={roofline:.2f}",
+        file=sys.stderr,
+    )
+    print(f"# bf16_vs_f32_top10_overlap: {parity:.4f}", file=sys.stderr)
+    print(f"# sharded_overhead_1dev: {sharded_ratio:.3f}", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -34,7 +34,14 @@ from innr_tpu.distance import (
 from innr_tpu.pipeline import CoarseConfig, TwoStageIndex
 from innr_tpu.serving import MicroBatcher
 from innr_tpu.segmented import SegmentedCorpus
-from innr_tpu.prune import TileSummary, build_tile_summary, cluster_order
+from innr_tpu.ivf import IVFIndex
+from innr_tpu.prune import (
+    TileSummary,
+    build_tile_summary,
+    cluster_order,
+    cluster_reorder,
+    suggest_tile_n,
+)
 from innr_tpu.batch import (
     BatchKnnResult,
     VerticalBatch,

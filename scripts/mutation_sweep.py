@@ -130,6 +130,12 @@ TARGETS: dict[str, tuple[str, ...]] = {
     "innr_tpu/ivf.py": (
         "tests/test_ivf.py", "tests/test_mutation_hardening.py",
     ),
+    # Round-5 addition: the fused compare-select sparse kNN kernel
+    # (dense-tile sentinel scoring; CPU-interpretable via should_interpret).
+    "innr_tpu/kernels/sparse_knn.py": (
+        "tests/test_sparse.py", "tests/test_kernels.py",
+        "tests/test_mutation_hardening.py",
+    ),
 }
 
 _BINOP_SWAPS = {
