@@ -4808,3 +4808,65 @@ class TestTernaryWordsKernelOracle:
             batch_ternary_dot_words(pq.pos, pq.neg, cpos, cneg)
         )
         np.testing.assert_array_equal(out, (vals * q[None, :]).sum(axis=1))
+
+
+class TestPruneRouterDecision:
+    """Kills the config.py _PRUNE_ROUTE_MIN_ELIDE const survivor (0.10 ->
+    -0.1 collapses min_elide to max(1, negative) = 1) and the
+    routed_raw threshold arithmetic. Both routes return bit-identical
+    results by construction, so value tests are blind to the DECISION —
+    spy it by monkeypatching the branch bodies to return distinct
+    markers (lax.cond traces both, but only the taken branch's marker
+    comes out)."""
+
+    @staticmethod
+    def _route_taken(n_tiles, n_surv, monkeypatch):
+        import jax.numpy as jnp
+
+        from innr_tpu.kernels import knn as kknn
+        from innr_tpu.kernels import pruned_knn as kpruned
+
+        def _mark(v):
+            def _fn(qs, rows, aux, order, n_surv, k, mode, tile_n):
+                return (jnp.full((1, 8), v, jnp.int32),
+                        jnp.full((1, 8), v, jnp.int32))
+            return _fn
+
+        monkeypatch.setattr(kpruned, "_pruned_raw", _mark(1))
+        monkeypatch.setattr(
+            kknn, "_fused_knn_raw",
+            lambda qs, rows, aux, k, mode, rv: (
+                jnp.full((1, 8), 2, jnp.int32),
+                jnp.full((1, 8), 2, jnp.int32),
+            ),
+        )
+        qs = jnp.zeros((1, 8), jnp.float32)
+        rows = jnp.zeros((n_tiles * 8, 8), jnp.float32)
+        order = jnp.arange(n_tiles, dtype=jnp.int32)
+        keys, _ = kpruned.routed_raw(
+            qs, rows, None, order, jnp.int32(n_surv), 8, "dot", 8,
+            dynamic=False,
+        )
+        return int(np.asarray(keys)[0, 0])  # 1=pruned, 2=full
+
+    def test_threshold_scales_with_tile_count(self, monkeypatch):
+        # 40 tiles, default 0.10 -> min_elide=4: a plan eliding only 2
+        # tiles must route FULL. The -0.1 const mutant (min_elide=1) and
+        # any Mult/round mutation flips this to pruned.
+        assert self._route_taken(40, 38, monkeypatch) == 2
+        # eliding exactly 4 routes pruned (boundary inclusive)
+        assert self._route_taken(40, 36, monkeypatch) == 1
+
+    def test_min_elide_floor_is_one(self, monkeypatch):
+        # 4 tiles: round(0.1*4)=0 floors to 1 — eliding a single tile
+        # engages pruning; eliding nothing routes full.
+        assert self._route_taken(4, 3, monkeypatch) == 1
+        assert self._route_taken(4, 4, monkeypatch) == 2
+
+    def test_setter_reaches_the_decision(self, monkeypatch):
+        from innr_tpu import config
+
+        monkeypatch.setattr(config, "_PRUNE_ROUTE_MIN_ELIDE", 0.5)
+        # threshold 0.5 at 40 tiles -> min_elide=20: eliding 10 is full
+        assert self._route_taken(40, 30, monkeypatch) == 2
+        assert self._route_taken(40, 20, monkeypatch) == 1
