@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import enum
 
-import jax
-
 from innr_tpu import config
 
 __all__ = ["Backend", "dense_backend", "batch_backend", "slot_backend"]
@@ -32,10 +30,6 @@ class Backend(enum.Enum):
 
     def __str__(self) -> str:
         return self.value
-
-
-def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
 
 
 def dense_backend(length: int) -> Backend:

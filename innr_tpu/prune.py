@@ -421,20 +421,31 @@ def suggest_tile_n(cluster_sizes, n: int, d: int, dtype=None) -> int:
     leaves most tiles straddling two clusters (measured: 86% survivors
     at tile ~= cluster vs 31% at tile ~= cluster/2); picks HALF the 25th
     percentile of non-empty cluster sizes rounded DOWN to a lane
-    multiple, floored at 256 (emit_pipeline per-step overhead dominates
-    below) and capped at the VMEM-budget default ``pruned_tile_n``. For
-    full boundary alignment — the real fix — use
-    :class:`innr_tpu.ivf.IVFIndex`, which pads each cluster segment to a
-    tile multiple."""
+    multiple and capped at the VMEM-budget default ``pruned_tile_n``.
+
+    Floor: ~1 MB of corpus bytes per tile. DMA granularity below that
+    starves HBM bandwidth — the round-5 envelope measured tile 256 rows
+    at d=128 (128 KB DMAs) running **0.84x amortized despite 64%
+    elision**: every surviving tile's read pays transfer-latency that a
+    MB-scale DMA amortizes away. When the cluster-matched tile would
+    fall below the floor, this returns the floor — straddling then
+    usually elides nothing, the router takes the full scan, and
+    prune=True stays never-worse. For sub-tile clusters the real fix is
+    :class:`innr_tpu.ivf.IVFIndex`: aligned boundaries elide so much
+    (measured 95.7%) that the few surviving small DMAs cost nothing."""
     import jax.numpy as _jnp
 
     from innr_tpu.kernels.pruned_knn import pruned_tile_n
 
+    dt = dtype if dtype is not None else _jnp.float32
     sizes = np.asarray(cluster_sizes)
     sizes = sizes[sizes > 0]
-    cap = pruned_tile_n(n, d, dtype if dtype is not None else _jnp.float32)
+    cap = pruned_tile_n(n, d, dt)
+    itemsize = 2 if dt == _jnp.bfloat16 else 4
+    rows_1mb = -(-(1 << 20) // (max(d, 1) * itemsize))  # ceil(1MB / row)
+    floor = max(256, -(-rows_1mb // 128) * 128)  # round UP to a sublane tile
     if sizes.size == 0:
         return cap
     p25 = float(np.percentile(sizes, 25))
     tile = int(p25 / 2) // 128 * 128
-    return int(max(256, min(tile, cap)))
+    return int(max(floor, min(tile, cap)))

@@ -243,3 +243,119 @@ class TestIVFContracts:
         with pytest.raises(ContractError):
             IVFIndex(rng.standard_normal((300, 8)).astype(np.float32),
                      dtype=jnp.float16)
+
+
+class TestIVFSurvivorKillers:
+    """Round-5 phase-2 sweep survivors, killed at the value level."""
+
+    def test_tile_n_zero_is_a_contract_error(self, rng):
+        # ivf.py guard `tile <= 0` [cmp LtE -> Lt survivor]: tile_n=0
+        # must raise ContractError, not ZeroDivisionError three lines
+        # later in the padding arithmetic.
+        with pytest.raises(ContractError):
+            IVFIndex(rng.standard_normal((300, 8)).astype(np.float32),
+                     n_clusters=2, tile_n=0)
+
+    def test_original_row_zero_is_findable(self, rng):
+        # ivf.py `orig_idx >= 0` validity [cmp GtE -> Gt survivor]: perm
+        # value 0 (the row that was FIRST in the original order) must
+        # stay valid — the mutant marks it padding and it can never win.
+        rows, _ = _clustered(rng, n=2_000, d=16, nc=4)
+        ivf = IVFIndex(rows, n_clusters=4, metric="l2", tile_n=256)
+        got = ivf.search(rows[0], 1)  # self-distance 0 must win under l2
+        assert got.indices[0] == 0
+
+    def test_padding_fraction_exact(self, rng):
+        # ivf.py `1.0 - n_true / stored` [binop Sub -> Add survivor]:
+        # pin the exact value and its range.
+        rows = rng.standard_normal((300, 8)).astype(np.float32)
+        ivf = IVFIndex(rows, n_clusters=1, tile_n=256)
+        stored = int(ivf.rows.shape[0])
+        assert stored == 512  # 300 rows in 1 cluster -> 2 tiles of 256
+        assert ivf.padding_fraction == pytest.approx(1.0 - 300 / 512)
+        assert 0.0 <= ivf.padding_fraction < 1.0
+
+    @pytest.mark.parametrize("metric", ["dot", "l2", "cosine"])
+    def test_plan_stats_rederivation_oracle(self, rng, metric):
+        # ivf.py plan_stats metric/dtype arms [cmp Eq survivors at the
+        # cosine-normalize and bf16-roundtrip branches]: re-derive
+        # (n_surv, n_tiles) from the documented transform and the same
+        # planner; any arm flip diverges. Queries are deliberately
+        # UN-normalized (scale 7) so the cosine unit-normalize arm is
+        # load-bearing, and bf16 uses values that round visibly.
+        from innr_tpu.kernels.knn import _unit_queries
+        from innr_tpu.prune import plan_survivors
+
+        rows, centers = _clustered(rng, n=4_000, d=16, nc=8)
+        ivf = IVFIndex(rows, n_clusters=8, metric=metric, tile_n=256)
+        qs = 7.0 * (
+            centers[:5] + 0.01 * rng.standard_normal((5, 16))
+        ).astype(np.float32)
+        got = ivf.plan_stats(qs, 3)
+
+        ref_q = jnp.asarray(qs)
+        if metric == "cosine":
+            ref_q = _unit_queries(ref_q)
+        s = ivf._summary
+        _, ns = plan_survivors(
+            ref_q, s.centroids, s.radii, s.counts, 3,
+            "l2" if metric == "l2" else "dot",
+        )
+        assert got == (int(ns), s.n_tiles)
+        assert 0 < got[0] <= got[1]
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_plan_stats_bf16_rounds_queries(self, rng, dtype, monkeypatch):
+        # The bf16 arm must roundtrip queries through bf16 (matching
+        # what the scan kernel sees) and the f32 arm must NOT. Geometry
+        # rarely flips a tile on sub-1e-2 rounding, so spy on the
+        # planner and pin the qs it actually receives for BOTH dtypes —
+        # the Eq->NotEq mutant swaps the arms and fails both.
+        from innr_tpu import prune as prune_mod
+
+        rows, _ = _clustered(rng, n=4_000, d=16, nc=8)
+        ivf = IVFIndex(rows, n_clusters=8, metric="dot", tile_n=256,
+                       dtype=dtype)
+        # 1 + 1e-3 perturbations round AWAY in bf16 (eps ~ 7.8e-3)
+        qs = (1.0 + 1e-3 * rng.standard_normal((5, 16))).astype(np.float32)
+        seen = {}
+        real = prune_mod.plan_survivors
+
+        def spy(q, *a, **kw):
+            seen["q"] = np.asarray(q)
+            return real(q, *a, **kw)
+
+        monkeypatch.setattr(prune_mod, "plan_survivors", spy)
+        ivf.plan_stats(qs, 3)
+        if dtype == jnp.bfloat16:
+            want = np.asarray(
+                jnp.asarray(qs).astype(jnp.bfloat16).astype(jnp.float32)
+            )
+            assert not np.array_equal(seen["q"], qs)  # rounding happened
+        else:
+            want = qs
+        np.testing.assert_array_equal(seen["q"], want)
+
+    @pytest.mark.parametrize("metric", ["dot", "l2", "cosine"])
+    def test_summary_normalized_arm(self, rng, metric):
+        # ivf.py `normalized=(metric == "cosine")` [cmp Eq survivor]:
+        # re-derive the tile summary with the documented arm and require
+        # equality, plus require the two arms actually DIFFER on this
+        # corpus (so the comparison is load-bearing and the NotEq mutant
+        # cannot satisfy both).
+        rows, _ = _clustered(rng, n=2_000, d=16, nc=4)
+        ivf = IVFIndex(rows, n_clusters=4, metric=metric, tile_n=256)
+        want = prune.build_tile_summary(
+            ivf.rows, ivf.tile_n, normalized=(metric == "cosine"),
+            row_valid=ivf._valid,
+        )
+        other = prune.build_tile_summary(
+            ivf.rows, ivf.tile_n, normalized=(metric != "cosine"),
+            row_valid=ivf._valid,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ivf._summary.radii), np.asarray(want.radii)
+        )
+        assert not np.array_equal(
+            np.asarray(want.radii), np.asarray(other.radii)
+        )

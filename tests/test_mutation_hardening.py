@@ -4870,3 +4870,32 @@ class TestPruneRouterDecision:
         # threshold 0.5 at 40 tiles -> min_elide=20: eliding 10 is full
         assert self._route_taken(40, 30, monkeypatch) == 2
         assert self._route_taken(40, 20, monkeypatch) == 1
+
+
+class TestHammingWordsKernelOracle:
+    """Kills the hamming.py:33 BitXor survivor: `rows ^ q` inside
+    _hamming_kernel. The mapped suites only reach the kernel above the
+    MIN_ROWS dispatch gate (small corpora take the jnp path), so the
+    XOR itself was unobservable — drive batch_hamming_words directly
+    against the popcount oracle."""
+
+    def test_hamming_words_kernel_matches_popcount_oracle(self):
+        from innr_tpu.kernels.hamming import batch_hamming_words
+
+        rng = np.random.default_rng(7)
+        corpus = rng.integers(0, 2**32, size=(137, 5), dtype=np.uint32)
+        q = rng.integers(0, 2**32, size=5, dtype=np.uint32)
+        got = np.asarray(batch_hamming_words(jnp.asarray(q),
+                                             jnp.asarray(corpus)))
+        want = np.array([
+            int(sum(int(a ^ b).bit_count() for a, b in zip(row, q)))
+            for row in corpus
+        ], dtype=np.uint32)
+        np.testing.assert_array_equal(got, want)
+        # An AND/OR mutant also changes the SELF distance (x^x = 0 but
+        # x&x = x): pin the zero diagonal explicitly.
+        self_d = np.asarray(
+            batch_hamming_words(jnp.asarray(corpus[0]),
+                                jnp.asarray(corpus[:1]))
+        )
+        assert self_d[0] == 0

@@ -474,14 +474,24 @@ class TestClusterReorder:
     def test_suggest_tile_n(self):
         from innr_tpu.kernels.pruned_knn import pruned_tile_n
 
-        # Clusters of ~600 rows -> HALF the cluster (straddling tiles
-        # at tile ~= cluster barely prune; measured in round 5) rounded
-        # DOWN to a lane multiple: 300 // 128 * 128 = 256.
-        assert prune.suggest_tile_n(np.full(100, 600), 60_000, 128) == 256
-        # ~1200-row clusters -> 600 -> 512.
-        assert prune.suggest_tile_n(np.full(100, 1200), 120_000, 128) == 512
-        # Floors at 256 (emit_pipeline per-step overhead).
-        assert prune.suggest_tile_n(np.full(10, 40), 400, 8) == 256
+        # Half-cluster rule would give 256/512 here, but the ~1MB DMA
+        # floor (2048 rows at d=128 f32; envelope measured 0.84x
+        # amortized at tile 256 despite 64% elision) wins: sub-floor
+        # cluster granularity routes to the full scan instead of paying
+        # bandwidth-starved small DMAs (IVFIndex is the sub-tile answer).
+        assert prune.suggest_tile_n(np.full(100, 600), 60_000, 128) == 2048
+        assert prune.suggest_tile_n(np.full(100, 1200), 120_000, 128) == 2048
+        # ~8000-row clusters at d=128 -> half = 4000 -> 3968 (above the
+        # 2048-row floor, below the VMEM cap).
+        assert prune.suggest_tile_n(np.full(100, 8000), 800_000, 128) == 3968
+        # d=8 f32: 1MB floor = ceil(32768 rows) -> already the cap here.
+        assert prune.suggest_tile_n(np.full(10, 40), 400, 8) >= 2048
+        # bf16 halves the row bytes -> doubles the floor rows.
+        assert (
+            prune.suggest_tile_n(np.full(100, 600), 60_000, 128,
+                                 dtype=jnp.bfloat16)
+            >= 4096
+        )
         cap = pruned_tile_n(1_000_000, 128, jnp.float32)
         # No non-empty clusters -> the VMEM-budget default.
         assert (
@@ -497,7 +507,11 @@ class TestClusterReorder:
         maps back through perm to the direct answer, and the auto tile
         height re-enables pruning on sub-tile clusters without the manual
         knob."""
-        n, d, nc = 30_000, 32, 64  # ~470 rows/cluster, far below the cap
+        # ~6000 rows/cluster at d=128: half-cluster tile ~2944 sits above
+        # the ~1MB DMA floor (2048) and below the VMEM cap (~4736), so
+        # the automatic height actually adapts (sub-floor granularity
+        # now routes to the full scan instead — see test_suggest_tile_n).
+        n, d, nc = 120_000, 128, 20
         centers = 6.0 * rng.standard_normal((nc, d)).astype(np.float32)
         assign = rng.integers(0, nc, n)
         rows = (
