@@ -359,3 +359,34 @@ class TestIVFSurvivorKillers:
         assert not np.array_equal(
             np.asarray(want.radii), np.asarray(other.radii)
         )
+
+    def test_plan_stats_uses_l2_planner_for_l2(self, rng):
+        # ivf.py plan_stats `"l2" if metric == "l2" else "dot"` [cmp Eq
+        # survivor]: on isotropic clusters the two planners often agree,
+        # so build a corpus where they CANNOT — a far cluster at 50x the
+        # norm is unbeatable under dot (its optimistic bound dominates)
+        # but trivially prunable under l2 for a query sitting inside
+        # another cluster.
+        from innr_tpu.prune import plan_survivors
+
+        # Asymmetric tile counts (the planners can otherwise keep the
+        # same NUMBER of tiles from different clusters): ~8 near tiles
+        # vs ~24 far tiles, so the surviving COUNT separates the arms.
+        d = 16
+        near = 0.05 * rng.standard_normal((2_000, d)).astype(np.float32)
+        far = (50.0 + 0.05 * rng.standard_normal((6_000, d))).astype(
+            np.float32
+        )
+        rows = np.concatenate([near, far])
+        ivf = IVFIndex(rows, n_clusters=2, metric="l2", tile_n=256)
+        qs = near[:3] + np.float32(0.01)
+        got = ivf.plan_stats(qs, 3)
+        s = ivf._summary
+        _, ns_l2 = plan_survivors(
+            jnp.asarray(qs), s.centroids, s.radii, s.counts, 3, "l2"
+        )
+        _, ns_dot = plan_survivors(
+            jnp.asarray(qs), s.centroids, s.radii, s.counts, 3, "dot"
+        )
+        assert got == (int(ns_l2), s.n_tiles)
+        assert int(ns_l2) != int(ns_dot)  # the arm is load-bearing here
