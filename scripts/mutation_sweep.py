@@ -175,6 +175,10 @@ EXCLUDED_FUNCS = {
     "_pick_tile",
     "_pick_tile_docs",
     "_pick_tile_docs_mq",
+    # VMEM-budget estimator feeding only the (excluded) tile pickers —
+    # packed_knn/slot_knn/sparse_knn all define one; any value is
+    # correct, only the tile size (perf) changes.
+    "_topk_bytes",
     "pruned_tile_n",
     "_fast_plan_ok",
     "_pad_tail",
@@ -205,6 +209,11 @@ EXCLUDED_CONSTS = {
     # launch-overhead amortization (perf) changes. Same class as the
     # tile pickers (phase-2 sweep, round 4).
     "MIN_ROWS_PALLAS",
+    # Sparse fused-join gate: both routes are exact (the compare-select
+    # kernel is bit-identical to the XLA join) and the gate-contract
+    # test derives its boundary shapes from the constant
+    # (tests/test_kernels.py sparse gate spy) — MIN_ROWS_PALLAS class.
+    "MAX_QUERY_NNZ",
 }
 
 # Functions that only execute on real TPU silicon: the emit_pipeline

@@ -4899,3 +4899,38 @@ class TestHammingWordsKernelOracle:
                                 jnp.asarray(corpus[:1]))
         )
         assert self_d[0] == 0
+
+    def test_hamming_words_multi_tile_grid(self):
+        # hamming.py grid `n_pad // tile_n` [FloorDiv survivor]: at
+        # n=16384, w=2 the tile is 8192 -> a 2-step grid; the Mult
+        # mutant explodes it to 134M idempotent steps (timeout = killed
+        # in the sweep). Values also pin the multi-tile index map.
+        from innr_tpu.kernels.hamming import batch_hamming_words
+
+        rng = np.random.default_rng(11)
+        corpus = rng.integers(0, 2**32, size=(16_384, 2), dtype=np.uint32)
+        q = rng.integers(0, 2**32, size=2, dtype=np.uint32)
+        got = np.asarray(batch_hamming_words(jnp.asarray(q),
+                                             jnp.asarray(corpus)))
+        x = corpus ^ q[None, :]
+        want = (
+            np.unpackbits(x.view(np.uint8), axis=1).sum(axis=1)
+        ).astype(np.uint32)
+        np.testing.assert_array_equal(got, want)
+
+    def test_ternary_words_multi_tile_grid(self):
+        # Same for the ternary kernel's grid at hamming.py:85.
+        from innr_tpu.kernels.hamming import batch_ternary_dot_words
+        from innr_tpu.ops.ternary import (
+            encode_ternary_batch, encode_ternary_values,
+        )
+
+        rng = np.random.default_rng(12)
+        vals = rng.integers(-1, 2, size=(16_384, 33)).astype(np.int32)
+        q = rng.integers(-1, 2, size=33).astype(np.int32)
+        cpos, cneg = encode_ternary_batch(vals.astype(np.float32), 0.5)
+        pq = encode_ternary_values(q)
+        got = np.asarray(
+            batch_ternary_dot_words(pq.pos, pq.neg, cpos, cneg)
+        )
+        np.testing.assert_array_equal(got, (vals * q[None, :]).sum(axis=1))
