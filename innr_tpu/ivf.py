@@ -111,7 +111,12 @@ class IVFIndex:
 
         r, kc, m = _kmeans_params(rows, n_clusters, sample)
         assign = _kmeans_assign(r, jax.random.PRNGKey(seed), n_iters, kc, m)
-        sizes = np.asarray(jnp.bincount(assign, length=kc))  # host: kc ints
+        # ONE stable pair sort supplies the permutation, the sorted
+        # keys, and (via kc+1 binary searches) the cluster sizes — the
+        # previous build ran an argsort PLUS three jnp.bincounts, each a
+        # 10M-element scatter-add measured at ~88 ms device time.
+        sorted_assign, perm, sizes_dev = _sort_assign(assign, kc)
+        sizes = np.asarray(sizes_dev)  # host: kc ints (fixes the shape)
         self.cluster_sizes = sizes
         tile = int(tile_n) if tile_n is not None else _pick_tile(
             sizes, n, d, dtype
@@ -125,10 +130,11 @@ class IVFIndex:
         offsets = jnp.asarray(
             np.concatenate([[0], np.cumsum(padded_sizes)[:-1]]), jnp.int32
         )
+        starts = jnp.asarray(
+            np.concatenate([[0], np.cumsum(sizes)[:-1]]), jnp.int32
+        )
         self.rows, self.orig_idx = _scatter_layout(
-            rows.astype(dtype), assign, offsets,
-            jnp.cumsum(jnp.bincount(assign, length=kc))
-            - jnp.bincount(assign, length=kc),
+            rows.astype(dtype), sorted_assign, perm, offsets, starts,
             n_pad=n_pad,
         )
         self._valid = self.orig_idx >= 0
@@ -241,29 +247,38 @@ class IVFIndex:
         return BatchKnnResult(indices=res.indices[0], scores=res.scores[0])
 
 
-@jax.jit
-def _rank_in_cluster(assign, starts):
-    """Stable rank of each row within its cluster: position in the
-    cluster-grouped stable sort minus the cluster's start offset."""
-    perm = jnp.argsort(assign, stable=True).astype(jnp.int32)
+@functools.partial(jax.jit, static_argnames=("kc",))
+def _sort_assign(assign, kc: int):
+    """(sorted_assign, perm, sizes) from ONE stable pair sort; sizes via
+    kc+1 binary searches on the sorted keys (bincount's 10M scatter-add
+    measured ~88 ms device time; same device-cost analysis as
+    ``innr_tpu.prune._apply_order``)."""
     n = assign.shape[0]
-    rank_sorted = jnp.arange(n, dtype=jnp.int32) - jnp.take(
-        starts.astype(jnp.int32), jnp.take(assign, perm)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_assign, perm = jax.lax.sort(
+        (assign.astype(jnp.int32), iota), num_keys=1, is_stable=True
     )
-    return perm, rank_sorted
+    bounds = jnp.searchsorted(
+        sorted_assign, jnp.arange(kc + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    return sorted_assign, perm, jnp.diff(bounds)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad",))
-def _scatter_layout(rows, assign, offsets, starts, n_pad: int):
+def _scatter_layout(rows, sorted_assign, perm, offsets, starts, n_pad: int):
     """Scatter rows into the padded aligned layout (device-side).
 
+    ``sorted_assign``/``perm`` come from the build's single pair sort
+    (rank within a cluster = sorted position minus the cluster's start).
     Module-level jit with ``n_pad`` static: repeat builds at the same
     shapes hit the compile cache (a per-call closure here made EVERY
     IVFIndex build retrace the 2x-corpus scatter — the dominant build
     cost through a remote-compile relay)."""
-    perm, rank_sorted = _rank_in_cluster(assign, starts)
-    c_sorted = jnp.take(assign, perm)
-    dest = jnp.take(offsets, c_sorted) + rank_sorted
+    n = sorted_assign.shape[0]
+    rank_sorted = jnp.arange(n, dtype=jnp.int32) - jnp.take(
+        starts.astype(jnp.int32), sorted_assign
+    )
+    dest = jnp.take(offsets, sorted_assign) + rank_sorted
     out = jnp.zeros((n_pad, rows.shape[1]), rows.dtype)
     out = out.at[dest].set(jnp.take(rows, perm, axis=0))
     orig = jnp.full((n_pad,), -1, jnp.int32).at[dest].set(perm)

@@ -291,19 +291,34 @@ def _kmeans_assign(r, key, iters: int, kc: int, m: int):
     :func:`cluster_order` and :func:`cluster_reorder`)."""
     k_sample, k_first, k_pp = jax.random.split(key, 3)
     r32 = r.astype(jnp.float32)
-    s = r32[jax.random.choice(k_sample, r.shape[0], (m,), replace=False)]
-    sn = jnp.sum(s * s, axis=1)  # (m,)
+    # Sample WITH replacement: choice(replace=False) materializes a
+    # random permutation of ALL N rows (a 10M-key sort, measured ~95 ms
+    # device time) to draw 65K of them; duplicate draws are harmless to
+    # a k-means fit and randint is O(m).
+    s = r32[jax.random.randint(k_sample, (m,), 0, r.shape[0])]
+
+    # k-means++ seeding runs on a SUB-sample of the Lloyd sample: the
+    # seeding scan is kc-1 SEQUENTIAL steps whose per-step cost is a
+    # d2 pass over its candidate pool, and at pool 65536 the scan alone
+    # measured ~100 ms on-chip — half the whole layout pass. Seed
+    # quality needs each true mode represented in the pool (thousands of
+    # rows suffice), not the pool itself to be huge; Lloyd then refines
+    # on the full sample. s is already a uniform draw, so a prefix of it
+    # is one too.
+    m_seed = min(m, 8192)
+    ss = s[:m_seed]
+    ssn = jnp.sum(ss * ss, axis=1)  # (m_seed,)
 
     def d2_to(c):
-        # Exact-enough L2^2 of every sample row to one center; the
+        # Exact-enough L2^2 of every seed-pool row to one center; the
         # max(., 0) keeps the categorical weights nonnegative.
         return jnp.maximum(
-            sn - 2.0 * jnp.matmul(s, c, preferred_element_type=jnp.float32)
+            ssn - 2.0 * jnp.matmul(ss, c, preferred_element_type=jnp.float32)
             + jnp.sum(c * c),
             0.0,
         )
 
-    first = s[jax.random.randint(k_first, (), 0, m)]
+    first = ss[jax.random.randint(k_first, (), 0, m_seed)]
     cent0 = jnp.zeros((kc, s.shape[1]), jnp.float32).at[0].set(first)
 
     def pp_step(carry, j):
@@ -313,7 +328,7 @@ def _kmeans_assign(r, key, iters: int, kc: int, m: int):
         # rows) degrades to uniform via the categorical's clamp.
         logits = jnp.log(jnp.maximum(mind2, 1e-30))
         nxt = jax.random.categorical(jax.random.fold_in(k_pp, j), logits)
-        c = s[nxt]
+        c = ss[nxt]
         cents = jax.lax.dynamic_update_index_in_dim(cents, c, j, 0)
         return (cents, jnp.minimum(mind2, d2_to(c))), None
 
@@ -322,9 +337,8 @@ def _kmeans_assign(r, key, iters: int, kc: int, m: int):
     )
 
     def nearest(cent, x):
-        # ONE shared scoring for the Lloyd steps and the final
-        # assignment, so the two can never drift apart. The ||x||^2
-        # term of the L2^2 expansion is a per-row constant — it
+        # Lloyd-step scoring over the SAMPLE (m rows — small). The
+        # ||x||^2 term of the L2^2 expansion is a per-row constant — it
         # cannot change an argmin over centroids — so it is dropped
         # (one less (N,) broadcast per pass).
         d2 = (
@@ -342,7 +356,17 @@ def _kmeans_assign(r, key, iters: int, kc: int, m: int):
         return new_cent, None
 
     cent, _ = jax.lax.scan(step, cent, None, length=iters)
-    return nearest(cent, r32)
+    # The FULL-corpus pass runs in the fused Pallas kernel (kernels/
+    # assign.py): running best in VMEM scratch, no (N, kc) HBM
+    # intermediate — measured 33.8 ms vs 37.5 ms for XLA's matmul+argmin
+    # at 10M x 256 (XLA fuses the argmin consumer well; the kernel's win
+    # is modest and its big-kc regime falls back to XLA — see the
+    # kernel's own gate). Ties and near-ties may resolve differently
+    # from the Lloyd-step scoring — assignment affects only layout
+    # quality, never correctness (module doc).
+    from innr_tpu.kernels.assign import nearest_centroid
+
+    return nearest_centroid(r, cent)
 
 
 
@@ -375,11 +399,41 @@ def cluster_order(rows, n_clusters: int = 256, n_iters: int = 5, seed: int = 0,
     return np.argsort(np.asarray(assign), kind="stable")
 
 
+@partial(jax.jit, static_argnames=("iters", "kc", "m"))
+def _reorder_fused(r, key, iters: int, kc: int, m: int):
+    """fit + assign + argsort + gather + bincount in ONE dispatch —
+    through a relay every extra jit call costs a ~30 ms round trip, a
+    full scan-equivalent of pure latency at 10M rows (PERF.md)."""
+    assign = _kmeans_assign(r, key, iters, kc, m)
+    return _apply_order(r, assign, kc)
+
+
 @partial(jax.jit, static_argnames=("kc",))
 def _apply_order(rows, assign, kc: int):
-    perm = jnp.argsort(assign, stable=True).astype(jnp.int32)
+    # ONE stable pair sort yields the permutation AND the sorted keys
+    # (argsort runs the identical sort and throws the keys away); the
+    # cluster sizes then come from kc+1 binary searches on the sorted
+    # keys instead of jnp.bincount, whose 10M-element scatter-add
+    # measured ~88 ms of device time — 100x the searches.
+    #
+    # Negative result, kept so nobody re-tries it: a counting-sort
+    # permutation (one radix pass — per-128-block histograms, cumsum
+    # carries, fused N*kc compare-reduce lookups, unique-index scatter)
+    # is bit-identical to this stable sort but measured 3x SLOWER
+    # on-chip (149 ms vs 50 ms at 10M rows / 256 buckets): the one-hot
+    # and block-compare intermediates cost more HBM traffic than XLA's
+    # sort network, which is already memory-efficient for an (i32, i32)
+    # pair. PERF.md round-5 frontier section.
+    n = assign.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_assign, perm = jax.lax.sort(
+        (assign.astype(jnp.int32), iota), num_keys=1, is_stable=True
+    )
     reordered = jnp.take(rows, perm, axis=0)
-    sizes = jnp.bincount(assign, length=kc)
+    bounds = jnp.searchsorted(
+        sorted_assign, jnp.arange(kc + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    sizes = jnp.diff(bounds)
     return reordered, perm, sizes
 
 
@@ -405,9 +459,8 @@ def cluster_reorder(rows, n_clusters: int = 256, n_iters: int = 5,
     cluster granularity.
     """
     rows, n_clusters, m = _kmeans_params(rows, n_clusters, sample)
-    assign = _kmeans_assign(rows, jax.random.PRNGKey(seed), n_iters,
-                            n_clusters, m)
-    return _apply_order(rows, assign, n_clusters)
+    return _reorder_fused(rows, jax.random.PRNGKey(seed), n_iters,
+                          n_clusters, m)
 
 
 def suggest_tile_n(cluster_sizes, n: int, d: int, dtype=None) -> int:

@@ -60,6 +60,7 @@ TARGETS: dict[str, tuple[str, ...]] = {
     "innr_tpu/kernels/slot_knn.py": ("tests/test_slot.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/kernels/maxsim_kernel.py": ("tests/test_maxsim.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/kernels/pruned_knn.py": ("tests/test_prune.py", "tests/test_mutation_hardening.py"),
+    "innr_tpu/kernels/assign.py": ("tests/test_prune.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/prune.py": ("tests/test_prune.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/batch.py": ("tests/test_batch.py", "tests/test_mutation_hardening.py"),
     "innr_tpu/segmented.py": ("tests/test_segmented.py", "tests/test_mutation_hardening.py"),

@@ -453,6 +453,82 @@ class TestPruneTileKnob:
         assert vb.tile_summary().tile_n == default_tile
 
 
+class TestNearestCentroid:
+    """Differential tests for the fused nearest-centroid kernel
+    (kernels/assign.py) against a float64 NumPy oracle — the final
+    full-corpus pass of `_kmeans_assign` (round-5 frontier: the XLA
+    matmul+argmin materialized a (N, kc) HBM intermediate)."""
+
+    @staticmethod
+    def _oracle(x, c):
+        d2 = np.sum(c.astype(np.float64) ** 2, axis=1)[None, :] - 2.0 * (
+            x.astype(np.float64) @ c.T.astype(np.float64)
+        )
+        return np.argmin(d2, axis=1).astype(np.int32)
+
+    @pytest.mark.parametrize(
+        "n,d,kc",
+        [(1000, 16, 7), (513, 32, 256), (300, 8, 1), (129, 7, 2100),
+         (257, 160, 2304)],  # 2100/2304 exercise the multi-tile merge
+    )
+    def test_matches_oracle_on_separated_clusters(self, rng, n, d, kc):
+        from innr_tpu.kernels.assign import nearest_centroid
+
+        c = rng.standard_normal((kc, d)).astype(np.float32) * 3
+        a = rng.integers(0, kc, n)
+        x = (c[a] + 0.01 * rng.standard_normal((n, d))).astype(np.float32)
+        got = np.asarray(nearest_centroid(jnp.asarray(x), jnp.asarray(c)))
+        np.testing.assert_array_equal(got, self._oracle(x, c))
+
+    def test_all_negative_scores_padding_cannot_win(self):
+        # Every real centroid scores NEGATIVE (dot < 0, big norms); the
+        # zero-padded centroid rows score exactly 0.0 and would win the
+        # max if the kernel forgot to pin them to -inf by index.
+        from innr_tpu.kernels.assign import nearest_centroid
+
+        c = np.full((3, 4), 10.0, np.float32)
+        c[1] = 20.0
+        x = np.full((5, 4), -1.0, np.float32)
+        got = np.asarray(nearest_centroid(jnp.asarray(x), jnp.asarray(c)))
+        np.testing.assert_array_equal(got, self._oracle(x, c))
+
+    def test_exact_ties_pick_lowest_index(self, rng):
+        # Duplicated centroid rows produce bit-identical scores; both
+        # the kernel (min-gidx within a tile, strict-greater across
+        # tiles) and np.argmin resolve to the FIRST index.
+        from innr_tpu.kernels.assign import nearest_centroid
+
+        base = rng.standard_normal((5, 16)).astype(np.float32)
+        c = np.concatenate([base, base[::-1], base])  # every row 3x
+        x = (base[rng.integers(0, 5, 64)]
+             + 0.01 * rng.standard_normal((64, 16))).astype(np.float32)
+        got = np.asarray(nearest_centroid(jnp.asarray(x), jnp.asarray(c)))
+        np.testing.assert_array_equal(got, self._oracle(x, c))
+        assert got.max() < 5  # always the first copy
+
+    def test_nan_rows_assign_zero(self, rng):
+        from innr_tpu.kernels.assign import nearest_centroid
+
+        c = rng.standard_normal((4, 8)).astype(np.float32)
+        x = rng.standard_normal((6, 8)).astype(np.float32)
+        x[2] = np.nan
+        got = np.asarray(nearest_centroid(jnp.asarray(x), jnp.asarray(c)))
+        assert got[2] == 0
+        keep = np.array([0, 1, 3, 4, 5])
+        np.testing.assert_array_equal(got[keep], self._oracle(x, c)[keep])
+
+    def test_bf16_rows_match_bf16_oracle(self, rng):
+        from innr_tpu.kernels.assign import nearest_centroid
+
+        c = (rng.standard_normal((9, 32)) * 3).astype(np.float32)
+        a = rng.integers(0, 9, 200)
+        x = (c[a] + 0.02 * rng.standard_normal((200, 32))).astype(np.float32)
+        xb = jnp.asarray(x, jnp.bfloat16)
+        got = np.asarray(nearest_centroid(xb, jnp.asarray(c)))
+        want = self._oracle(np.asarray(xb.astype(jnp.float32)), c)
+        np.testing.assert_array_equal(got, want)
+
+
 class TestClusterReorder:
     """All-device IVF layout pass (cluster_reorder) + auto tile suggestion:
     the round-5 'make cluster_order economical and pruning self-routing'
