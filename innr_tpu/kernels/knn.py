@@ -220,7 +220,7 @@ def _knn_kernel(n_rows, k, mode, has_excl, q_ref, rows_ref, *rest):
 
     rows = rows_ref[:]
     qs_tile = q_ref[:]
-    precision = config.matmul_precision()
+    dn = (((1,), (1,)), ((), ()))
     if rows.dtype == jnp.bfloat16:
         # bf16 corpus: the MXU multiplies bf16 natively with f32
         # accumulation; halving bytes/element doubles the HBM-bound scan's
@@ -228,18 +228,43 @@ def _knn_kernel(n_rows, k, mode, has_excl, q_ref, rows_ref, *rest):
         # rounding, ~1e-2 relative — the documented half-precision mode).
         # Mosaic rejects multi-pass precision requests on bf16 inputs
         # ("Bad lhs type"), and they would be meaningless anyway.
-        qs_tile = qs_tile.astype(jnp.bfloat16)
-        precision = jax.lax.Precision.DEFAULT
+        scores = jax.lax.dot_general(
+            qs_tile.astype(jnp.bfloat16), rows, dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
     elif rows.dtype != jnp.float32:
-        # Mosaic lacks a direct u8->f32 cast; widen to int32 first.
-        rows = rows.astype(jnp.int32).astype(jnp.float32)
-    scores = jax.lax.dot_general(
-        qs_tile,
-        rows,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+        # u8 corpus: codes 0..255 are EXACT in bf16 (8 mantissa bits), so
+        # the mixed f32xu8 dot runs as TWO bf16 MXU passes — query split
+        # into hi + lo bf16 halves (~16 query mantissa bits; products are
+        # exact, only the f32 accumulation splits) — instead of widening
+        # to f32 and paying the 3-pass HIGHEST matmul. On-chip at
+        # 4M x 768d the split scan runs at 0.835 of the same-bytes read
+        # vs 0.701 for the f32 path (PERF.md round-5); on paper-spec v5e
+        # the f32 path is MXU-bound outright (6x bf16 passes x 64
+        # FLOPs/byte > the 240 FLOPs/byte MXU:HBM ratio) while split is
+        # HBM-bound. Selection is unaffected at realistic score gaps
+        # (~1e-5 relative perturbation; differential suites pass at their
+        # condition-aware tolerances). Mosaic lacks a direct u8->bf16
+        # cast; widen through int32. Non-finite query entries keep their
+        # IEEE behavior via the hi term alone (lo is zeroed there:
+        # inf - inf would inject NaN into finite-query lanes' sums).
+        rows = rows.astype(jnp.int32).astype(jnp.bfloat16)
+        q_hi = qs_tile.astype(jnp.bfloat16)
+        q_lo = jnp.where(
+            jnp.isfinite(qs_tile), qs_tile - q_hi.astype(jnp.float32), 0.0
+        ).astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            q_hi, rows, dn, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            q_lo, rows, dn, preferred_element_type=jnp.float32
+        )
+    else:
+        scores = jax.lax.dot_general(
+            qs_tile, rows, dn,
+            preferred_element_type=jnp.float32,
+            precision=config.matmul_precision(),
+        )
     if mode == "l2":
         # L2 decomposition: norms2 - 2 * dot (||q||^2 added on host).
         scores = norms_ref[:] - 2.0 * scores
