@@ -62,9 +62,10 @@ def _ternary_tile_n(n: int, w: int, k_pad: int = _K_LANE) -> int:
 
 
 def _ternary_tile_n_mq(n: int, w: int, n_q: int, k_pad: int = _K_LANE) -> int:
-    """Multi-query twin: 2w word columns + 4 live (Q, 8, T) chunk
-    intermediates (same/diff planes and their popcounts)."""
-    return _pick_tile_n_mq(n, 2 * w, n_q, n_live=4, k_pad=k_pad)
+    """Multi-query twin: 2w word columns + 5 live (Q, 8, T) chunk
+    intermediates (same/diff planes, their popcounts, and the deferred
+    sublane accumulator)."""
+    return _pick_tile_n_mq(n, 2 * w, n_q, n_live=5, k_pad=k_pad)
 
 
 def _pick_tile_n_mq(
@@ -149,7 +150,19 @@ def fused_binary_knn(q_words: jax.Array, corpus_words_t: jax.Array, k: int):
 def _binary_kernel_mq(n_rows, k, q_ref, words_ref, keys_out, idx_out, best_keys, best_idx):
     """Multi-query step: (Q, W, 1) queries x (1, W, T) tile -> (Q, T)
     counts, accumulated over static 8-word sublane chunks so only a
-    (Q, 8, T) XOR+popcount is ever live (see ``_pick_tile_n_mq``)."""
+    (Q, 8, T) XOR+popcount is ever live (see ``_pick_tile_n_mq``).
+
+    The sublane reduce is DEFERRED (the slot-kernel trick,
+    kernels/slot_knn.py): chunks add their popcounts into a (Q, 8, T)
+    accumulator that collapses to (Q, T) once per tile, instead of paying
+    a sublane reduction per chunk — on-chip at 30M x 768 bits, Q=16 this
+    took the scan from 53.7 to 45.7 ms (roofline 0.55 -> 0.65 vs the
+    same-bytes read; bit-identical counts by integer associativity).
+    The op stays VPU-bound at Q=16 (~4-5 VPU ops per word per query:
+    xor + popcount + widen + add), so like the slot kernel its HBM
+    roofline tops out below 1; an unpack-to-±1 + MXU-matmul variant
+    measured WORSE (0.55 — the per-bit unpack costs more VPU work than
+    the popcount path it replaces; PERF.md round-5)."""
     step = pl.program_id(0)
     n_q = q_ref.shape[0]
     w = words_ref.shape[1]
@@ -157,12 +170,15 @@ def _binary_kernel_mq(n_rows, k, q_ref, words_ref, keys_out, idx_out, best_keys,
 
     init_topk_state(best_keys, best_idx)
 
-    counts = None
-    for w0 in range(0, w, _W_CHUNK):
-        w1 = min(w0 + _W_CHUNK, w)
-        x = words_ref[:, w0:w1, :] ^ q_ref[:, w0:w1, :]
-        chunk = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=1)
-        counts = chunk if counts is None else counts + chunk
+    w_full = (w // _W_CHUNK) * _W_CHUNK
+    acc = jnp.zeros((n_q, _W_CHUNK, tile_n), jnp.int32)
+    for w0 in range(0, w_full, _W_CHUNK):
+        x = words_ref[:, w0:w0 + _W_CHUNK, :] ^ q_ref[:, w0:w0 + _W_CHUNK, :]
+        acc = acc + jax.lax.population_count(x).astype(jnp.int32)
+    counts = jnp.sum(acc, axis=1)  # (Q, T)
+    for w0 in range(w_full, w):  # ragged tail (W not a sublane multiple)
+        x = words_ref[:, w0:w0 + 1, :] ^ q_ref[:, w0:w0 + 1, :]
+        counts = counts + jax.lax.population_count(x).astype(jnp.int32)[:, 0, :]
     keys = -counts  # (Q, T); smaller Hamming = better
     keys, global_idx = masked_global_idx(step, n_q, tile_n, n_rows, keys)
     update_topk(keys, global_idx, best_keys, best_idx, k)
@@ -278,7 +294,11 @@ def _ternary_kernel_mq(
 ):
     """Multi-query ternary step: (Q, W, 1) query planes x (1, W, T) corpus
     planes -> (Q, T) sign-agreement dots via AND/OR + popcount, accumulated
-    over static 8-word sublane chunks (see ``_pick_tile_n_mq``)."""
+    over static 8-word sublane chunks (see ``_pick_tile_n_mq``).
+
+    Deferred sublane reduce, as in the binary/slot mq kernels: chunk
+    popcount differences add into a (Q, 8, T) accumulator collapsed once
+    per tile (bit-identical dots by integer associativity)."""
     step = pl.program_id(0)
     n_q = qp_ref.shape[0]
     w = pos_ref.shape[1]
@@ -286,19 +306,29 @@ def _ternary_kernel_mq(
 
     init_topk_state(best_keys, best_idx)
 
-    dots = None
-    for w0 in range(0, w, _W_CHUNK):
-        w1 = min(w0 + _W_CHUNK, w)
-        pos_c, neg_c = pos_ref[:, w0:w1, :], neg_ref[:, w0:w1, :]
-        qp_c, qn_c = qp_ref[:, w0:w1, :], qn_ref[:, w0:w1, :]
+    w_full = (w // _W_CHUNK) * _W_CHUNK
+    acc = jnp.zeros((n_q, _W_CHUNK, tile_n), jnp.int32)
+    for w0 in range(0, w_full, _W_CHUNK):
+        pos_c = pos_ref[:, w0:w0 + _W_CHUNK, :]
+        neg_c = neg_ref[:, w0:w0 + _W_CHUNK, :]
+        qp_c = qp_ref[:, w0:w0 + _W_CHUNK, :]
+        qn_c = qn_ref[:, w0:w0 + _W_CHUNK, :]
         same = (pos_c & qp_c) | (neg_c & qn_c)
         diff = (pos_c & qn_c) | (neg_c & qp_c)
-        chunk = jnp.sum(
+        acc = acc + (
             jax.lax.population_count(same).astype(jnp.int32)
-            - jax.lax.population_count(diff).astype(jnp.int32),
-            axis=1,
+            - jax.lax.population_count(diff).astype(jnp.int32)
         )
-        dots = chunk if dots is None else dots + chunk
+    dots = jnp.sum(acc, axis=1)  # (Q, T)
+    for w0 in range(w_full, w):  # ragged tail (W not a sublane multiple)
+        pos_c, neg_c = pos_ref[:, w0:w0 + 1, :], neg_ref[:, w0:w0 + 1, :]
+        qp_c, qn_c = qp_ref[:, w0:w0 + 1, :], qn_ref[:, w0:w0 + 1, :]
+        same = (pos_c & qp_c) | (neg_c & qn_c)
+        diff = (pos_c & qn_c) | (neg_c & qp_c)
+        dots = dots + (
+            jax.lax.population_count(same).astype(jnp.int32)
+            - jax.lax.population_count(diff).astype(jnp.int32)
+        )[:, 0, :]
     keys, global_idx = masked_global_idx(step, n_q, tile_n, n_rows, dots)
     update_topk(keys, global_idx, best_keys, best_idx, k)
 
