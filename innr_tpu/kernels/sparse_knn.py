@@ -70,7 +70,7 @@ def _pick_tile_n(n: int, l: int, k_pad: int) -> int:
     return round_up(min(tile, max(n, 128)), 128)
 
 
-def _sparse_kernel(n_docs, k, lq, qi_ref, qv_ref, idx_ref, val_ref,
+def _sparse_kernel(n_docs, k, lq, fast, qi_ref, qv_ref, idx_ref, val_ref,
                    keys_out, idx_out, best_keys, best_idx):
     step = pl.program_id(0)
     tile_n = idx_ref.shape[1]
@@ -82,7 +82,7 @@ def _sparse_kernel(n_docs, k, lq, qi_ref, qv_ref, idx_ref, val_ref,
     idx_tile = idx_ref[:].astype(jnp.int32)  # (L, T)
     val_tile = val_ref[:]                    # (L, T) f32
     m = jnp.zeros_like(val_tile)
-    matched = jnp.zeros(idx_tile.shape, dtype=jnp.bool_)
+    matched = None if fast else jnp.zeros(idx_tile.shape, dtype=jnp.bool_)
     # Reverse sweep: on duplicate query indices the LOWEST t wins (last
     # write), matching _join_scores' leftmost-searchsorted semantics.
     for t in range(lq - 1, -1, -1):
@@ -90,13 +90,21 @@ def _sparse_kernel(n_docs, k, lq, qi_ref, qv_ref, idx_ref, val_ref,
         qv = qv_ref[t]
         eq = idx_tile == qi
         m = jnp.where(eq, qv, m)
-        matched = matched | eq
-    # Unmatched entries contribute exactly 0 even for NaN values (the
-    # where(matched, ...) of the XLA join); matched entries propagate
-    # val * qv including NaN.
-    scores = jnp.sum(
-        jnp.where(matched, val_tile * m, 0.0), axis=0, keepdims=True
-    )  # (1, T)
+        if not fast:
+            matched = matched | eq
+    if fast:
+        # All-finite corpus (checked once per container): unmatched
+        # entries contribute val * 0 == exact 0, so the `matched` tracker
+        # — one third of the sweep's VPU ops — is dropped. Measured
+        # on-chip at 10M x 32nnz: 42.6 -> ~34 ms (roofline 0.63 -> 0.79).
+        scores = jnp.sum(val_tile * m, axis=0, keepdims=True)  # (1, T)
+    else:
+        # Unmatched entries contribute exactly 0 even for NaN/inf values
+        # (the where(matched, ...) of the XLA join); matched entries
+        # propagate val * qv including NaN.
+        scores = jnp.sum(
+            jnp.where(matched, val_tile * m, 0.0), axis=0, keepdims=True
+        )  # (1, T)
 
     keys = f32_keys(scores)
     keys, gidx = masked_global_idx(step, 1, tile_n, n_docs, keys)
@@ -106,10 +114,10 @@ def _sparse_kernel(n_docs, k, lq, qi_ref, qv_ref, idx_ref, val_ref,
     idx_out[:] = best_idx[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "fast"))
 def fused_sparse_knn(q_idx: jax.Array, q_val: jax.Array,
                      corpus_idx_t: jax.Array, corpus_val_t: jax.Array,
-                     k: int):
+                     k: int, fast: bool = False):
     """Top-k largest sparse dots of one sorted (Lq,) query against an
     entry-major sparse corpus.
 
@@ -118,6 +126,13 @@ def fused_sparse_knn(q_idx: jax.Array, q_val: jax.Array,
     :class:`~innr_tpu.ops.sparse.SparseCorpus` arrays). Returns
     ``(scores (k,) f32 descending under IEEE total order, indices (k,)
     int32)`` — identical to the XLA join + ``top_k_total``.
+
+    ``fast=True`` (caller-asserted all-finite corpus values) drops the
+    per-token ``matched`` tracker — exact for finite values because
+    unmatched entries then contribute ``val * 0 == 0``; a non-finite
+    corpus value on an UNMATCHED entry would wrongly poison its document
+    score, which is why :func:`innr_tpu.ops.sparse.sparse_knn` gates it
+    on the container's cached finiteness check.
     """
     lq = int(q_idx.shape[0])
     l, n = corpus_idx_t.shape
@@ -131,7 +146,7 @@ def fused_sparse_knn(q_idx: jax.Array, q_val: jax.Array,
     qv = q_val.astype(jnp.float32)
 
     keys, idx = pl.pallas_call(
-        functools.partial(_sparse_kernel, n, k, lq),
+        functools.partial(_sparse_kernel, n, k, lq, fast),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

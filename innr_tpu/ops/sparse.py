@@ -147,6 +147,7 @@ class SparseCorpus:
         self.indices = idx
         self.values = val
         self._t = None  # lazy (L, N) entry-major transposes (fused kernel)
+        self._finite = None  # lazy all-finite flag (fast fused sweep)
 
     def _transposed(self):
         """Cached entry-major ``((L, N) idx, (L, N) val)`` pair — the
@@ -162,6 +163,16 @@ class SparseCorpus:
                 materialize_words(self.values.T),
             )
         return self._t
+
+    def _all_finite(self) -> bool:
+        """Cached all-finite check over the value array (one corpus pass,
+        computed on first kNN). Gates the fused kernel's fast sweep: with
+        finite values, unmatched entries contribute ``val * 0 == 0``
+        exactly and the per-token ``matched`` tracker (a third of the
+        sweep's VPU ops) is unnecessary."""
+        if self._finite is None:
+            self._finite = bool(jnp.all(jnp.isfinite(self.values)))
+        return self._finite
 
     @property
     def num_docs(self) -> int:
@@ -246,7 +257,9 @@ def sparse_knn(query, corpus: SparseCorpus, k: int):
         from innr_tpu.kernels.sparse_knn import fused_sparse_knn
 
         idx_t, val_t = corpus._transposed()
-        return fused_sparse_knn(q_idx, q_val, idx_t, val_t, k)
+        return fused_sparse_knn(
+            q_idx, q_val, idx_t, val_t, k, fast=corpus._all_finite()
+        )
 
     scores = _corpus_scores(q_idx, q_val, corpus.indices, corpus.values)
     return top_k_total(scores, k, largest=True)
